@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Named loaders for the driver-generated parquet testdata
+  * (TESTDATA.md / FIXTURES.md §B). Parquet is self-describing; no schema
+  * pinning needed — Catalyst prunes columns + pushes filters into the scan.
+  *
+  * Timestamp discipline: the testdata is timezone-naive parquet, which
+  * Spark 4 reads as TIMESTAMP_NTZ — except `events.ts`, which is
+  * nanosecond-precision and only readable as long ns via
+  * `spark.sql.legacy.parquet.nanosAsLong`. We normalize ALL timestamps to
+  * TIMESTAMP_NTZ here (session tz is pinned UTC, so NTZ == the instant),
+  * keeping engine output bit-compatible with the DuckDB oracle's naive
+  * timestamps.
+  *
+  * At cluster scale these would be `spark.read.table(...)` over a
+  * partitioned catalog table; the `dir` indirection keeps the query
+  * library storage-agnostic.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is TIMESTAMP(NANOS) parquet; read as long ns (runtime conf,
+    * session-local) and truncate to µs — the data is µs-precision, so this
+    * is lossless. Integer `div`, not double division: ns-since-epoch
+    * exceeds 2^53. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
+  // orders.o_orderdate / lineitem.l_shipdate are ms-precision naive parquet
+  // → already TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ default.
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
+  def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

@@ -11,14 +11,25 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Session tz is UTC, so LTZ→NTZ is wall-clock identity; writing
+        // NTZ makes the result parquet carry the same timezone-naive
+        // timestamps DuckDB produces for the oracle SQL.
+        val ntz = df.schema.fields.filter(_.dataType ==
+          org.apache.spark.sql.types.TimestampType).foldLeft(df) {
+          (d, f) => d.withColumn(f.name,
+            org.apache.spark.sql.functions.col(f.name).cast("timestamp_ntz"))
+        }
+        ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

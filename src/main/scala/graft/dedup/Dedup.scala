@@ -1,0 +1,124 @@
+package graft.dedup
+
+import graft.text.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline: exact
+  * (fingerprint hash-groupBy), MinHash+LSH near-dup, SimHash, and exact
+  * n-gram Jaccard verification.
+  *
+  * Scale design:
+  *  - exact dedup = one hash shuffle on a 32-byte fingerprint, partial agg
+  *    map-side; never compares full texts;
+  *  - MinHash: shingles are EXPLODED then min-aggregated per seed — one
+  *    shuffle of (doc, shingle-hash) pairs with map-side partial min, so
+  *    no row ever holds the full shingle set in a single buffer;
+  *  - LSH banding turns the O(n²) all-pairs problem into a self-join on
+  *    (band_idx, band_key) buckets — only candidate pairs sharing a band
+  *    are ever joined, then verified with exact Jaccard;
+  *  - hashes are md5-based (not Spark-native hash) so the DuckDB oracle
+  *    reproduces them bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact duplicates by content fingerprint: every doc annotated with its
+    * group's canonical (min) doc id and dup flag. */
+  def exactDups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = docs.select(col(idCol), Text.fingerprint(col(textCol)).as("fp"))
+    val canon = fp.groupBy("fp")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
+    fp.join(canon, "fp")
+      .withColumn("is_dup", (col(idCol) =!= col("canonical_id")).cast("int"))
+  }
+
+  /** MinHash signature columns h0..h{numHashes-1}: per seed i, the min over
+    * the doc's distinct shingles of md5("<i>:" + shingle). Exploded +
+    * min-aggregated (map-side partial min → one shuffle). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int, numHashes: Int): DataFrame = {
+    val sh = docs
+      .select(col(idCol), explode(Text.shingleSet(col(textCol), shingleLen)).as("sh"))
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band keys: (band_idx, band_key) rows, band_key = md5 of the
+    * concatenated row hashes in the band. */
+  def lshBands(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandRows = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      sigs.select(col(idCol), lit(b).as("band_idx"),
+        md5(concat_ws("|", cols: _*)).as("band_key"))
+    }
+    bandRows.reduce(_ unionByName _)
+  }
+
+  /** Candidate pairs (a < b) sharing at least one LSH band. */
+  def lshCandidates(bandDf: DataFrame, idCol: String): DataFrame = {
+    val a = bandDf.select(col("band_idx"), col("band_key"), col(idCol).as("id_a"))
+    val b = bandDf.select(col("band_idx"), col("band_key"), col(idCol).as("id_b"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard over distinct word-ngram shingle sets for given
+    * (id_a, id_b) candidate pairs. */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, shingleLen: Int): DataFrame = {
+    val sets = docs.select(col(idCol),
+      Text.shingleSet(col(textCol), shingleLen).as("sh"))
+    val sa = sets.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val sb = sets.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    pairs.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → bucket
+    * self-join → exact-Jaccard verify → threshold. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      shingleLen: Int = 3, numHashes: Int = 12,
+                      bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleLen, numHashes)
+    val cands = lshCandidates(lshBands(sigs, idCol, bands, rowsPerBand), idCol)
+    jaccardVerify(cands, docs, idCol, textCol, shingleLen)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 32-bit SimHash over (non-distinct) whitespace tokens: bit j is set
+    * when the sum over tokens of ±1 (per the token-hash's bit j) is > 0. */
+  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("tok"))
+      .withColumn("hv", Text.tokenHash32(col("tok")))
+    val bitSums = (0 until 32).map(j =>
+      sum(when(shiftright(col("hv"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$j"))
+    val sums = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 32).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col(idCol), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within a blocking key, hamming distance <=
+    * maxHamming (bit_count of xor). */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      blockCol: String, maxHamming: Int): DataFrame = {
+    val sims = simhash32(docs, idCol, textCol)
+      .join(docs.select(col(idCol), col(blockCol)), idCol)
+    val a = sims.select(col(blockCol), col(idCol).as("id_a"), col("simhash").as("sim_a"))
+    val b = sims.select(col(blockCol), col(idCol).as("id_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq(blockCol))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,39 @@
+package graft.ops
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's ingest shaping (`etl/crypto_etl.py:70-127`): project the
+  * five fields, drop rows missing key/name/price, lowercase the key, coerce
+  * numerics, stamp ONE batch-constant timestamp on every row of the tick
+  * (`etl/crypto_etl.py:82` — batch-constant, not per-row, which is what
+  * guarantees the max-ts ties the latest-per-key join form emits).
+  *
+  * Pure DataFrame→DataFrame so the exact same function runs in batch and
+  * inside `foreachBatch` on a stream (graft.streaming.Streams).
+  */
+object Ingest {
+
+  /** Target schema of the shaped `prices` table (FIXTURES.md §A). */
+  val pricesSchema: StructType = StructType(Seq(
+    StructField("symbol", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("current_price", DoubleType, nullable = false),
+    StructField("market_cap", DoubleType, nullable = true),
+    StructField("total_volume", DoubleType, nullable = true),
+    StructField("timestamp", TimestampType, nullable = false)))
+
+  /** P1–P5 + P4 batch stamp (SURVEY.md §2.2) over a raw quote batch. */
+  def shapeBatch(raw: DataFrame, batchTs: Timestamp): DataFrame =
+    raw
+      .select("symbol", "name", "current_price", "market_cap", "total_volume")
+      .filter(col("symbol").isNotNull && col("name").isNotNull &&
+        col("current_price").isNotNull)
+      .withColumn("symbol", lower(col("symbol")))
+      .withColumn("current_price", col("current_price").cast(DoubleType))
+      .withColumn("market_cap", col("market_cap").cast(DoubleType))
+      .withColumn("total_volume", col("total_volume").cast(DoubleType))
+      .withColumn("timestamp", lit(batchTs))
+}

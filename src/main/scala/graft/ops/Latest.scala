@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Latest-row-per-key — the reference's signature query
+  * (`api/server.js:67-77`: `prices t1 JOIN (SELECT symbol, MAX(timestamp)
+  * ... GROUP BY symbol) t2`). Two semantics, both needed (SURVEY.md §7.4.1):
+  *
+  *  - join form: emits EVERY row tied at the max timestamp (reference
+  *    behavior — ties are guaranteed there because the batch timestamp is
+  *    shared, `etl/crypto_etl.py:82`);
+  *  - window form: exactly one row per key, deterministic via tiebreakers
+  *    (what the frontend's Map-dedup ends up with, `frontend/src/App.js:182-186`).
+  *
+  * Scale notes: the join form shuffles only (key, max_ts) pairs on the agg
+  * side — partial aggregation makes the build side |keys|-sized, so it is
+  * broadcast-able whenever the key universe is small (the reference's is
+  * ~100 symbols). The window form is one shuffle on the key and streams
+  * each partition once — preferred when |keys| is huge (no broadcast, no
+  * join).
+  */
+object Latest {
+
+  /** Join form; emits all max-ts ties. `broadcastKeys` should be true when
+    * the distinct-key universe fits in an executor (dims, symbol tables). */
+  def latestPerKeyJoin(df: DataFrame, key: String, tsCol: String,
+                       broadcastKeys: Boolean = true): DataFrame = {
+    val agg0 = df
+      .select(col(key).as("__k"), col(tsCol).as("__t"))
+      .groupBy("__k").agg(max("__t").as("__max_t"))
+    val agg = if (broadcastKeys) broadcast(agg0) else agg0
+    df.join(agg, col(key) === col("__k") && col(tsCol) === col("__max_t"))
+      .drop("__k", "__max_t")
+  }
+
+  /** Window form; exactly one row per key. `order` must be a total order
+    * within each key (include a unique tiebreaker) for determinism. */
+  def latestPerKeyWindow(df: DataFrame, keys: Seq[String], order: Column*): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** As-of lookup: for each (key, probe_ts) in `probes`, the latest row of
+    * `facts` with ts <= probe_ts (left semantics: null when none).
+    *
+    * Implemented as a union + running `last(ignoreNulls)` window — a single
+    * sort-based shuffle on the key, no join, no per-probe scan. This is the
+    * plan that survives scale: both sides co-partition on the key and each
+    * partition is streamed once in time order (contrast a correlated
+    * subquery or a range cross-join, both quadratic).
+    */
+  def asOfJoin(facts: DataFrame, probes: DataFrame, key: String,
+               tsCol: String, probeTsCol: String, valueCol: String,
+               tieBreak: String): DataFrame = {
+    val tsType = facts.schema(tsCol).dataType
+    val evt = facts.select(
+      col(key), col(tsCol).as("__t"), col(valueCol).as("__v"),
+      lit(0).as("__is_probe"), lit(null).cast(tsType).as(probeTsCol),
+      col(tieBreak).as("__tb"))
+    val prb = probes.select(
+      col(key), col(probeTsCol).cast(tsType).as("__t"),
+      lit(null).cast(facts.schema(valueCol).dataType).as("__v"),
+      lit(1).as("__is_probe"), col(probeTsCol).cast(tsType),
+      lit(null).cast(facts.schema(tieBreak).dataType).as("__tb"))
+    // Probe rows sort after fact rows at equal ts (as-of is inclusive);
+    // among equal-ts facts the greatest tiebreaker wins.
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__is_probe").asc, col("__tb").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    evt.unionByName(prb)
+      .withColumn("__asof", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__is_probe") === 1)
+      .select(col(key), col(probeTsCol), col("__asof").as(s"asof_$valueCol"))
+  }
+}

@@ -1,0 +1,274 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.Text
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline extension operators (the BASELINE.json
+  * north star): text analysis, dedup (exact / MinHash-LSH / SimHash /
+  * n-gram Jaccard), embedding similarity search. All hashes are md5-based
+  * so the DuckDB oracle reproduces them exactly; shingle/token pipelines
+  * follow the parity rules documented in graft.text.Text.
+  */
+object Extensions {
+
+  // MinHash/LSH parameters shared by the query and its oracle.
+  private val ShingleLen = 3
+  private val NumHashes = 12
+  private val Bands = 4
+  private val JaccThreshold = 0.8
+  // Blocking for the pairwise ops.
+  private val CosThreshold = 0.35
+
+  /** DuckDB expression mirrors of graft.text.Text (kept adjacent to their
+    * Scala twins — drift between the two IS the bug class the oracle
+    * catches). */
+  private def sqlNorm(c: String) =
+    s"regexp_replace(lower(trim($c)), '\\s+', ' ', 'g')"
+  private def sqlTokens(c: String) =
+    s"regexp_split_to_array(${sqlNorm(c)}, ' ')"
+  // word n-gram shingles with duplicates; <n tokens → one whole-doc shingle
+  private def sqlShingles(c: String, n: Int) =
+    s"""list_transform(range(1, greatest(len(${sqlTokens(c)}) - ${n - 2}, 2)),
+       | i -> array_to_string(list_slice(${sqlTokens(c)}, i, i + ${n - 1}), ' '))""".stripMargin
+  private def sqlShingleSet(c: String, n: Int) = s"list_distinct(${sqlShingles(c, n)})"
+
+  val defs: Map[String, Q] = Map(
+    // ---- text analysis --------------------------------------------------
+    "q_text_stats" -> ((s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          length(t).as("len_chars"),
+          Text.nTokens(t).as("n_tokens"),
+          size(array_distinct(Text.tokens(t))).as("n_distinct_tokens"),
+          Text.bpeishTokenCount(t).as("n_bpeish_tokens"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    "q_text_quality" -> ((s, dir) => {
+      val t = col("text")
+      Tables.documents(s, dir).select(
+          col("doc_id"),
+          round(Text.stopwordRatio(t), 4).as("stopword_ratio"),
+          round(Text.punctRatio(t), 4).as("punct_ratio"),
+          round(Text.distinctTokenRatio(t), 4).as("distinct_ratio"),
+          round(Text.qualityScore(t), 4).as("quality"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    "q_lang_id" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+          col("doc_id"), col("lang"),
+          Text.langId(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // Content fingerprint + exact dedup annotation (hash-groupBy — the
+    // 100 TB-scale exact-dedup primitive: shuffles 32-byte keys, never text).
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDups(Tables.documents(s, dir), "doc_id", "text")
+        .select("doc_id", "fp", "canonical_id", "group_size", "is_dup")
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // MinHash + LSH near-dup pairs, exact-Jaccard verified.
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+          ShingleLen, NumHashes, Bands, JaccThreshold)
+        .orderBy(col("id_a").asc, col("id_b").asc)
+    }),
+
+    // Probe-limited exact n-gram Jaccard (brute-force verifier; the probe
+    // set keeps the cross product bounded while staying oracle-checkable).
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cands = docs.filter(col("doc_id") < 20).select(col("doc_id").as("id_a"))
+        .crossJoin(docs.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      Dedup.jaccardVerify(cands, docs, "doc_id", "text", ShingleLen)
+        .filter(col("jaccard") >= 0.03)
+        .orderBy(col("id_a").asc, col("id_b").asc)
+    }),
+
+    // SimHash values + hamming near-dup pairs blocked by source.
+    "q_simhash" -> ((s, dir) => {
+      Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+          "source", maxHamming = 6)
+        .orderBy(col("id_a").asc, col("id_b").asc)
+    }),
+
+    // ---- similarity search ---------------------------------------------
+    // Brute-force cosine top-5 for 10 probe vectors (ANN ground truth).
+    "q_embed_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
+        .orderBy(col("probe_id").asc, col("rank").asc)
+    }),
+
+    // Embedding-cosine near-dup pairs within label blocks.
+    "q_embed_neardup" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "label", CosThreshold)
+        .orderBy(col("id_a").asc, col("id_b").asc)
+    }),
+
+    // LSH-bucketed ANN (the scale path; no SQL oracle — recall vs
+    // brute force is asserted in AnnSpec).
+    "q_embed_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, dim = 64, k = 5,
+          numPlanes = 4)
+        .orderBy(col("probe_id").asc, col("rank").asc)
+    }))
+
+  // ---- oracle SQL -------------------------------------------------------
+
+  private val minhashSigCols = (0 until NumHashes)
+    .map(i => s"min(md5('$i:' || sh)) AS h$i").mkString(",\n    ")
+  private val bandSelects = (0 until Bands).map { b =>
+    val cols = (b * (NumHashes / Bands) until (b + 1) * (NumHashes / Bands))
+      .map(i => s"h$i").mkString(" || '|' || ")
+    s"SELECT doc_id, $b AS band_idx, md5($cols) AS band_key FROM sigs"
+  }.mkString("\n  UNION ALL\n  ")
+
+  private val simhashBitSums = (0 until 32)
+    .map(j => s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+    .mkString(",\n    ")
+  private val simhashValue = (0 until 32)
+    .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+    .mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS INTEGER) AS len_chars,
+         |  CAST(len(${sqlTokens("text")}) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_distinct(${sqlTokens("text")})) AS INTEGER) AS n_distinct_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpeish_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, ${sqlTokens("text")} AS toks FROM documents)
+         |SELECT doc_id,
+         |  round(len(list_filter(toks, x -> x IN ('the','a','an','of','and','or','is','in','to','it')))::DOUBLE / len(toks), 4) AS stopword_ratio,
+         |  round((length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE / greatest(length(text), 1), 4) AS punct_ratio,
+         |  round(len(list_distinct(toks))::DOUBLE / len(toks), 4) AS distinct_ratio,
+         |  round(least(len(toks)::DOUBLE / 100.0, 1.0)
+         |    * (1.0 - (length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE / greatest(length(text), 1))
+         |    * (len(list_distinct(toks))::DOUBLE / len(toks)), 4) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" -> {
+      val markers = Text.langMarkers.toSeq.sortBy(_._1)
+      val hitExprs = markers.map { case (code, ms) =>
+        val inList = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(toks, x -> x IN ($inList))) AS hits_$code"
+      }.mkString(",\n    ")
+      val maxExpr = markers.map { case (code, _) => s"hits_$code" }
+        .mkString("greatest(", ", ", ")")
+      val cascade = markers.map { case (code, _) =>
+        s"WHEN hits_$code = mx THEN '$code'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, ${sqlTokens("text")} AS toks FROM documents),
+         |h AS (SELECT doc_id, lang, $hitExprs FROM t),
+         |m AS (SELECT *, $maxExpr AS mx FROM h)
+         |SELECT doc_id, lang,
+         |  CASE WHEN mx > 0 THEN (CASE $cascade END) ELSE 'und' END AS pred_lang
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "q_dedup_exact" ->
+      s"""WITH fp AS (SELECT doc_id, md5(${sqlNorm("text")}) AS fp FROM documents),
+         |canon AS (SELECT fp, min(doc_id) AS canonical_id, count(*) AS group_size
+         |  FROM fp GROUP BY fp)
+         |SELECT f.doc_id, f.fp, c.canonical_id, c.group_size,
+         |  CAST(f.doc_id <> c.canonical_id AS INTEGER) AS is_dup
+         |FROM fp f JOIN canon c USING (fp) ORDER BY f.doc_id""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH sh AS (
+         |  SELECT DISTINCT doc_id, unnest(${sqlShingleSet("text", ShingleLen)}) AS sh
+         |  FROM documents),
+         |sigs AS (
+         |  SELECT doc_id,
+         |    $minhashSigCols
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, ${sqlShingleSet("text", ShingleLen)} AS s FROM documents),
+         |verified AS (
+         |  SELECT id_a, id_b,
+         |    round(len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+         |      / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))), 4) AS jaccard
+         |  FROM cands JOIN sets sa ON sa.doc_id = id_a
+         |             JOIN sets sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, jaccard FROM verified
+         |WHERE jaccard >= $JaccThreshold ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH sets AS (SELECT doc_id, ${sqlShingleSet("text", ShingleLen)} AS s FROM documents),
+         |cands AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+         |  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+         |  WHERE a.doc_id < 20)
+         |SELECT id_a, id_b,
+         |  round(len(list_filter(sa, x -> list_contains(sb, x)))::DOUBLE
+         |    / (len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x)))), 4) AS jaccard
+         |FROM cands
+         |WHERE round(len(list_filter(sa, x -> list_contains(sb, x)))::DOUBLE
+         |    / (len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x)))), 4) >= 0.03
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM documents),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks),
+         |bits AS (
+         |  SELECT doc_id,
+         |    $simhashBitSums
+         |  FROM h GROUP BY doc_id),
+         |sims AS (SELECT doc_id, $simhashValue AS simhash FROM bits),
+         |joined AS (SELECT s.doc_id, d.source, s.simhash FROM sims s
+         |  JOIN documents d USING (doc_id))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM joined a JOIN joined b
+         |  ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_embed_topk" ->
+      """WITH probes AS (SELECT vec_id AS probe_id,
+        |    CAST(embedding AS DOUBLE[]) AS pv
+        |  FROM embeddings WHERE vec_id < 10),
+        |corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT probe_id, vec_id AS neighbor_id,
+        |    round(list_dot_product(pv, cv)
+        |      / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+        |  FROM probes CROSS JOIN corpus
+        |  WHERE vec_id <> probe_id),
+        |ranked AS (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT probe_id, rank, neighbor_id, cos FROM ranked
+        |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    "q_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_dot_product(a.v, b.v)
+         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.v, b.v)
+         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= $CosThreshold
+         |ORDER BY id_a, id_b""".stripMargin)
+}

@@ -1,0 +1,100 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`ArrayType(FloatType)`).
+  *
+  *  - `cosine` is a pure Column expression (zip_with product + sequential
+  *    aggregate fold) — whole-stage codegen, no UDF, and the fold order is
+  *    left-to-right exactly like DuckDB's list loops, so doubles match the
+  *    oracle bit-for-bit before rounding.
+  *  - brute-force top-k: probes × corpus join; the PROBE side is the small
+  *    side and is broadcast, the corpus streams — linear scan per probe,
+  *    which is the correct baseline and the correctness oracle for ANN.
+  *  - LSH ANN: random-hyperplane sign buckets; hyperplane weights are
+  *    derived deterministically from md5 bits so every executor (and any
+  *    re-run) builds identical planes with no driver-side RNG state.
+  */
+object Similarity {
+
+  /** Elementwise dot product of two float-array columns, computed in
+    * double, sequential fold order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine(a,b) = dot / (||a|| * ||b||). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force cosine top-k: for each probe vector, the k nearest corpus
+    * vectors (excluding itself when ids collide). Ranking uses the cosine
+    * ROUNDED to 6 dp with the corpus id as tiebreaker, so the ordering is
+    * reproducible across engines despite last-ulp float drift. */
+  def bruteForceTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = broadcast(p).crossJoin(c)
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("pv"), col("cv")), 6))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** All pairs (a<b) within `blockCol` whose cosine >= threshold —
+    * embedding-cosine near-dup detection with cheap blocking. */
+  def cosineNearDupPairs(emb: DataFrame, blockCol: String, threshold: Double,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = emb.select(col(blockCol), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = emb.select(col(blockCol), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq(blockCol))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col(blockCol), col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Deterministic ±1 hyperplane weight for (plane p, dimension i):
+    * sign of bit 0 of md5("p:i"). Pure expression — no RNG state. */
+  private def planeWeight(p: Int, i: Int): Column =
+    when(conv(substring(md5(lit(s"$p:$i")), 1, 1), 16, 10).cast("int")
+      .bitwiseAND(lit(1)) === 1, lit(1.0)).otherwise(lit(-1.0))
+
+  /** LSH bucket signature: `numPlanes` sign bits packed into a long. */
+  def lshBucket(vecCol: Column, dim: Int, numPlanes: Int): Column =
+    (0 until numPlanes).map { p =>
+      val proj = (0 until dim).map(i =>
+        element_at(vecCol, i + 1).cast("double") * planeWeight(p, i))
+        .reduce(_ + _)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k via random-hyperplane LSH: candidates = corpus vectors in
+    * the probe's bucket (multi-probe over exact bucket only, here), ranked
+    * by exact cosine. The scale path: bucket key co-partitions the join,
+    * each probe touches |corpus|/2^planes candidates instead of |corpus|.
+    * Recall vs `bruteForceTopK` is asserted in the test suite. */
+  def lshTopK(probes: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+              numPlanes: Int = 8, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
+      lshBucket(col(vecCol), dim, numPlanes).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), dim, numPlanes).as("bucket"))
+    val scored = broadcast(p).join(c, Seq("bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("pv"), col("cv")), 6))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+}
