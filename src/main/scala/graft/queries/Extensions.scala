@@ -119,8 +119,22 @@ object Extensions {
     "q_embed_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, dim = 64, k = 5,
-          numPlanes = 4)
+          numPlanes = 4, numTables = 8)
         .orderBy(col("probe_id").asc, col("rank").asc)
+    }),
+
+    // ---- multimodal (stub decode, real plumbing; no SQL oracle —
+    // deterministic synthetic blobs, semantics pinned in MultimodalSpec).
+    "q_media_meta" -> ((s, _) => {
+      val decoded = graft.multimodal.Multimodal.decodeMeta(
+        graft.multimodal.Multimodal.syntheticMedia(s, 300))
+      decoded.toDF().groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          round(avg("width"), 2).as("avg_w"),
+          round(avg("height"), 2).as("avg_h"),
+          sum("n_frames").as("total_frames"),
+          sum("payload_len").as("total_payload"))
+        .orderBy(col("kind").asc)
     }))
 
   // ---- oracle SQL -------------------------------------------------------

@@ -61,36 +61,48 @@ object Similarity {
       .select(col(blockCol), col("id_a"), col("id_b"), col("cos"))
   }
 
-  /** Deterministic ±1 hyperplane weight for (plane p, dimension i):
-    * sign of bit 0 of md5("p:i"). Pure expression — no RNG state. */
-  private def planeWeight(p: Int, i: Int): Column =
-    when(conv(substring(md5(lit(s"$p:$i")), 1, 1), 16, 10).cast("int")
+  /** Deterministic ±1 hyperplane weight for (table t, plane p, dim i):
+    * sign of bit 0 of md5("t:p:i"). Pure expression — no RNG state, so
+    * every executor and every re-run builds identical planes. */
+  private def planeWeight(t: Int, p: Int, i: Int): Column =
+    when(conv(substring(md5(lit(s"$t:$p:$i")), 1, 1), 16, 10).cast("int")
       .bitwiseAND(lit(1)) === 1, lit(1.0)).otherwise(lit(-1.0))
 
-  /** LSH bucket signature: `numPlanes` sign bits packed into a long. */
-  def lshBucket(vecCol: Column, dim: Int, numPlanes: Int): Column =
+  /** LSH bucket signature for one table: `numPlanes` sign bits packed
+    * into a long. */
+  def lshBucket(vecCol: Column, dim: Int, numPlanes: Int, table: Int = 0): Column =
     (0 until numPlanes).map { p =>
       val proj = (0 until dim).map(i =>
-        element_at(vecCol, i + 1).cast("double") * planeWeight(p, i))
+        element_at(vecCol, i + 1).cast("double") * planeWeight(table, p, i))
         .reduce(_ + _)
       when(proj > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** ANN top-k via random-hyperplane LSH: candidates = corpus vectors in
-    * the probe's bucket (multi-probe over exact bucket only, here), ranked
-    * by exact cosine. The scale path: bucket key co-partitions the join,
-    * each probe touches |corpus|/2^planes candidates instead of |corpus|.
-    * Recall vs `bruteForceTopK` is asserted in the test suite. */
+  /** ANN top-k via multi-table random-hyperplane LSH: `numTables`
+    * independent sign-bucket tables; candidates = corpus vectors sharing
+    * the probe's bucket in ANY table (standard OR-amplification — one
+    * table's recall is too low at useful bucket sizes), deduped, then
+    * ranked by exact cosine.
+    *
+    * The scale path: each (table, bucket) key co-partitions the join, so
+    * a probe touches ~numTables × |corpus| / 2^numPlanes candidates
+    * instead of |corpus|. Recall vs `bruteForceTopK` is asserted in the
+    * test suite. */
   def lshTopK(probes: DataFrame, corpus: DataFrame, dim: Int, k: Int,
-              numPlanes: Int = 8, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("pv"),
-      lshBucket(col(vecCol), dim, numPlanes).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), dim, numPlanes).as("bucket"))
-    val scored = broadcast(p).join(c, Seq("bucket"))
+              numPlanes: Int = 4, numTables: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def withBuckets(df: DataFrame, id: String, v: String) =
+      (0 until numTables).map { t =>
+        df.select(col(idCol).as(id), col(vecCol).as(v),
+          lit(t).as("t"), lshBucket(col(vecCol), dim, numPlanes, t).as("bucket"))
+      }.reduce(_ unionByName _)
+    val p = withBuckets(probes, "probe_id", "pv")
+    val c = withBuckets(corpus, "neighbor_id", "cv")
+    val cands = broadcast(p).join(c, Seq("t", "bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("pv"), col("cv")), 6))
+      .select("probe_id", "pv", "neighbor_id", "cv")
+      .dropDuplicates("probe_id", "neighbor_id")
+    val scored = cands.withColumn("cos", round(cosine(col("pv"), col("cv")), 6))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -1,0 +1,65 @@
+package graft
+
+import graft.ops.{History, Latest, TopK}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+/** Property tests over small random frames (SURVEY.md §5.2.3). Plain
+  * ScalaCheck generators driven from FunSuite (the scalatest+scalacheck
+  * bridge artifact isn't on the offline classpath). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, rng.Seed(42L + i)))
+
+  private val rowsGen = Gen.nonEmptyListOf(for {
+    id <- Gen.choose(1L, 1000L)
+    user <- Gen.choose(1L, 5L)
+    sec <- Gen.choose(0L, 50L)
+    v <- Gen.choose(-100.0, 100.0)
+  } yield (id, user, sec, v))
+
+  test("window form emits exactly one row per key; join form ⊇ keys and " +
+    "only max-ts rows") {
+    samples(rowsGen, 8).foreach { rows =>
+      val df = rows.toDF("event_id", "user_id", "sec", "value")
+        .withColumn("ts", timestamp_seconds(col("sec")).cast("timestamp_ntz"))
+      val keys = df.select("user_id").distinct().count()
+      val win = Latest.latestPerKeyWindow(df, Seq("user_id"),
+        col("ts").desc, col("event_id").desc)
+      assert(win.count() == keys)
+      val join = Latest.latestPerKeyJoin(df, "user_id", "ts")
+      assert(join.count() >= keys)
+      val maxTs = df.groupBy("user_id").agg(max("sec").as("m"))
+      assert(join.join(maxTs, "user_id").filter(col("sec") =!= col("m")).count() == 0)
+    }
+  }
+
+  test("topKPlusOther preserves the grand total and emits ≤ k+1 rows") {
+    samples(Gen.nonEmptyListOf(Gen.choose(0.0, 1000.0)), 8).foreach { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toString, v) }
+        .toDF("bucket", "rev")
+      val out = TopK.topKPlusOther(df, "bucket", "rev", 7)
+      assert(out.count() <= 8)
+      val got = out.agg(sum("rev")).as[Double].head()
+      assert(math.abs(got - vs.sum) < 1e-6 * math.max(1.0, vs.sum.abs))
+    }
+  }
+
+  test("inclusiveDayRange ≡ [start 00:00, end+1day 00:00)") {
+    val base = 1704067200L // 2024-01-01 00:00:00 UTC
+    samples(Gen.listOfN(40, Gen.choose(0L, 40L * 86400)), 8).foreach { secs =>
+      val df = secs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "off")
+        .withColumn("ts", timestamp_seconds(col("off") + lit(base)).cast("timestamp_ntz"))
+      val a = df.filter(History.inclusiveDayRange(col("ts"), "2024-01-10", "2024-01-20"))
+        .select("id").as[Long].collect().toSet
+      val b = df.filter(col("ts") >= to_timestamp_ntz(lit("2024-01-10 00:00:00")) &&
+          col("ts") < to_timestamp_ntz(lit("2024-01-21 00:00:00")))
+        .select("id").as[Long].collect().toSet
+      assert(a == b)
+    }
+  }
+}

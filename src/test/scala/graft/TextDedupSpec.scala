@@ -1,0 +1,86 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.text.Text
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("norm collapses whitespace and case; fingerprint is stable on it") {
+    val d = docs((1L, "  Hello   World "), (2L, "hello world"), (3L, "hello  worlds"))
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(d(1L) == d(2L))
+    assert(d(1L) != d(3L))
+  }
+
+  test("shingles: short doc yields one whole-doc shingle") {
+    val sh = docs((1L, "one two"))
+      .select(Text.shingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(sh == Seq("one two"))
+  }
+
+  test("shingles: n-token window with duplicates preserved") {
+    val sh = docs((1L, "a b c d"))
+      .select(Text.shingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d"))
+  }
+
+  test("exactDups groups identical normalized content") {
+    val out = Dedup.exactDups(
+      docs((1L, "same text"), (2L, "Same   TEXT"), (3L, "different")),
+      "doc_id", "text")
+    val byId = out.select("doc_id", "canonical_id", "is_dup")
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byId(1L) == (1L, 0))
+    assert(byId(2L) == (1L, 1))
+    assert(byId(3L) == (3L, 0))
+  }
+
+  test("minhash LSH finds a constructed near-dup and skips unrelated docs") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" ")
+    val unrelated = (100 to 140).map(i => s"zzz$i").mkString(" ")
+    val out = Dedup.minhashNearDups(
+      docs((1L, base), (2L, nearDup), (3L, unrelated)), "doc_id", "text",
+      shingleLen = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs get hamming 0; near-dups small distance") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val out = Dedup.simhashNearDups(
+      docs((1L, base), (2L, base)).withColumn("src", lit("s")),
+      "doc_id", "text", "src", maxHamming = 0)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("langId picks the marker-dominant language, 'und' when none") {
+    val out = docs(
+      (1L, "the cat and the dog is here"),
+      (2L, "der hund und die katze ist das"),
+      (3L, "xyzzy qwerty"))
+      .select(col("doc_id"), Text.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "und")
+  }
+
+  test("quality score penalizes repetition and punctuation") {
+    val clean = (1 to 100).map(i => s"word$i").mkString(" ")
+    val repetitive = Seq.fill(100)("word").mkString(" ")
+    val out = docs((1L, clean), (2L, repetitive))
+      .select(col("doc_id"), Text.qualityScore(col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) > 0.9)
+    assert(out(2L) < 0.1)
+  }
+}
