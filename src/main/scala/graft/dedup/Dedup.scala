@@ -32,27 +32,39 @@ object Dedup {
       .withColumn("is_dup", (col(idCol) =!= col("canonical_id")).cast("int"))
   }
 
-  /** MinHash signature columns h0..h{numHashes-1}: per seed i, the min over
-    * the doc's distinct shingles of md5("<i>:" + shingle). Exploded +
-    * min-aggregated (map-side partial min → one shuffle). */
+  /** Kirsch–Mitzenmacher modulus for derived minhash functions. */
+  val KMod = 1000000007L
+
+  /** MinHash signature columns h0..h{numHashes-1}: ONE md5 per distinct
+    * shingle split into two 60-bit halves (h1, h2), then hash family
+    * g_i = h1 + i·(h2 mod KMod) — the Kirsch–Mitzenmacher construction,
+    * so the md5 cost does not multiply with the signature width. Exploded
+    * + min-aggregated (map-side partial min → one shuffle of (doc, h1,
+    * h2) pairs). All arithmetic stays inside int64 → exact in any engine. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int, numHashes: Int): DataFrame = {
     val sh = docs
       .select(col(idCol), explode(Text.shingleSet(col(textCol), shingleLen)).as("sh"))
+      .select(col(idCol), md5(col("sh")).as("m"))
+      .select(col(idCol),
+        conv(substring(col("m"), 1, 15), 16, 10).cast("long").as("h1"),
+        (conv(substring(col("m"), 17, 15), 16, 10).cast("long") % KMod).as("h2"))
     val aggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"h$i"))
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band keys: (band_idx, band_key) rows, band_key = md5 of the
-    * concatenated row hashes in the band. */
+    * concatenated row hashes in the band. One generator pass (explode of
+    * per-band structs) — a union of per-band selects would re-run the
+    * whole upstream MinHash aggregation once per band. */
   def lshBands(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandRows = (0 until bands).map { b =>
+    val bandStructs = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
-      sigs.select(col(idCol), lit(b).as("band_idx"),
-        md5(concat_ws("|", cols: _*)).as("band_key"))
+      struct(lit(b).as("band_idx"), md5(concat_ws("|", cols: _*)).as("band_key"))
     }
-    bandRows.reduce(_ unionByName _)
+    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("__b"))
+      .select(col(idCol), col("__b.band_idx"), col("__b.band_key"))
   }
 
   /** Candidate pairs (a < b) sharing at least one LSH band. */
@@ -65,11 +77,15 @@ object Dedup {
   }
 
   /** Exact Jaccard over distinct word-ngram shingle sets for given
-    * (id_a, id_b) candidate pairs. */
+    * (id_a, id_b) candidate pairs. Shingle sets are only materialized for
+    * docs that actually appear in a pair (semi-join pruning — candidates
+    * are a vanishing fraction of the corpus after LSH). */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, shingleLen: Int): DataFrame = {
-    val sets = docs.select(col(idCol),
-      Text.shingleSet(col(textCol), shingleLen).as("sh"))
+    val ids = pairs.select(col("id_a").as(idCol))
+      .unionByName(pairs.select(col("id_b").as(idCol))).distinct()
+    val sets = docs.join(broadcast(ids), Seq(idCol), "left_semi")
+      .select(col(idCol), Text.shingleSet(col(textCol), shingleLen).as("sh"))
     val sa = sets.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val sb = sets.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
     pairs.join(sa, "id_a").join(sb, "id_b")
@@ -80,6 +96,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Probe-vs-corpus n-gram Jaccard via an INVERTED INDEX instead of a
+    * quadratic pairwise array-intersect: explode probe and corpus shingle
+    * sets, equi-join on the shingle, count matches per (id_a, id_b) —
+    * that count IS |A∩B| because the sets are distinct. Pairs sharing no
+    * shingle never materialize, which is what makes this the 100 TB shape
+    * (work ∝ matching postings, not |probes|×|corpus|).
+    * Emits pairs with jaccard >= minJ (> 0 required: zero-overlap pairs
+    * don't exist in the index by construction). */
+  def jaccardProbeAll(docs: DataFrame, idCol: String, textCol: String,
+                      shingleLen: Int, probeMax: Long, minJ: Double): DataFrame = {
+    // The posting list (doc, shingle) feeds three consumers (probe side,
+    // corpus side, per-doc sizes); persist so the text→shingle pipeline
+    // runs once. At warehouse scale this materialization IS the inverted
+    // index you would keep as a table.
+    val post = docs.select(col(idCol),
+        explode(Text.shingleSet(col(textCol), shingleLen)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = post.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val probePost = post.filter(col(idCol) < probeMax)
+      .select(col(idCol).as("id_a"), col("sh"))
+    val corpusPost = post.select(col(idCol).as("id_b"), col("sh"))
+    val inter = corpusPost.join(broadcast(probePost), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.filter(col(idCol) < probeMax)
+        .select(col(idCol).as("id_a"), col("sz").as("sz_a"))), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard", round(
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .filter(col("jaccard") >= minJ)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → bucket
     * self-join → exact-Jaccard verify → threshold. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
@@ -87,7 +137,11 @@ object Dedup {
                       bands: Int = 4, threshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = minhashSignatures(docs, idCol, textCol, shingleLen, numHashes)
-    val cands = lshCandidates(lshBands(sigs, idCol, bands, rowsPerBand), idCol)
+    // persist: the bucket self-join reads the band table twice, and
+    // without it the whole shingle→md5→min pipeline runs once per side.
+    val bandDf = lshBands(sigs, idCol, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidates(bandDf, idCol)
     jaccardVerify(cands, docs, idCol, textCol, shingleLen)
       .filter(col("jaccard") >= threshold)
   }

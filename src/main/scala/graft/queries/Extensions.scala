@@ -81,15 +81,13 @@ object Extensions {
         .orderBy(col("id_a").asc, col("id_b").asc)
     }),
 
-    // Probe-limited exact n-gram Jaccard (brute-force verifier; the probe
-    // set keeps the cross product bounded while staying oracle-checkable).
+    // Probe-vs-corpus exact n-gram Jaccard via inverted shingle index
+    // (graft.dedup.Dedup.jaccardProbeAll) — same results as the pairwise
+    // definition the oracle states, minus never-materialized 0-overlap
+    // pairs (threshold > 0 makes that a pure optimization).
     "q_ngram_jaccard" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val cands = docs.filter(col("doc_id") < 20).select(col("doc_id").as("id_a"))
-        .crossJoin(docs.select(col("doc_id").as("id_b")))
-        .filter(col("id_a") < col("id_b"))
-      Dedup.jaccardVerify(cands, docs, "doc_id", "text", ShingleLen)
-        .filter(col("jaccard") >= 0.03)
+      Dedup.jaccardProbeAll(Tables.documents(s, dir), "doc_id", "text",
+          ShingleLen, probeMax = 20, minJ = 0.03)
         .orderBy(col("id_a").asc, col("id_b").asc)
     }),
 
@@ -118,7 +116,7 @@ object Extensions {
     // brute force is asserted in AnnSpec).
     "q_embed_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, dim = 64, k = 5,
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
           numPlanes = 4, numTables = 8)
         .orderBy(col("probe_id").asc, col("rank").asc)
     }),
@@ -140,7 +138,7 @@ object Extensions {
   // ---- oracle SQL -------------------------------------------------------
 
   private val minhashSigCols = (0 until NumHashes)
-    .map(i => s"min(md5('$i:' || sh)) AS h$i").mkString(",\n    ")
+    .map(i => s"min(h1 + $i * h2) AS h$i").mkString(",\n    ")
   private val bandSelects = (0 until Bands).map { b =>
     val cols = (b * (NumHashes / Bands) until (b + 1) * (NumHashes / Bands))
       .map(i => s"h$i").mkString(" || '|' || ")
@@ -205,10 +203,15 @@ object Extensions {
       s"""WITH sh AS (
          |  SELECT DISTINCT doc_id, unnest(${sqlShingleSet("text", ShingleLen)}) AS sh
          |  FROM documents),
+         |hm AS (SELECT doc_id, md5(sh) AS m FROM sh),
+         |hh AS (SELECT doc_id,
+         |    ('0x' || substr(m, 1, 15))::BIGINT AS h1,
+         |    (('0x' || substr(m, 17, 15))::BIGINT % ${Dedup.KMod}) AS h2
+         |  FROM hm),
          |sigs AS (
          |  SELECT doc_id,
          |    $minhashSigCols
-         |  FROM sh GROUP BY doc_id),
+         |  FROM hh GROUP BY doc_id),
          |bands AS (
          |  $bandSelects),
          |cands AS (

@@ -27,8 +27,19 @@ object Similarity {
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** cosine(a,b) = dot / (||a|| * ||b||). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  /** cosine via built-in higher-order functions — the reference
+    * formulation the custom expression must match bit-for-bit (asserted
+    * in SimilaritySpec). Allocates a zipped array per row; use `cosine`. */
+  def cosineFold(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** cosine(a,b) as a native codegen'd Catalyst expression: one primitive
+    * loop, no intermediate array, same sequential double arithmetic
+    * (graft.functions.CosineSimilarity). */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.CosineSimilarity(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
 
   /** Brute-force cosine top-k: for each probe vector, the k nearest corpus
     * vectors (excluding itself when ids collide). Ranking uses the cosine
@@ -61,22 +72,12 @@ object Similarity {
       .select(col(blockCol), col("id_a"), col("id_b"), col("cos"))
   }
 
-  /** Deterministic ±1 hyperplane weight for (table t, plane p, dim i):
-    * sign of bit 0 of md5("t:p:i"). Pure expression — no RNG state, so
-    * every executor and every re-run builds identical planes. */
-  private def planeWeight(t: Int, p: Int, i: Int): Column =
-    when(conv(substring(md5(lit(s"$t:$p:$i")), 1, 1), 16, 10).cast("int")
-      .bitwiseAND(lit(1)) === 1, lit(1.0)).otherwise(lit(-1.0))
-
-  /** LSH bucket signature for one table: `numPlanes` sign bits packed
-    * into a long. */
-  def lshBucket(vecCol: Column, dim: Int, numPlanes: Int, table: Int = 0): Column =
-    (0 until numPlanes).map { p =>
-      val proj = (0 until dim).map(i =>
-        element_at(vecCol, i + 1).cast("double") * planeWeight(table, p, i))
-        .reduce(_ + _)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** Multi-table LSH signature column: array<long>, one sign-bucket per
+    * table (native codegen expression, graft.functions.LshSignatures). */
+  def lshSignatures(vecCol: Column, numPlanes: Int, numTables: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.LshSignatures(
+        org.apache.spark.sql.graft.Bridge.expression(vecCol), numPlanes, numTables))
 
   /** ANN top-k via multi-table random-hyperplane LSH: `numTables`
     * independent sign-bucket tables; candidates = corpus vectors sharing
@@ -88,14 +89,13 @@ object Similarity {
     * a probe touches ~numTables × |corpus| / 2^numPlanes candidates
     * instead of |corpus|. Recall vs `bruteForceTopK` is asserted in the
     * test suite. */
-  def lshTopK(probes: DataFrame, corpus: DataFrame, dim: Int, k: Int,
+  def lshTopK(probes: DataFrame, corpus: DataFrame, k: Int,
               numPlanes: Int = 4, numTables: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     def withBuckets(df: DataFrame, id: String, v: String) =
-      (0 until numTables).map { t =>
-        df.select(col(idCol).as(id), col(vecCol).as(v),
-          lit(t).as("t"), lshBucket(col(vecCol), dim, numPlanes, t).as("bucket"))
-      }.reduce(_ unionByName _)
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+          posexplode(lshSignatures(col(vecCol), numPlanes, numTables))
+            .as(Seq("t", "bucket")))
     val p = withBuckets(probes, "probe_id", "pv")
     val c = withBuckets(corpus, "neighbor_id", "cv")
     val cands = broadcast(p).join(c, Seq("t", "bucket"))

@@ -34,16 +34,20 @@ object Text {
     size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
   /** Word n-gram shingles (with duplicates) of the normalized text.
-    * Short docs (< n tokens) yield one whole-doc shingle. */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    transform(
-      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
-  }
+    * Short docs (< n tokens) yield one whole-doc shingle. Native
+    * single-scan expression (graft.functions.WordShingles) — the
+    * transform(sequence)+slice+concat_ws formulation allocates a token
+    * array plus a string per position and dominated the dedup pipelines. */
+  def shingles(c: Column, n: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.graft.Bridge.expression(norm(c)), n, distinct = false))
 
   /** Distinct shingle set (order-insensitive use only). */
-  def shingleSet(c: Column, n: Int): Column = array_distinct(shingles(c, n))
+  def shingleSet(c: Column, n: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.WordShingles(
+        org.apache.spark.sql.graft.Bridge.expression(norm(c)), n, distinct = true))
 
   /** Canonical content fingerprint: md5 of the normalized text — the key
     * for exact dedup at any scale (hash-groupBy; identical in DuckDB). */

@@ -7,6 +7,20 @@ import org.apache.spark.sql.functions._
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("native CosineSimilarity expression is bit-identical to the " +
+    "zip_with/aggregate fold on real embeddings") {
+    val emb = Tables.embeddings(spark, sf0001).limit(50)
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val pairs = a.crossJoin(b).filter(col("ia") < col("ib"))
+    val diffs = pairs.select(
+        Similarity.cosine(col("va"), col("vb")).as("native"),
+        Similarity.cosineFold(col("va"), col("vb")).as("fold"))
+      .filter(col("native") =!= col("fold")) // bitwise: no tolerance
+      .count()
+    assert(diffs == 0)
+  }
+
   test("cosine: identical vectors → 1, orthogonal → 0, opposite → -1") {
     val df = Seq(
       (1L, Seq(1f, 0f), Seq(1f, 0f)),
@@ -37,7 +51,7 @@ class SimilaritySpec extends SparkSpec {
     val probes = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(probes, emb, 5)
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val approx = Similarity.lshTopK(probes, emb, dim = 64, k = 5,
+    val approx = Similarity.lshTopK(probes, emb, k = 5,
         numPlanes = 4, numTables = 8)
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & approx).size.toDouble / exact.size
