@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+
+/** Plan-shape assertions: the physical plans the 100 TB design depends on
+  * must actually be chosen — filters reach the parquet scan, small dims
+  * broadcast, top-K compiles to TakeOrderedAndProject, aggregates are
+  * partial+final, latest-per-key window is a single shuffle. A correctness
+  * pass with the wrong plan is a regression at scale; these tests pin the
+  * plan. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = {
+    df.count() // finalize AQE so codegen spans / final join choices appear
+    val qe: QueryExecution = df.queryExecution
+    qe.executedPlan.toString()
+  }
+
+  test("q_history pushes both ts bounds (ns domain, via NanosPushdown) " +
+    "and the key filter into the scan") {
+    val p = plan(SparkEntry.queries("q_history")(spark, sf0001))
+    assert(p.contains("PushedFilters:"), p.take(400))
+    // filters must be rewritten to the raw long ns column (18-digit epochs)
+    assert("ts#\\d+L? >= \\d{15,}".r.findFirstIn(p).isDefined,
+      "ts lower bound not in ns domain")
+    assert("ts#\\d+L? < \\d{15,}".r.findFirstIn(p).isDefined,
+      "ts upper bound not in ns domain")
+    assert(p.contains("EqualTo(user_id,7"), "key filter not pushed")
+    assert(p.contains("GreaterThanOrEqual(ts,"), "ts bound not in PushedFilters")
+  }
+
+  test("q_history scan reads only the projected columns") {
+    val p = plan(SparkEntry.queries("q_history")(spark, sf0001))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props"), s"props not pruned: $readSchema")
+    assert(!readSchema.contains("user_id") || readSchema.contains("event_id"))
+  }
+
+  test("q_join_dim broadcasts both dimension tables") {
+    val p = plan(SparkEntry.queries("q_join_dim")(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(400))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_latest builds the latest-per-key join with a broadcast of (key, max_ts)") {
+    val p = plan(SparkEntry.queries("q_latest")(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q1_agg is a partial+final hash aggregate (map-side combine)") {
+    val p = plan(SparkEntry.queries("q1_agg")(spark, sf0001))
+    assert(p.contains("HashAggregate"))
+    assert("partial_sum|partial_count|isEmpty".r.findFirstIn(p).isDefined ||
+      "HashAggregate".r.findAllIn(p).size >= 2, p.take(600))
+  }
+
+  test("top-K compiles to TakeOrderedAndProject, not a global sort") {
+    import org.apache.spark.sql.functions._
+    val top = Tables.orders(spark, sf0001)
+      .orderBy(col("o_totalprice").desc).limit(7)
+    assert(plan(top).contains("TakeOrderedAndProject"))
+  }
+
+  test("semi/anti joins plan as join types, not subquery re-scans") {
+    val semi = plan(SparkEntry.queries("q_semi_join")(spark, sf0001))
+    val anti = plan(SparkEntry.queries("q_anti_join")(spark, sf0001))
+    assert(semi.contains("LeftSemi"), semi.take(300))
+    assert(anti.contains("LeftAnti"), anti.take(300))
+  }
+
+  test("whole-stage codegen covers the q1_agg pipeline") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("q1_agg")(spark, sf0001)
+    df.collect()
+    val ep = df.queryExecution.executedPlan
+    val finalPlan = ep match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    // codegen spans render as "*(n)" prefixes; the scan→filter→project→
+    // partial-agg pipeline must share one span (*(1) appears on each)
+    val spans = "\\*\\(\\d+\\)".r.findAllIn(finalPlan.toString).toSet
+    assert(spans.size >= 2, finalPlan.toString.take(600))
+  }
+}
