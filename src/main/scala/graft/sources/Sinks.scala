@@ -1,0 +1,24 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sinks (SURVEY.md §2.1 S2/S4). The reference appends every tick into an
+  * unpartitioned PG table and re-scans it per query — the §7.4.7 trap:
+  * unbounded growth with no pruning. The 100 TB layout is date-partitioned
+  * parquet: the latest-snapshot and history queries then prune to the
+  * partitions their time filters select instead of scanning the full log.
+  */
+object Sinks {
+
+  /** Append a batch into a date-partitioned parquet layout (partition
+    * column derived from the event timestamp). Appends are idempotent at
+    * the file level for re-run batches when callers pass a deterministic
+    * batch id path; streaming exactly-once uses foreachBatch + checkpoint
+    * (graft.streaming.Streams). */
+  def appendDatePartitioned(df: DataFrame, path: String, tsCol: String): Unit =
+    df.withColumn("event_date", col(tsCol).cast("date"))
+      .write.mode("append")
+      .partitionBy("event_date")
+      .parquet(path)
+}

@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Batch/stream sources (SURVEY.md §2.1). The reference's S1 is a REST
+  * fetch of a JSON array of quote objects (`etl/crypto_etl.py:15-52`);
+  * network egress doesn't exist here, so the source surface is the parse:
+  * payload string → typed rows, with the same tolerant-projection
+  * semantics (extra JSON fields ignored, missing fields null — the
+  * validation filter downstream drops them, graft.ops.Ingest).
+  */
+object Sources {
+
+  /** The five projected quote fields (etl/crypto_etl.py:88-92). */
+  val quoteSchema: StructType = StructType(Seq(
+    StructField("symbol", StringType),
+    StructField("name", StringType),
+    StructField("current_price", DoubleType),
+    StructField("market_cap", DoubleType),
+    StructField("total_volume", DoubleType)))
+
+  /** Parse one fetched payload (a JSON array of quote objects) into rows.
+    * `from_json` + explode — the schema projects away every extra field
+    * the upstream API sends. */
+  def quotesFromJsonPayload(spark: SparkSession, payload: String): DataFrame = {
+    import spark.implicits._
+    Seq(payload).toDF("payload")
+      .select(explode(from_json(col("payload"), ArrayType(quoteSchema))).as("q"))
+      .select("q.*")
+  }
+
+  /** Same parse as a reusable column transform for streaming frames whose
+    * `value` column carries one payload per micro-batch record. */
+  def quotesFromPayloadColumn(df: DataFrame, payloadCol: String): DataFrame =
+    df.select(explode(from_json(col(payloadCol), ArrayType(quoteSchema))).as("q"))
+      .select("q.*")
+}
