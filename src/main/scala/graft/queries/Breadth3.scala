@@ -44,6 +44,20 @@ object Breadth3 {
         .orderBy(col("o_orderpriority").asc, col("oday").asc, col("o_orderkey").asc)
     }),
 
+    // GROUPING SETS through the SQL frontend (the DataFrame API only
+    // exposes rollup/cube; arbitrary sets go through spark.sql over a
+    // registered view — also exercises the SQL entry path end to end).
+    "q_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          |  coalesce(l_linestatus, 'ALL') AS ls,
+          |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+          |FROM lineitem_v
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY rf, ls""".stripMargin)
+    }),
+
     // Corpus minus verified near-dups: every document except the HIGHER
     // doc_id of each confirmed pair — the apply step of MinHash dedup.
     "q_dedup_apply" -> ((s, dir) => {
@@ -96,6 +110,14 @@ object Breadth3 {
         |  ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)), o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderpriority, oday, o_orderkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY rf, ls""".stripMargin,
 
     "q_dedup_apply" ->
       s"""SELECT doc_id, lang, n_chars FROM documents

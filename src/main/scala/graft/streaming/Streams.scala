@@ -1,10 +1,17 @@
 package graft.streaming
 
 import graft.ops.Latest
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
+
+/** Row shape shared by the typed stateful operators. */
+case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                    event_type: String, value: Double, props: String)
+
+/** Per-key state of the incremental latest-snapshot operator. */
+case class LatestState(maxTsMicros: Long, eventId: Long, value: Double)
 
 /** Structured Streaming layer. The reference is a hand-rolled micro-batch
   * pipeline — fetch every 300 s, append one batch-stamped tick, notify,
@@ -66,6 +73,44 @@ object Streams {
     Latest.latestPerKeyWindow(accumulated, Seq("user_id"),
         col("ts").desc, col("event_id").desc)
       .orderBy(col("value").desc_nulls_last, col("user_id").asc)
+
+  /** Streaming sessionization: event-time session windows with a gap
+    * timeout; watermark bounds the open-session state and closes sessions
+    * for append-mode emission. Batch twin: graft.ops.Sessionize. */
+  def streamingSessions(df: DataFrame, gap: String, delay: String): DataFrame =
+    df.withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Incremental latest-per-key via explicit keyed state
+    * (flatMapGroupsWithState) — the §7.4.4 alternative to per-tick
+    * recomputation: state is ONE row per key (bounded by |keys|, not by
+    * history), and a micro-batch emits only keys whose latest row
+    * changed — exactly the delta the reference's WS broadcast needs. */
+  def incrementalLatest(ds: Dataset[EventRow]): Dataset[(Long, Long, Double)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[EventRow], state: GroupState[LatestState]) =>
+          val incoming = events.maxByOption(e => (e.ts.getTime, e.event_id))
+          val current = state.getOption
+          incoming match {
+            case Some(e) =>
+              val cand = LatestState(e.ts.getTime * 1000, e.event_id, e.value)
+              val newer = current.forall(c =>
+                cand.maxTsMicros > c.maxTsMicros ||
+                  (cand.maxTsMicros == c.maxTsMicros && cand.eventId > c.eventId))
+              if (newer) {
+                state.update(cand)
+                Iterator((user, cand.eventId, cand.value))
+              } else Iterator.empty
+            case None => Iterator.empty
+          }
+      }
+  }
 
   /** The reference's full tick, as one streaming query: append each
     * micro-batch to `storePath` (parquet), recompute the latest snapshot,

@@ -44,6 +44,57 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.subsetOf(batchTwin), s"stream=$streamed batch=$batchTwin")
   }
 
+  test("streamingSessions closes gap-separated sessions once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.streamingSessions(mem.toDF(), "10 minutes", "1 minute")
+      .writeStream.format("memory").queryName("ss_out")
+      .outputMode("append").start()
+    // user 1: events at :00 and :05 (one session), then :30 (new session)
+    mem.addData(ev(1, 0, 1, "click", 1.0), ev(2, 5, 1, "click", 2.0))
+    q.processAllAvailable()
+    mem.addData(ev(3, 30, 1, "click", 4.0))
+    q.processAllAvailable()
+    // push watermark far ahead so the :30 session also closes
+    mem.addData(ev(4, 59, 2, "view", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ss_out")
+      .select("user_id", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out.contains((1L, 2L, 3.0)), s"first session missing: $out")
+    assert(out.contains((1L, 1L, 4.0)), s"second session missing: $out")
+  }
+
+  test("incrementalLatest keeps one state row per key and emits only changed keys") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventRow
+    val mem = MemoryStream[EventRow]
+    val q = Streams.incrementalLatest(mem.toDS())
+      .toDF("user_id", "event_id", "value")
+      .writeStream.format("memory").queryName("il_out")
+      .outputMode("update").start()
+    def er(id: Long, minute: Int, user: Long, v: Double) =
+      EventRow(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), user, "click", v, "{}")
+    mem.addData(er(1, 5, 1, 1.0), er(2, 3, 1, 0.5), er(3, 1, 2, 7.0))
+    q.processAllAvailable()
+    val afterBatch1 = spark.table("il_out")
+      .as[(Long, Long, Double)].collect().toSet
+    // per key, only the max-ts row of the batch is emitted
+    assert(afterBatch1 == Set((1L, 1L, 1.0), (2L, 3L, 7.0)))
+    mem.addData(er(4, 2, 1, 9.9)) // OLDER than user 1's state → no emission
+    q.processAllAvailable()
+    val afterBatch2 = spark.table("il_out")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(afterBatch2 == afterBatch1, "stale event must not change the snapshot")
+    mem.addData(er(5, 30, 1, 2.5)) // newer → user 1 re-emitted
+    q.processAllAvailable()
+    q.stop()
+    val afterBatch3 = spark.table("il_out")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(afterBatch3.contains((1L, 5L, 2.5)))
+  }
+
   test("dedupWithinWatermark drops re-deliveries of the same (user,event)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
