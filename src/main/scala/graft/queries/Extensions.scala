@@ -121,6 +121,18 @@ object Extensions {
         .orderBy(col("probe_id").asc, col("rank").asc)
     }),
 
+    // IVF ANN (deterministic Lloyd-trained cells, nProbe search; no SQL
+    // oracle — recall vs brute force pinned in SimilaritySpec).
+    "q_embed_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val centroids = graft.sim.Ivf.trainCentroids(emb, k = 16, iters = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val index = graft.sim.Ivf.buildIndex(emb, centroids)
+      graft.sim.Ivf.ivfTopK(emb.filter(col("vec_id") < 10), index, centroids,
+          nProbe = 4, k = 5)
+        .orderBy(col("probe_id").asc, col("rank").asc)
+    }),
+
     // ---- multimodal (stub decode, real plumbing; no SQL oracle —
     // deterministic synthetic blobs, semantics pinned in MultimodalSpec).
     "q_media_meta" -> ((s, _) => {

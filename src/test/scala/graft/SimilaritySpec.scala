@@ -1,7 +1,7 @@
 package graft
 
 import graft.Tables
-import graft.sim.Similarity
+import graft.sim.{Ivf, Similarity}
 import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpec {
@@ -44,6 +44,19 @@ class SimilaritySpec extends SparkSpec {
       .select("rank", "neighbor_id").as[(Int, Long)].collect().toMap
     assert(out(1) == 10L)
     assert(out(2) == 11L)
+  }
+
+  test("IVF ANN achieves recall >= 0.5 vs brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val probes = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(probes, emb, 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val centroids = Ivf.trainCentroids(emb, k = 16, iters = 2)
+    val index = Ivf.buildIndex(emb, centroids)
+    val approx = Ivf.ivfTopK(probes, index, centroids, nProbe = 4, k = 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
   }
 
   test("LSH ANN achieves recall >= 0.6 vs brute force on real embeddings") {
