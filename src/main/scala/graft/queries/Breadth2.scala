@@ -86,8 +86,33 @@ object Breadth2 {
           lpad(col("c_custkey").cast("string"), 8, "0").as("key_padded"),
           instr(col("c_name"), "#").as("hash_pos"),
           split(col("c_name"), "#").getItem(1).as("key_digits"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("key_match"),
           length(col("c_name")).as("name_len"))
         .orderBy(col("c_custkey").asc)
+    }),
+
+    // Value-distribution histogram (fixed-width bins — the profiling op
+    // a pipeline runs before choosing quality-filter thresholds).
+    "q_histogram" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("bin", floor(col("value") / 25.0).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("bin_avg"))
+        .orderBy(col("bin").asc)
+    }),
+
+    // Column profile: nulls / distincts / bounds in one pass per table —
+    // the schema-health check before any large ingest.
+    "q_profile" -> ((s, dir) => {
+      Tables.orders(s, dir).agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("d_custkey"),
+          countDistinct(col("o_orderstatus")).as("d_status"),
+          sum(when(col("o_totalprice").isNull, 1).otherwise(0)).as("null_price"),
+          round(min("o_totalprice"), 2).as("min_price"),
+          round(max("o_totalprice"), 2).as("max_price"),
+          min("o_orderdate").as("min_date"),
+          max("o_orderdate").as("max_date"))
     }),
 
     // HLL sketch (engine-specific estimate → rows-only check here; the
@@ -156,6 +181,22 @@ object Breadth2 {
         |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
         |  CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
         |  split_part(c_name, '#', 2) AS key_digits,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS key_match,
         |  CAST(length(c_name) AS INTEGER) AS name_len
-        |FROM customer ORDER BY c_custkey""".stripMargin)
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+        |  count(*) AS n, round(avg(value), 4) AS bin_avg
+        |FROM events GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT o_custkey) AS d_custkey,
+        |  count(DISTINCT o_orderstatus) AS d_status,
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_price,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price,
+        |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+        |FROM orders""".stripMargin)
 }
