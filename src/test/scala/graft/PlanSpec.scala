@@ -69,6 +69,25 @@ class PlanSpec extends SparkSpec {
     assert(anti.contains("LeftAnti"), anti.take(300))
   }
 
+  test("q_asof does one key shuffle for the window — no per-probe join") {
+    val df = SparkEntry.queries("q_asof")(spark, sf0001)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    val keyShuffles = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(keyShuffles <= 2, s"$keyShuffles key shuffles:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      "probe grid must come from a broadcast cross join, not a cartesian shuffle")
+  }
+
+  test("q_topk_other plans TakeOrderedAndProject + broadcast anti-join") {
+    val df = SparkEntry.queries("q_topk_other")(spark, sf0001)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+    assert(p.contains("LeftAnti"), p.take(500))
+    assert(!p.contains("SortMergeJoin"), "anti join must broadcast the K rows")
+  }
+
   test("whole-stage codegen covers the q1_agg pipeline") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = SparkEntry.queries("q1_agg")(spark, sf0001)

@@ -110,6 +110,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dd_out").count() == 2)
   }
 
+  test("checkpoint recovery: a restarted file-source query resumes exactly " +
+    "once (no reprocessing, no loss) — §2.9 fault handling") {
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("graft_src").toString
+    val ckpt = Files.createTempDirectory("graft_ck").toString
+    val outDir = Files.createTempDirectory("graft_out").toString
+    def writeBatch(ids: Range): Unit =
+      ids.map(i => Ev(i, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", i, "{}"))
+        .toDF().write.mode("append").parquet(srcDir)
+    writeBatch(1 to 5)
+    def start() = spark.readStream.schema(Streams.eventSchema
+        .copy(fields = Streams.eventSchema.fields.map(f =>
+          if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.TimestampType) else f)))
+      .parquet(srcDir)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .start()
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(outDir).count() == 5)
+    writeBatch(6 to 8)
+    val q2 = start(); q2.processAllAvailable(); q2.stop() // restart from ckpt
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 8, "restart must process only the new file")
+    assert(out.select("event_id").distinct().count() == 8)
+  }
+
   test("snapshot stream: foreachBatch appends + recomputes latest-per-key " +
     "and invokes the broadcast seam per tick") {
     implicit val sqlCtx = spark.sqlContext
