@@ -29,27 +29,45 @@ object Multimodal {
 
   /** Deterministic synthetic media: a 16-byte header
     * [magic:2][kindCode:1][width:2][height:2][nFrames:2][sampleRate:4][pad:3]
-    * + a payload whose bytes derive from media_id. Stands in for real
+    * + a payload derived from media_id MOD 100 — so corpora larger than
+    * 100 contain exact payload duplicates under distinct headers, the
+    * shape binary dedup has to handle. Stands in for real
     * image/audio/video blobs. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
       val id = i
+      val seed = id % 100 // payload identity — duplicated every 100 ids
       val kindCode = (id % 3).toInt // 0=image, 1=audio, 2=video
       val kind = Seq("image", "audio", "video")(kindCode)
       val width = 64 + (id % 8).toInt * 32
       val height = 64 + (id % 5).toInt * 32
       val nFrames = if (kindCode == 2) 24 + (id % 10).toInt * 12 else 1
       val sampleRate = if (kindCode == 1) 16000 else 0
-      val payloadLen = 128 + (id % 7).toInt * 64
+      val payloadLen = 128 + (seed % 7).toInt * 64
       val buf = java.nio.ByteBuffer.allocate(16 + payloadLen)
       buf.putShort(Magic.toShort).put(kindCode.toByte)
         .putShort(width.toShort).putShort(height.toShort)
         .putShort(nFrames.toShort).putInt(sampleRate)
         .put(Array[Byte](0, 0, 0))
-      (0 until payloadLen).foreach(j => buf.put(((id * 31 + j * 7) % 251).toByte))
+      (0 until payloadLen).foreach(j => buf.put(((seed * 31 + j * 7) % 251).toByte))
       MediaRow(id, kind, buf.array())
     }
+  }
+
+  /** Binary-payload exact dedup: fingerprint the content bytes (header
+    * excluded — same pixels under different container metadata is still a
+    * duplicate), hash-groupBy, annotate canonical id. The binary twin of
+    * graft.dedup.Dedup.exactDups. */
+  def payloadDedup(media: Dataset[MediaRow]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fp = media.toDF().select(col("media_id"),
+      md5(expr("substring(bytes, 17)")).as("fp"))
+    val canon = fp.groupBy(col("fp"))
+      .agg(min(col("media_id")).as("canonical_id"), count(lit(1)).as("group_size"))
+    fp.join(canon, "fp")
+      .withColumn("is_dup", (col("media_id") =!= col("canonical_id")).cast("int"))
+      .select("media_id", "fp", "canonical_id", "group_size", "is_dup")
   }
 
   /** STUB decode of one blob — parses graft's fake header. A real build

@@ -25,6 +25,23 @@ object Ingest {
     StructField("total_volume", DoubleType, nullable = true),
     StructField("timestamp", TimestampType, nullable = false)))
 
+  /** shapeBatch plus a quarantine channel: rows failing validation are
+    * RETURNED (with a reject reason), not silently dropped — at pipeline
+    * scale the reject rate is a monitored signal and silently vanishing
+    * rows are an incident. One pass; the two frames share the scan. */
+  def shapeBatchWithRejects(raw: DataFrame, batchTs: Timestamp): (DataFrame, DataFrame) = {
+    val reason = when(col("symbol").isNull, "null_symbol")
+      .when(col("name").isNull, "null_name")
+      .when(col("current_price").isNull, "null_price")
+    val tagged = raw
+      .select("symbol", "name", "current_price", "market_cap", "total_volume")
+      .withColumn("__reject", reason)
+    val rejects = tagged.filter(col("__reject").isNotNull)
+      .withColumnRenamed("__reject", "reject_reason")
+    (shapeBatch(tagged.filter(col("__reject").isNull).drop("__reject"), batchTs),
+      rejects)
+  }
+
   /** P1–P5 + P4 batch stamp (SURVEY.md §2.2) over a raw quote batch. */
   def shapeBatch(raw: DataFrame, batchTs: Timestamp): DataFrame =
     raw

@@ -135,6 +135,14 @@ object Extensions {
 
     // ---- multimodal (stub decode, real plumbing; no SQL oracle —
     // deterministic synthetic blobs, semantics pinned in MultimodalSpec).
+    // Binary dedup over media payloads (rows-only; dup-group structure
+    // pinned in MultimodalSpec).
+    "q_media_dedup" -> ((s, _) => {
+      graft.multimodal.Multimodal.payloadDedup(
+          graft.multimodal.Multimodal.syntheticMedia(s, 300))
+        .orderBy(col("media_id").asc)
+    }),
+
     "q_media_meta" -> ((s, _) => {
       val decoded = graft.multimodal.Multimodal.decodeMeta(
         graft.multimodal.Multimodal.syntheticMedia(s, 300))

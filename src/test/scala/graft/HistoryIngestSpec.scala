@@ -19,6 +19,22 @@ class HistoryIngestSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L, 3L)) // off-by-one trap of api/server.js:113-124
   }
 
+  test("shapeBatchWithRejects quarantines invalid rows with reasons") {
+    val raw = Seq(
+      (Some("BTC"), Some("Bitcoin"), Some(1.0)),
+      (None, Some("X"), Some(1.0)),
+      (Some("Y"), None, Some(1.0)),
+      (Some("Z"), Some("Zed"), None)
+    ).toDF("symbol", "name", "current_price")
+      .withColumn("market_cap", lit(null).cast("double"))
+      .withColumn("total_volume", lit(null).cast("double"))
+    val (ok, rejects) = Ingest.shapeBatchWithRejects(raw,
+      Timestamp.valueOf("2024-02-01 00:00:00"))
+    assert(ok.count() == 1)
+    val reasons = rejects.select("reject_reason").as[String].collect().sorted
+    assert(reasons.toSeq == Seq("null_name", "null_price", "null_symbol"))
+  }
+
   test("ingest shaping drops invalid rows, lowercases key, stamps batch ts") {
     val raw = Seq(
       (Some("BTC"), Some("Bitcoin"), Some(50000.0), Some(1e9), Some(2e7)),

@@ -36,6 +36,16 @@ class MultimodalSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("payloadDedup groups identical content bytes across distinct headers") {
+    val out = Multimodal.payloadDedup(Multimodal.syntheticMedia(spark, 250))
+    // ids 100-199 and 200-249 duplicate payload seeds 0-99 / 0-49
+    assert(out.count() == 250)
+    assert(out.filter(col("is_dup") === 1).count() == 150)
+    val g = out.filter(col("media_id") === 137).select("canonical_id")
+      .collect().head.getLong(0)
+    assert(g == 37)
+  }
+
   test("extractFeatures is deterministic and fixed-width") {
     val f1 = Multimodal.extractFeatures(media).as[(Long, Seq[Float])].collect().toMap
     val f2 = Multimodal.extractFeatures(media).as[(Long, Seq[Float])].collect().toMap
