@@ -141,7 +141,9 @@ object Breadth {
           row_number().over(w).as("rn"),
           rank().over(w).as("rnk"),
           dense_rank().over(w).as("drnk"),
-          ntile(4).over(w).as("quartile"))
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cdist"))
         .orderBy(col("c_mktsegment").asc, col("rn").asc)
     }),
 
@@ -252,7 +254,9 @@ object Breadth {
         |  CAST(row_number() OVER w AS INTEGER) AS rn,
         |  CAST(rank() OVER w AS INTEGER) AS rnk,
         |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
-        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cdist
         |FROM customer
         |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
         |ORDER BY c_mktsegment, rn""".stripMargin,

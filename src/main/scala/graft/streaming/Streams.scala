@@ -112,6 +112,27 @@ object Streams {
       }
   }
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * clicks within the preceding `windowSeconds` — both sides watermarked
+    * so the join state is bounded and eventually purged. The attribution
+    * join every event pipeline grows into. */
+  def purchaseAttribution(events: DataFrame, windowSeconds: Long,
+                          delay: String): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", delay)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", delay)
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select("user_id", "purchase_id", "click_id", "p_ts", "c_ts", "purchase_value")
+  }
+
   /** The reference's full tick, as one streaming query: append each
     * micro-batch to `storePath` (parquet), recompute the latest snapshot,
     * hand it to `onSnapshot` (the WS-broadcast seam, S4/S5). Exactly-once:

@@ -110,6 +110,27 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dd_out").count() == 2)
   }
 
+  test("stream-stream interval join attributes purchases to preceding clicks " +
+    "within the window, with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.purchaseAttribution(mem.toDF(), windowSeconds = 600, "1 minute")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    mem.addData(
+      ev(1, 0, 1, "click", 0.0),      // within 10 min of the purchase
+      ev(2, 8, 1, "purchase", 50.0),
+      ev(3, 30, 1, "click", 0.0),     // AFTER the purchase → not attributed
+      ev(4, 5, 2, "click", 0.0))      // different user → not attributed
+    q.processAllAvailable()
+    mem.addData(ev(9, 59, 3, "view", 0.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("attr_out")
+      .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((2L, 1L)), s"got $out")
+  }
+
   test("checkpoint recovery: a restarted file-source query resumes exactly " +
     "once (no reprocessing, no loss) — §2.9 fault handling") {
     import java.nio.file.Files
