@@ -66,6 +66,20 @@ object Extensions {
         .orderBy(col("doc_id").asc)
     }),
 
+    // Winnowing (rolling-hash) fingerprints: k-gram hashes → min per
+    // sliding window → distinct set; order-insensitive aggregates of the
+    // set keep the output scalar for the hash compare.
+    "q_winnow" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("__hs", graft.text.Text.gramHashes(col("text"), k = 8))
+        .withColumn("__fps", graft.text.Text.winnowFromHashes(col("__hs"), w = 8))
+        .select(col("doc_id"),
+          size(col("__fps")).as("n_fps"),
+          array_min(col("__fps")).as("min_fp"),
+          array_max(col("__fps")).as("max_fp"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // Content fingerprint + exact dedup annotation (hash-groupBy — the
     // 100 TB-scale exact-dedup primitive: shuffles 32-byte keys, never text).
     "q_dedup_exact" -> ((s, dir) => {
@@ -210,6 +224,23 @@ object Extensions {
          |  CASE WHEN mx > 0 THEN (CASE $cascade END) ELSE 'und' END AS pred_lang
          |FROM m ORDER BY doc_id""".stripMargin
     },
+
+    "q_winnow" ->
+      s"""WITH t AS (SELECT doc_id, ${sqlNorm("text")} AS s FROM documents),
+         |g AS (SELECT doc_id,
+         |  list_transform(range(1, greatest(length(s) - 7, 1) + 1),
+         |    i -> substr(s, i, 8)) AS grams FROM t),
+         |h AS (SELECT doc_id,
+         |  list_transform(grams, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+         |  FROM g),
+         |f AS (SELECT doc_id, list_distinct(
+         |  list_transform(range(1, greatest(len(hs) - 7, 1) + 1),
+         |    i -> list_aggregate(hs[i:i+7], 'min'))) AS fps FROM h)
+         |SELECT doc_id,
+         |  CAST(len(fps) AS INTEGER) AS n_fps,
+         |  list_aggregate(fps, 'min') AS min_fp,
+         |  list_aggregate(fps, 'max') AS max_fp
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       s"""WITH fp AS (SELECT doc_id, md5(${sqlNorm("text")}) AS fp FROM documents),

@@ -57,6 +57,35 @@ object Text {
     * (DuckDB mirror: `('0x' || substr(md5(t),1,8))::BIGINT`.) */
   def tokenHash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** 60-bit string hash (15 hex chars of md5 — fits int64 in any engine). */
+  def hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Character k-grams of the normalized text, positional (one per start
+    * offset; trailing grams clip at the end, <k-char docs yield one). */
+  def charGrams(c: Column, k: Int): Column = {
+    val s = norm(c)
+    transform(sequence(lit(1), greatest(length(s) - lit(k - 1), lit(1))),
+      i => s.substr(i, lit(k)))
+  }
+
+  /** Per-position gram hashes for winnowing. CAUTION: materialize this
+    * into its own column (withColumn) before windowing over it — inlining
+    * it inside the window transform re-evaluates the whole gram hashing
+    * per window position (O(n²) md5 per document). */
+  def gramHashes(c: Column, k: Int): Column =
+    transform(charGrams(c, k), g => hash60(g))
+
+  /** Winnowing document fingerprints (the MOSS scheme) over an ALREADY
+    * MATERIALIZED gram-hash array column: the MIN hash of each sliding
+    * window of `w` consecutive gram hashes, deduped. Guarantees any
+    * shared substring of length >= k + w - 1 between two docs yields a
+    * shared fingerprint — the rolling-hash fingerprinting primitive for
+    * plagiarism/near-dup detection, over engine-portable md5 hashes. */
+  def winnowFromHashes(hs: Column, w: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(hs) - lit(w - 1), lit(1))),
+      i => array_min(slice(hs, i, lit(w)))))
+
   /** Language marker words. The scorer counts marker hits per language and
     * argmaxes — a (uni)gram heuristic; ties break by language code asc. */
   val langMarkers: Map[String, Seq[String]] = Map(
