@@ -146,6 +146,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Duplicate-cluster assignment from verified near-dup PAIRS: iterative
+    * min-label propagation (each node adopts the smallest id reachable
+    * over the pair graph) until fixpoint — distributed connected
+    * components via joins, the step that turns pairwise dedup output into
+    * "keep one per cluster". Near-dup clusters are overwhelmingly tiny
+    * (diameter 2-3), so the loop converges in a few rounds; `maxIters`
+    * bounds pathological chains. */
+  def clusterIds(allIds: DataFrame, pairs: DataFrame, idCol: String,
+                 maxIters: Int = 10): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = allIds.select(col(idCol), col(idCol).as("cluster_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col(idCol).as("dst"), col("cluster_id").as("nl")), "dst")
+        .groupBy(col("src").as(idCol)).agg(min("nl").as("nmin"))
+      val updated = labels.join(neighborMin, Seq(idCol), "left_outer")
+        .select(col(idCol),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = updated.join(labels.withColumnRenamed("cluster_id", "old"),
+          Seq(idCol))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** 32-bit SimHash over (non-distinct) whitespace tokens: bit j is set
     * when the sum over tokens of ±1 (per the token-hash's bit j) is > 0. */
   def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -36,6 +36,29 @@ object Breadth4 {
         .orderBy(col("user_id").asc)
     }),
 
+    // Correlated scalar subquery through the SQL frontend (Catalyst
+    // decorrelates it into a join — the plan to check, not a per-row
+    // re-scan).
+    "q_scalar_subquery" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT round(max(o_totalprice), 2) FROM orders_v
+          |   WHERE o_custkey = c_custkey) AS max_order
+          |FROM customer_v ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // Generator as query surface: explode the token stream, aggregate
+    // term frequencies (top-20, fully tie-broken).
+    "q_token_freq" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(explode(graft.text.Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .limit(20)
+    }),
+
     // Explicit null ordering: nulls injected deterministically, sorted
     // NULLS FIRST on one key and NULLS LAST on the tiebreak output —
     // Spark and PG/DuckDB defaults differ, so this is pinned explicitly
@@ -68,6 +91,19 @@ object Breadth4 {
         |      FROM events WHERE event_type = 'click' GROUP BY user_id) c
         |ON p.user_id = c.user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT c_custkey,
+        |  (SELECT round(max(o_totalprice), 2) FROM orders
+        |   WHERE o_custkey = c_custkey) AS max_order
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_token_freq" ->
+      """SELECT tok, count(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |  FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin,
 
     "q_null_order" ->
       """SELECT event_id,

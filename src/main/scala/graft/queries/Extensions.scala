@@ -95,6 +95,17 @@ object Extensions {
         .orderBy(col("id_a").asc, col("id_b").asc)
     }),
 
+    // Pairwise near-dups → duplicate CLUSTERS (connected components via
+    // min-label propagation; rows-only — recursive closure is pinned by
+    // fixtures in TextDedupSpec, not SQL).
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text")
+      Dedup.clusterIds(docs.select("doc_id"), pairs, "doc_id")
+        .filter(col("cluster_id") =!= col("doc_id")) // members of nontrivial clusters
+        .orderBy(col("doc_id").asc)
+    }),
+
     // Probe-vs-corpus exact n-gram Jaccard via inverted shingle index
     // (graft.dedup.Dedup.jaccardProbeAll) — same results as the pairwise
     // definition the oracle states, minus never-materialized 0-overlap

@@ -53,6 +53,16 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("clusterIds: min-label propagation finds transitive dup clusters") {
+    val ids = (1L to 8L).toDF("doc_id")
+    // clusters: {1,2,3} via chain 1-2, 2-3; {5,7}; singletons 4,6,8
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 7L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterIds(ids, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 6L, 7L -> 5L, 8L -> 8L))
+  }
+
   test("simhash: identical docs get hamming 0; near-dups small distance") {
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
     val out = Dedup.simhashNearDups(
