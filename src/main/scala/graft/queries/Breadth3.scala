@@ -44,6 +44,19 @@ object Breadth3 {
         .orderBy(col("o_orderpriority").asc, col("oday").asc, col("o_orderkey").asc)
     }),
 
+    // Linear interpolation of each user's value series at weekly probes
+    // (gap-filling resample; graft.ops.Interpolate).
+    "q_interpolate" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val probeTs = Seq("2024-01-07", "2024-01-14", "2024-01-21", "2024-01-28")
+      val probes = e.select(col("user_id")).distinct()
+        .crossJoin(s.range(1).select(
+          explode(array(probeTs.map(d => to_timestamp_ntz(lit(d))): _*)).as("probe_ts")))
+      graft.ops.Interpolate.linearAtProbes(e, probes, "user_id", "ts",
+          "value", "probe_ts", "event_id")
+        .orderBy(col("user_id").asc, col("probe_ts").asc)
+    }),
+
     // GROUPING SETS through the SQL frontend (the DataFrame API only
     // exposes rollup/cube; arbitrary sets go through spark.sql over a
     // registered view — also exercises the SQL entry path end to end).
@@ -110,6 +123,31 @@ object Breadth3 {
         |  ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)), o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderpriority, oday, o_orderkey""".stripMargin,
+
+    "q_interpolate" ->
+      """WITH probes AS (
+        |  SELECT user_id, probe_ts
+        |  FROM (SELECT DISTINCT user_id FROM events)
+        |  CROSS JOIN (VALUES (TIMESTAMP '2024-01-07'), (TIMESTAMP '2024-01-14'),
+        |    (TIMESTAMP '2024-01-21'), (TIMESTAMP '2024-01-28')) p(probe_ts)),
+        |x AS (
+        |  SELECT u.user_id, u.probe_ts,
+        |    (SELECT e.value FROM events e WHERE e.user_id = u.user_id
+        |      AND e.ts <= u.probe_ts ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS pv,
+        |    (SELECT epoch_us(e.ts) FROM events e WHERE e.user_id = u.user_id
+        |      AND e.ts <= u.probe_ts ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS pt,
+        |    (SELECT e.value FROM events e WHERE e.user_id = u.user_id
+        |      AND e.ts > u.probe_ts ORDER BY e.ts ASC, e.event_id ASC LIMIT 1) AS nv,
+        |    (SELECT epoch_us(e.ts) FROM events e WHERE e.user_id = u.user_id
+        |      AND e.ts > u.probe_ts ORDER BY e.ts ASC, e.event_id ASC LIMIT 1) AS nt
+        |  FROM probes u)
+        |SELECT user_id, probe_ts,
+        |  round(CASE WHEN pv IS NULL THEN nv
+        |             WHEN nv IS NULL THEN pv
+        |             WHEN nt = pt THEN pv
+        |             ELSE pv + (nv - pv) * (epoch_us(probe_ts) - pt) / (nt - pt)
+        |        END, 4) AS interp_value
+        |FROM x ORDER BY user_id, probe_ts""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,

@@ -38,6 +38,23 @@ class LatestSpec extends SparkSpec {
       col("event_id").desc).count() == 0)
   }
 
+  test("interpolation: midpoint blend, endpoint clamp, exact-hit identity") {
+    val facts = Seq((1L, 1L, 10L, 10.0), (2L, 1L, 20L, 30.0))
+      .toDF("event_id", "user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")).cast("timestamp_ntz"))
+    val probes = Seq((1L, 15L), (1L, 5L), (1L, 25L), (1L, 20L))
+      .toDF("user_id", "psec")
+      .withColumn("probe_ts", timestamp_seconds(col("psec")).cast("timestamp_ntz"))
+    val out = graft.ops.Interpolate.linearAtProbes(
+        facts, probes, "user_id", "ts", "value", "probe_ts", "event_id")
+      .withColumn("p", unix_timestamp(col("probe_ts").cast("timestamp")))
+      .select("p", "interp_value").as[(Long, Double)].collect().toMap
+    assert(out(15L) == 20.0) // midpoint of 10..30
+    assert(out(5L) == 10.0)  // before first fact → clamp to next
+    assert(out(25L) == 30.0) // after last fact → clamp to prev
+    assert(out(20L) == 30.0) // exact hit → exact value
+  }
+
   test("as-of join: inclusive at probe ts, null before first fact") {
     val probes = Seq((1L, 20L), (1L, 15L), (1L, 5L), (2L, 100L))
       .toDF("user_id", "psec")
