@@ -123,6 +123,32 @@ object Extensions {
         .orderBy(col("id_a").asc, col("id_b").asc)
     }),
 
+    // Quality-threshold filtering — the filter step a pipeline runs after
+    // scoring: keep documents at or above the global median quality.
+    // Threshold and scores are bit-identical across engines (same
+    // arithmetic), so the boundary comparison is stable.
+    "q_quality_filter" -> ((s, dir) => {
+      val q = graft.text.Text.qualityScore(col("text"))
+      val scored = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), q.as("quality"))
+      val threshold = scored.agg(expr("percentile(quality, 0.5)").as("__thr"))
+      scored.crossJoin(broadcast(threshold))
+        .filter(col("quality") >= col("__thr"))
+        .select(col("doc_id"), col("lang"), round(col("quality"), 4).as("quality"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // Deterministic stratified sampling: fixed fraction per language via
+    // key arithmetic, not RNG — reproducible on any cluster, any run.
+    "q_stratified_sample" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(5)) === 0) // every 5th doc per stream
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy(col("lang").asc)
+    }),
+
     // ---- similarity search ---------------------------------------------
     // Brute-force cosine top-5 for 10 probe vectors (ANN ground truth).
     "q_embed_topk" -> ((s, dir) => {
@@ -252,6 +278,24 @@ object Extensions {
          |  list_aggregate(fps, 'min') AS min_fp,
          |  list_aggregate(fps, 'max') AS max_fp
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_quality_filter" -> {
+      val qExpr =
+        s"""least(len(${sqlTokens("text")})::DOUBLE / 100.0, 1.0)
+           | * (1.0 - (length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')))::DOUBLE / greatest(length(text), 1))
+           | * (len(list_distinct(${sqlTokens("text")}))::DOUBLE / len(${sqlTokens("text")}))""".stripMargin
+      s"""WITH scored AS (SELECT doc_id, lang, ($qExpr) AS quality FROM documents)
+         |SELECT doc_id, lang, round(quality, 4) AS quality
+         |FROM scored
+         |WHERE quality >= (SELECT quantile_cont(quality, 0.5) FROM scored)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM documents WHERE doc_id % 5 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_dedup_exact" ->
       s"""WITH fp AS (SELECT doc_id, md5(${sqlNorm("text")}) AS fp FROM documents),
