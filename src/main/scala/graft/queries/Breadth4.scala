@@ -36,6 +36,19 @@ object Breadth4 {
         .orderBy(col("user_id").asc)
     }),
 
+    // Custom typed Aggregator (UDAF surface): value weighted by the
+    // JSON prop k, per event type.
+    "q_typed_agg" -> ((s, dir) => {
+      val wm = udaf(graft.functions.WeightedMean)
+      Tables.events(s, dir)
+        .select(col("event_type"), col("value"),
+          get_json_object(col("props"), "$.k").cast("double").as("w"))
+        .groupBy(col("event_type"))
+        .agg(round(wm(col("value"), col("w")), 4).as("wmean"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type").asc)
+    }),
+
     // Correlated scalar subquery through the SQL frontend (Catalyst
     // decorrelates it into a join — the plan to check, not a per-row
     // re-scan).
@@ -91,6 +104,13 @@ object Breadth4 {
         |      FROM events WHERE event_type = 'click' GROUP BY user_id) c
         |ON p.user_id = c.user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q_typed_agg" ->
+      """SELECT event_type,
+        |  round(sum(value * CAST(json_extract_string(props, '$.k') AS DOUBLE))
+        |    / sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS wmean,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_scalar_subquery" ->
       """SELECT c_custkey,
