@@ -104,6 +104,10 @@ object Parity {
           // no round: identical IEEE division on both engines is bit-exact,
           // while round() at a decimal boundary (2-dp data / 1000) is not.
           (col("o_totalprice") / 1000.0).as("price_k"),
+          // F7 thousands formatting. Pre-round half-away-from-zero:
+          // format_number itself rounds HALF_EVEN, which diverges from the
+          // oracle's round() exactly on the representable .5 boundaries.
+          format_number(round(col("o_totalprice"), 0), 0).as("price_fmt"),
           concat(lit("o_"), col("o_orderkey")).as("okey_str"))
         .orderBy(col("o_orderkey").asc)
     }),
@@ -201,6 +205,7 @@ object Parity {
         |  CAST(year(o_orderdate) AS INTEGER) AS od_year,
         |  CAST(month(o_orderdate) AS INTEGER) AS od_month,
         |  o_totalprice / 1000.0 AS price_k,
+        |  format('{:,}', CAST(round(o_totalprice, 0) AS BIGINT)) AS price_fmt,
         |  'o_' || o_orderkey AS okey_str
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
