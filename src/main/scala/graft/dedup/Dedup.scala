@@ -22,15 +22,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact duplicates by content fingerprint: every doc annotated with its
-    * group's canonical (min) doc id and dup flag. */
-  def exactDups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = docs.select(col(idCol), Text.fingerprint(col(textCol)).as("fp"))
+  /** Exact duplicates by an arbitrary fingerprint expression: every row
+    * annotated with its group's canonical (min) id and dup flag. Shared by
+    * text dedup (normalized-content md5) and binary media dedup
+    * (payload-byte md5, graft.multimodal.Multimodal.payloadDedup). */
+  def exactDupsBy(df: DataFrame, idCol: String, fpCol: Column): DataFrame = {
+    val fp = df.select(col(idCol), fpCol.as("fp"))
     val canon = fp.groupBy("fp")
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
     fp.join(canon, "fp")
       .withColumn("is_dup", (col(idCol) =!= col("canonical_id")).cast("int"))
   }
+
+  /** Exact duplicates by normalized-content fingerprint. */
+  def exactDups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactDupsBy(docs, idCol, Text.fingerprint(col(textCol)))
 
   /** Kirsch–Mitzenmacher modulus for derived minhash functions. */
   val KMod = 1000000007L
@@ -175,10 +181,14 @@ object Dedup {
       val changed = updated.join(labels.withColumnRenamed("cluster_id", "old"),
           Seq(idCol))
         .filter(col("cluster_id") =!= col("old")).count()
+      // `changed` materialized `updated`; the superseded generation's cache
+      // can go (iterative persists otherwise accumulate for the session)
+      labels.unpersist(blocking = false)
       labels = updated
       converged = changed == 0
       i += 1
     }
+    edges.unpersist(blocking = false)
     labels
   }
 

@@ -57,16 +57,12 @@ object Multimodal {
 
   /** Binary-payload exact dedup: fingerprint the content bytes (header
     * excluded — same pixels under different container metadata is still a
-    * duplicate), hash-groupBy, annotate canonical id. The binary twin of
-    * graft.dedup.Dedup.exactDups. */
+    * duplicate). Shares the canonical-id/group-size machinery with text
+    * dedup (graft.dedup.Dedup.exactDupsBy). */
   def payloadDedup(media: Dataset[MediaRow]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val fp = media.toDF().select(col("media_id"),
-      md5(expr("substring(bytes, 17)")).as("fp"))
-    val canon = fp.groupBy(col("fp"))
-      .agg(min(col("media_id")).as("canonical_id"), count(lit(1)).as("group_size"))
-    fp.join(canon, "fp")
-      .withColumn("is_dup", (col("media_id") =!= col("canonical_id")).cast("int"))
+    graft.dedup.Dedup.exactDupsBy(media.toDF(), "media_id",
+        md5(expr("substring(bytes, 17)")))
       .select("media_id", "fp", "canonical_id", "group_size", "is_dup")
   }
 

@@ -28,7 +28,9 @@ object Ingest {
   /** shapeBatch plus a quarantine channel: rows failing validation are
     * RETURNED (with a reject reason), not silently dropped — at pipeline
     * scale the reject rate is a monitored signal and silently vanishing
-    * rows are an incident. One pass; the two frames share the scan. */
+    * rows are an incident. The two frames share one logical plan over the
+    * source; a caller materializing both should persist the input batch
+    * first (each action otherwise re-reads the source). */
   def shapeBatchWithRejects(raw: DataFrame, batchTs: Timestamp): (DataFrame, DataFrame) = {
     val reason = when(col("symbol").isNull, "null_symbol")
       .when(col("name").isNull, "null_name")

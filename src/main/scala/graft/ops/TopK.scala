@@ -41,7 +41,9 @@ object TopK {
                          pctCol: String = "pct", scale: Int = 2): DataFrame = {
     val total = df.agg(sum(col(valueCol)).as("__total"))
     df.crossJoin(broadcast(total))
-      .withColumn(pctCol, round(col(valueCol) / col("__total") * 100, scale))
+      // (100 * v) / total, matching the oracle's evaluation order exactly —
+      // (v / total) * 100 can differ in the last ulp and flip the rounding
+      .withColumn(pctCol, round(lit(100) * col(valueCol) / col("__total"), scale))
       .drop("__total")
   }
 

@@ -42,11 +42,15 @@ object NanosPushdown extends Rule[LogicalPlan] {
       dt == TimestampType || dt == TimestampNTZType
   }
 
-  /** Timestamp literal → its µs-since-epoch value. */
+  /** Timestamp literal → its µs-since-epoch value. Restricted to strictly
+    * positive epochs: `div` truncates toward zero, so the ±999 boundary
+    * algebra below is floor-division math that only holds for
+    * non-negative ns values compared against post-1970 bounds (at the
+    * 1970 boundary itself, negative sub-µs values would diverge). */
   private object TsLit {
     def unapply(e: Expression): Option[Long] = e match {
-      case Literal(v: Long, TimestampType) => Some(v)
-      case Literal(v: Long, TimestampNTZType) => Some(v)
+      case Literal(v: Long, TimestampType) if v > 0 => Some(v)
+      case Literal(v: Long, TimestampNTZType) if v > 0 => Some(v)
       case _ => None
     }
   }

@@ -43,6 +43,9 @@ object Breadth4 {
       Tables.events(s, dir)
         .select(col("event_type"), col("value"),
           get_json_object(col("props"), "$.k").cast("double").as("w"))
+        // typed aggregator input is non-nullable; rows without a numeric
+        // $.k are excluded explicitly (the oracle filters identically)
+        .filter(col("w").isNotNull)
         .groupBy(col("event_type"))
         .agg(round(wm(col("value"), col("w")), 4).as("wmean"),
           count(lit(1)).as("n"))
@@ -110,7 +113,9 @@ object Breadth4 {
         |  round(sum(value * CAST(json_extract_string(props, '$.k') AS DOUBLE))
         |    / sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS wmean,
         |  count(*) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_scalar_subquery" ->
       """SELECT c_custkey,

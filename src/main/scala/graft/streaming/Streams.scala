@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
-/** Row shape shared by the typed stateful operators. */
-case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+/** Row shape shared by the typed stateful operators. ts is LocalDateTime
+  * so the encoder maps to TIMESTAMP_NTZ — composing with `eventSchema`
+  * (a java.sql.Timestamp field would encode LTZ and fail the up-cast). */
+case class EventRow(event_id: Long, ts: java.time.LocalDateTime, user_id: Long,
                     event_type: String, value: Double, props: String)
 
 /** Per-key state of the incremental latest-snapshot operator. */
@@ -92,14 +94,16 @@ object Streams {
     * changed — exactly the delta the reference's WS broadcast needs. */
   def incrementalLatest(ds: Dataset[EventRow]): Dataset[(Long, Long, Double)] = {
     import ds.sparkSession.implicits._
+    def micros(t: java.time.LocalDateTime): Long =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (user: Long, events: Iterator[EventRow], state: GroupState[LatestState]) =>
-          val incoming = events.maxByOption(e => (e.ts.getTime, e.event_id))
+          val incoming = events.maxByOption(e => (micros(e.ts), e.event_id))
           val current = state.getOption
           incoming match {
             case Some(e) =>
-              val cand = LatestState(e.ts.getTime * 1000, e.event_id, e.value)
+              val cand = LatestState(micros(e.ts), e.event_id, e.value)
               val newer = current.forall(c =>
                 cand.maxTsMicros > c.maxTsMicros ||
                   (cand.maxTsMicros == c.maxTsMicros && cand.eventId > c.eventId))

@@ -75,7 +75,8 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("il_out")
       .outputMode("update").start()
     def er(id: Long, minute: Int, user: Long, v: Double) =
-      EventRow(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), user, "click", v, "{}")
+      EventRow(id, java.time.LocalDateTime.parse(f"2024-01-01T10:$minute%02d:00"),
+        user, "click", v, "{}")
     mem.addData(er(1, 5, 1, 1.0), er(2, 3, 1, 0.5), er(3, 1, 2, 7.0))
     q.processAllAvailable()
     val afterBatch1 = spark.table("il_out")
