@@ -37,7 +37,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failures = results.values.count(_ < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}"""
+    // Emit both ways: bare line on real stdout (build.sbt sets
+    // run/outputStrategy := StdoutOutput so sbt does not "[info]"-prefix
+    // it), and a file a consumer can read without scraping sbt logs.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
     spark.stop()
+    // Last so no further Spark shutdown logging can land after it.
+    System.out.println(line)
+    System.out.flush()
   }
 }

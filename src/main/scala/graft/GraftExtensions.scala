@@ -19,6 +19,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$name must be an integer literal, got $other")
   }
 
+  // throws like intArg — a column or misspelled literal must error, not
+  // silently fall back to distinct=false
+  private def boolArg(e: Expression, name: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be a boolean literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.NanosPushdown)
     ext.injectFunction((
@@ -29,8 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       (args: Seq[Expression]) => WordShingles(args(0),
-        intArg(args(1), "n"), args.length > 2 &&
-          (args(2) match { case Literal(b: Boolean, _) => b; case _ => false }))))
+        intArg(args(1), "n"), args.length > 2 && boolArg(args(2), "distinct"))))
     ext.injectFunction((
       FunctionIdentifier("graft_lsh_signatures"),
       new ExpressionInfo(classOf[LshSignatures].getName, "graft_lsh_signatures"),

@@ -18,8 +18,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // stale-output guard: remove any previous run's result BEFORE running
+    // the query, so a query that now throws yields a missing-output FAIL
+    // downstream instead of a silent pass against last run's parquet
+    def deleteRecursively(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+      f.delete(): Unit
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
+        val prev = new java.io.File(s"$outDir/$name")
+        if (prev.exists()) deleteRecursively(prev)
         val df = fn(spark, sfDir)
         // Session tz is UTC, so LTZ→NTZ is wall-clock identity; writing
         // NTZ makes the result parquet carry the same timezone-naive

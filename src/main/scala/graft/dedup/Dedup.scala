@@ -167,27 +167,36 @@ object Dedup {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = allIds.select(col(idCol), col(idCol).as("cluster_id"))
+    var persisted: Option[DataFrame] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val neighborMin = edges
         .join(labels.select(col(idCol).as("dst"), col("cluster_id").as("nl")), "dst")
         .groupBy(col("src").as(idCol)).agg(min("nl").as("nmin"))
-      val updated = labels.join(neighborMin, Seq(idCol), "left_outer")
+      // carry the previous label through the SAME join so the convergence
+      // check is a filter+count on the persisted result — one job per
+      // iteration, not a second join+count over both generations
+      val updated = labels.withColumnRenamed("cluster_id", "old")
+        .join(neighborMin, Seq(idCol), "left_outer")
         .select(col(idCol),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-            .as("cluster_id"))
+          least(col("old"), coalesce(col("nmin"), col("old"))).as("cluster_id"),
+          col("old"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = updated.join(labels.withColumnRenamed("cluster_id", "old"),
-          Seq(idCol))
-        .filter(col("cluster_id") =!= col("old")).count()
-      // `changed` materialized `updated`; the superseded generation's cache
+      val changed = updated.filter(col("cluster_id") =!= col("old")).count()
+      // the count materialized `updated`; the superseded generation's cache
       // can go (iterative persists otherwise accumulate for the session)
-      labels.unpersist(blocking = false)
-      labels = updated
+      persisted.foreach(_.unpersist(blocking = false))
+      persisted = Some(updated)
+      labels = updated.drop("old")
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      // truncation means some long chain has not reached its min label —
+      // surfaced, not silent: callers can re-run with a higher bound
+      System.err.println(
+        s"[graft.Dedup.clusterIds] label propagation stopped at maxIters=$maxIters before convergence; cluster ids may be non-canonical for long chains")
     edges.unpersist(blocking = false)
     labels
   }
@@ -207,16 +216,61 @@ object Dedup {
     sums.select(col(idCol), sim.as("simhash"))
   }
 
+  /** Band decomposition of a 32-bit simhash for pigeonhole blocking:
+    * array of k (band_idx, band_val) structs, band widths as equal as
+    * 32/k allows. Two hashes within hamming d differ in at most d bands,
+    * so with k > d they AGREE on at least one band — banding can only
+    * add candidates, never lose a true pair. */
+  def simhashBandStructs(simCol: Column, k: Int): Column = {
+    require(k >= 1 && k <= 32, s"band count must be in [1,32], got $k")
+    val base = 32 / k; val extra = 32 % k
+    val bounds = (0 until k).scanLeft(0)((lo, j) => lo + base + (if (j < extra) 1 else 0))
+    array((0 until k).map { j =>
+      val lo = bounds(j); val w = bounds(j + 1) - lo
+      struct(lit(j).as("band_idx"),
+        shiftright(simCol, lo).bitwiseAND(lit((1L << w) - 1)).as("band_val"))
+    }: _*)
+  }
+
+  /** Candidate pairs within a block sharing >= 1 simhash band — the
+    * skew-safe replacement for all-pairs-within-block. A single giant
+    * block (one crawl source dominating a 100 TB corpus) costs
+    * Σ bucket² over (band, band_val) buckets, not block², and similar
+    * docs concentrate in shared buckets by construction. `sims` must
+    * carry (idCol, blockCol, simhash). */
+  def simhashBandCandidates(sims: DataFrame, idCol: String, blockCol: String,
+                            maxHamming: Int): DataFrame = {
+    val k = maxHamming + 1 // pigeonhole: > maxHamming bands
+    val banded = sims.select(col(blockCol), col(idCol), col("simhash"),
+        explode(simhashBandStructs(col("simhash"), k)).as("__b"))
+      .select(col(blockCol), col(idCol), col("simhash"),
+        col("__b.band_idx").as("band_idx"), col("__b.band_val").as("band_val"))
+    val a = banded.select(col(blockCol), col("band_idx"), col("band_val"),
+      col(idCol).as("id_a"), col("simhash").as("sim_a"))
+    val b = banded.select(col(blockCol), col("band_idx"), col("band_val"),
+      col(idCol).as("id_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq(blockCol, "band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      // a pair sharing m bands surfaces m times; the sim columns are
+      // functionally dependent on the ids, so keep-any dedup is exact
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
+  }
+
   /** SimHash near-dup pairs within a blocking key, hamming distance <=
-    * maxHamming (bit_count of xor). */
+    * maxHamming (bit_count of xor). Band-blocked: candidates come from
+    * simhash-band buckets (pigeonhole-complete for the hamming bound),
+    * then exact hamming verifies — identical output to the all-pairs
+    * self-join, with candidate count ∝ band-bucket sizes instead of
+    * block size squared (asserted in TextDedupSpec). */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       blockCol: String, maxHamming: Int): DataFrame = {
+    // one row per doc; read twice by the band self-join — persist so the
+    // token-explode + 32-way bit aggregation runs once, not per side
     val sims = simhash32(docs, idCol, textCol)
       .join(docs.select(col(idCol), col(blockCol)), idCol)
-    val a = sims.select(col(blockCol), col(idCol).as("id_a"), col("simhash").as("sim_a"))
-    val b = sims.select(col(blockCol), col(idCol).as("id_b"), col("simhash").as("sim_b"))
-    a.join(b, Seq(blockCol))
-      .filter(col("id_a") < col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    simhashBandCandidates(sims, idCol, blockCol, maxHamming)
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))

@@ -51,6 +51,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      // a null slot propagates null (DuckDB oracle semantics) — reading
+      // through it would yield an undefined value (0.0 on UnsafeArrayData)
+      // and silently skew the similarity
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -69,19 +73,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
       val n = ctx.freshName("n"); val xi = ctx.freshName("xi")
-      val yi = ctx.freshName("yi")
+      val yi = ctx.freshName("yi"); val anyNull = ctx.freshName("anyNull")
       s"""
          |final int $n = $x.numElements();
          |if ($n != $y.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  boolean $anyNull = false;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { $anyNull = true; break; }
          |    final double $xi = (double) $x.$lGet($i);
          |    final double $yi = (double) $y.$rGet($i);
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
-         |  if ($na == 0.0 || $nb == 0.0) {
+         |  if ($anyNull || $na == 0.0 || $nb == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
          |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));

@@ -22,7 +22,9 @@ case class LshSignatures(child: Expression, numPlanes: Int, numTables: Int)
   require(numPlanes > 0 && numPlanes <= 62 && numTables > 0)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = child.nullable
+  // nullable even for non-null child arrays: a null SLOT propagates null
+  // (reading through it would fold an undefined value into every bucket)
+  override def nullable: Boolean = true
 
   private def elemIsFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
@@ -38,14 +40,24 @@ case class LshSignatures(child: Expression, numPlanes: Int, numTables: Int)
           s"lsh_signatures expects array<float|double>, got ${other.catalogString}")
     }
 
-  override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(LshUtil.signatures(
-      v.asInstanceOf[ArrayData], numPlanes, numTables, elemIsFloat))
+  override def nullSafeEval(v: Any): Any = {
+    val sig = LshUtil.signatures(
+      v.asInstanceOf[ArrayData], numPlanes, numTables, elemIsFloat)
+    if (sig == null) null else new GenericArrayData(sig)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, x =>
-      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.LshUtil.signatures($x, $numPlanes, $numTables, $elemIsFloat))")
+    nullSafeCodeGen(ctx, ev, x => {
+      val sig = ctx.freshName("sig")
+      s"""
+         |long[] $sig = graft.functions.LshUtil.signatures($x, $numPlanes, $numTables, $elemIsFloat);
+         |if ($sig == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -88,13 +100,15 @@ object LshUtil {
     w
   }
 
-  /** One bucket long per table for the given vector. */
+  /** One bucket long per table for the given vector; null if any slot is
+    * null (null propagation — an undefined read would skew every bucket). */
   def signatures(arr: ArrayData, planes: Int, tables: Int,
                  isFloat: Boolean): Array[Long] = {
     val dim = arr.numElements()
     val v = new Array[Double](dim)
     var i = 0
     while (i < dim) {
+      if (arr.isNullAt(i)) return null
       v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       i += 1
     }

@@ -26,8 +26,25 @@ import org.apache.spark.sql.types._
   * stays far inside int64). Registered via GraftExtensions, runs after
   * constant folding, and turns the rewritten comparisons into plain
   * long-column predicates the parquet reader pushes to row-group stats.
+  *
+  * SESSION-TIMEZONE GUARD: the matched pattern may wrap the conversion in
+  * Cast(TIMESTAMP → TIMESTAMP_NTZ), and that cast shifts the value by the
+  * session timezone offset — the rewrite is only value-preserving when
+  * the session zone is UTC (graft's canonical configuration, pinned by
+  * Bench/Verify/tests). Under any other zone the rule is a no-op rather
+  * than a silent off-by-offset filter. Also assumes non-negative epochs —
+  * see TsLit.
   */
 object NanosPushdown extends Rule[LogicalPlan] {
+
+  /** True iff the session zone is fixed UTC (accepts "UTC", "Etc/UTC",
+    * "+00:00", "Z" spellings via ZoneId normalization). */
+  private def sessionIsUtc: Boolean =
+    try {
+      val rules = java.time.ZoneId.of(conf.sessionLocalTimeZone).getRules
+      rules.isFixedOffset &&
+        rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+    } catch { case _: java.time.DateTimeException => false }
 
   /** Matches (possibly timestamp-cast-wrapped) timestamp_micros(x div 1000)
     * and yields the raw ns-typed child x. */
@@ -58,7 +75,8 @@ object NanosPushdown extends Rule[LogicalPlan] {
   private def ns(us: Long, off: Long = 0L): Literal =
     Literal(us * 1000L + off, LongType)
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!sessionIsUtc) plan else plan.transformAllExpressions {
     case GreaterThanOrEqual(NsConv(x), TsLit(m)) => GreaterThanOrEqual(x, ns(m))
     case GreaterThan(NsConv(x), TsLit(m))        => GreaterThan(x, ns(m, 999))
     case LessThanOrEqual(NsConv(x), TsLit(m))    => LessThanOrEqual(x, ns(m, 999))

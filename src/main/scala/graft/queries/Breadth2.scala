@@ -115,13 +115,20 @@ object Breadth2 {
           max("o_orderdate").as("max_date"))
     }),
 
-    // HLL sketch (engine-specific estimate → rows-only check here; the
-    // <2% accuracy contract vs exact distinct is pinned in SketchSpec).
+    // HLL sketch. The raw estimate is engine-specific (no DuckDB twin),
+    // so the ORACLE-facing columns are the exact counts plus a boolean
+    // error-bound assertion |approx−exact|/exact <= 5% (the sketch's
+    // configured rsd): the oracle states `true` for every group, so any
+    // out-of-bound estimate hash-fails the gate. Raw estimates are
+    // additionally pinned in SketchSpec.
     "q_approx_distinct" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.05).as("approx_ok"))
         .orderBy(col("event_type").asc)
     }))
 
@@ -198,5 +205,13 @@ object Breadth2 {
         |  round(min(o_totalprice), 2) AS min_price,
         |  round(max(o_totalprice), 2) AS max_price,
         |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
-        |FROM orders""".stripMargin)
+        |FROM orders""".stripMargin,
+
+    // the oracle asserts the error bound holds: exact counts + literal
+    // true per group — a Spark estimate outside ±5% breaks the hash match
+    "q_approx_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  CAST(1 AS BOOLEAN) AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

@@ -72,10 +72,12 @@ object Breadth3 {
     }),
 
     // Corpus minus verified near-dups: every document except the HIGHER
-    // doc_id of each confirmed pair — the apply step of MinHash dedup.
+    // doc_id of each confirmed pair — the apply step of MinHash dedup
+    // (anti-join against the shared materialized pairs intermediate,
+    // Extensions.verifiedPairs).
     "q_dedup_apply" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val dups = Dedup.minhashNearDups(docs, "doc_id", "text")
+      val dups = Extensions.verifiedPairs(s, dir)
         .select(col("id_b").as("doc_id")).distinct()
       docs.join(dups, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("n_chars"))

@@ -37,6 +37,39 @@ object Parity {
         .select("event_id", "ts", "event_type", "value")
     }),
 
+    // P6–P8 variants — the reference's dynamic WHERE compiler emits FOUR
+    // shapes (api/server.js:106-124); q_history pins both-bounds, these
+    // pin the other three. q_history_default is what every dashboard load
+    // hits: the client's default 30-day window ending at an as-of day
+    // (frontend/src/App.js:76-82).
+    "q_history_default" -> ((s, dir) => {
+      val (start, end) = History.defaultWindow("2024-01-25", 30)
+      History.keyHistory(Tables.events(s, dir), "user_id", 7L, "ts",
+          start, end, "event_id")
+        .select("event_id", "ts", "event_type", "value")
+    }),
+
+    // end-only: open start, inclusive end day.
+    "q_history_open_start" -> ((s, dir) => {
+      History.keyHistoryOptional(Tables.events(s, dir), "user_id", 7L, "ts",
+          None, Some("2024-01-10"), "event_id")
+        .select("event_id", "ts", "event_type", "value")
+    }),
+
+    // start-only: closed start, open end.
+    "q_history_open_end" -> ((s, dir) => {
+      History.keyHistoryOptional(Tables.events(s, dir), "user_id", 7L, "ts",
+          Some("2024-01-15"), None, "event_id")
+        .select("event_id", "ts", "event_type", "value")
+    }),
+
+    // no dates: the key's full history, time-ordered.
+    "q_history_nodates" -> ((s, dir) => {
+      History.keyHistoryOptional(Tables.events(s, dir), "user_id", 7L, "ts",
+          None, None, "event_id")
+        .select("event_id", "ts", "event_type", "value")
+    }),
+
     // P1–P5 — ingest shaping: project, validate, normalize key case, cast,
     // stamp batch-constant timestamp (etl/crypto_etl.py:70-127).
     "q_ingest_shape" -> ((s, dir) => {
@@ -152,6 +185,30 @@ object Parity {
         |WHERE user_id = 7
         |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-21 00:00:00'
+        |ORDER BY ts, event_id""".stripMargin,
+
+    "q_history_default" ->
+      """SELECT event_id, ts, event_type, value FROM events
+        |WHERE user_id = 7
+        |  AND ts >= TIMESTAMP '2023-12-26 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-26 00:00:00'
+        |ORDER BY ts, event_id""".stripMargin,
+
+    "q_history_open_start" ->
+      """SELECT event_id, ts, event_type, value FROM events
+        |WHERE user_id = 7
+        |  AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        |ORDER BY ts, event_id""".stripMargin,
+
+    "q_history_open_end" ->
+      """SELECT event_id, ts, event_type, value FROM events
+        |WHERE user_id = 7
+        |  AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY ts, event_id""".stripMargin,
+
+    "q_history_nodates" ->
+      """SELECT event_id, ts, event_type, value FROM events
+        |WHERE user_id = 7
         |ORDER BY ts, event_id""".stripMargin,
 
     "q_ingest_shape" ->

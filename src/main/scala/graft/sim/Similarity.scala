@@ -59,14 +59,48 @@ object Similarity {
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
-  /** All pairs (a<b) within `blockCol` whose cosine >= threshold —
-    * embedding-cosine near-dup detection with cheap blocking. */
-  def cosineNearDupPairs(emb: DataFrame, blockCol: String, threshold: Double,
-                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** All pairs (a<b) within `blockCol` whose cosine >= threshold — exact
+    * all-pairs form. Quadratic in block size: retained as the ground
+    * truth the LSH-prefiltered form is asserted against (SimilaritySpec)
+    * and for corpora whose blocks are known-small. */
+  def cosineNearDupPairsExact(emb: DataFrame, blockCol: String, threshold: Double,
+                              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val a = emb.select(col(blockCol), col(idCol).as("id_a"), col(vecCol).as("va"))
     val b = emb.select(col(blockCol), col(idCol).as("id_b"), col(vecCol).as("vb"))
     a.join(b, Seq(blockCol))
       .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col(blockCol), col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Embedding-cosine near-dup pairs, LSH-prefiltered: candidates = pairs
+    * sharing a sign-LSH bucket in ANY of `numTables` tables (within
+    * `blockCol`), then exact-cosine verified >= threshold. A skewed block
+    * costs Σ bucket² per table instead of block² — the 100× scale shape.
+    *
+    * Recall is probabilistic but engineered ≈ 1: a pair at cosine c
+    * collides per plane with p = 1 − acos(c)/π, so the miss probability
+    * is (1 − p^numPlanes)^numTables — for the defaults (2 planes,
+    * 24 tables) that is < 2e-5 at c = 0.35 and < 1e-12 at near-dup
+    * thresholds c >= 0.8; planes are deterministic (splitmix-derived,
+    * graft.functions.LshSignatures), so output is reproducible run to
+    * run. Equality with the exact form on the testdata is pinned in
+    * SimilaritySpec. */
+  def cosineNearDupPairs(emb: DataFrame, blockCol: String, threshold: Double,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         numPlanes: Int = 2, numTables: Int = 24): DataFrame = {
+    val sig = emb.select(col(blockCol), col(idCol), col(vecCol),
+      posexplode(lshSignatures(col(vecCol), numPlanes, numTables)).as(Seq("t", "bucket")))
+    val a = sig.select(col(blockCol), col("t"), col("bucket"),
+      col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = sig.select(col(blockCol), col("t"), col("bucket"),
+      col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq(blockCol, "t", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      // a pair colliding in m tables surfaces m times; vectors are
+      // functionally dependent on the ids, so keep-any dedup is exact
+      .dropDuplicates("id_a", "id_b")
       .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
       .filter(col("cos") >= threshold)
       .select(col(blockCol), col("id_a"), col("id_b"), col("cos"))

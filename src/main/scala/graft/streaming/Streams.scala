@@ -137,22 +137,93 @@ object Streams {
       .select("user_id", "purchase_id", "click_id", "p_ts", "c_ts", "purchase_value")
   }
 
-  /** The reference's full tick, as one streaming query: append each
-    * micro-batch to `storePath` (parquet), recompute the latest snapshot,
-    * hand it to `onSnapshot` (the WS-broadcast seam, S4/S5). Exactly-once:
-    * parquet append + deterministic recompute make replayed batches
-    * idempotent at the snapshot level. */
+  /** Recompute form of the snapshot: latest-per-key over the ENTIRE
+    * accumulated store — the reference's own architecture
+    * (`api/server.js:166-193` re-queries everything per notify). Cost
+    * grows with history; kept as the semantics oracle the incremental
+    * path is asserted against (StreamingSpec). */
+  def snapshotRecompute(spark: SparkSession, storePath: String): DataFrame =
+    latestSnapshot(spark.read.parquet(storePath))
+
+  private def maxBatchDir(path: String): Option[(Long, String)] = {
+    val dirs = new java.io.File(path).listFiles()
+    if (dirs == null) None
+    else dirs.toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .flatMap(f => f.getName.stripPrefix("batch_id=").toLongOption
+        .map(_ -> f.getAbsolutePath))
+      .maxByOption(_._1)
+  }
+
+  /** The reference's full tick, as one streaming query. Per micro-batch:
+    *
+    *  1. the raw batch lands in `storePath/batch_id=N` with OVERWRITE —
+    *     foreachBatch is at-least-once, so a batch replayed after a crash
+    *     between write and checkpoint commit rewrites its own partition
+    *     instead of appending duplicate rows to the history store;
+    *  2. the snapshot is maintained INCREMENTALLY: latest-per-key over
+    *     (previous snapshot ∪ new batch) — per-tick cost ∝ |keys| +
+    *     |batch|, not |history| (latest-per-key is an associative fold,
+    *     so the chain equals the full recompute — `snapshotRecompute` is
+    *     the asserted oracle). Each generation lands in
+    *     `snapshotPath/batch_id=N` (also overwrite-idempotent: replaying
+    *     batch N against snapshot N is a fixpoint);
+    *  3. `onSnapshot` receives the new snapshot (the WS-broadcast seam,
+    *     S4/S5 — fan out to many clients via SnapshotFanout).
+    *
+    * Restart recovery: the freshest snapshot generation is rediscovered
+    * from the directory listing. Guarantee: idempotent at the store and
+    * snapshot level (NOT exactly-once side effects — `onSnapshot` may be
+    * re-invoked for a replayed batch with identical input). */
   def startSnapshotStream(spark: SparkSession, source: DataFrame,
                           storePath: String, checkpoint: String,
+                          snapshotPath: String,
                           trigger: Trigger = Trigger.ProcessingTime("5 minutes"))
                          (onSnapshot: (DataFrame, Long) => Unit): StreamingQuery =
     shapeEvents(source).writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("append").parquet(storePath)
-        val snap = latestSnapshot(batch.sparkSession.read.parquet(storePath))
-        onSnapshot(snap, batchId)
+        val ss = batch.sparkSession
+        batch.write.mode("overwrite").parquet(s"$storePath/batch_id=$batchId")
+        // previous generation < this batch id (a replay of batch N must
+        // fold into snapshot N-1 or N, both of which are fixpoints)
+        val prev = maxBatchDir(snapshotPath).map(_._2).map(ss.read.parquet)
+        val batchCols = batch.drop("batch_id")
+        val base = prev match {
+          case Some(p) => p.select(batchCols.columns.map(col).toSeq: _*)
+            .unionByName(batchCols)
+          case None => batchCols
+        }
+        val snapDir = s"$snapshotPath/batch_id=$batchId"
+        latestSnapshot(base).write.mode("overwrite").parquet(snapDir)
+        onSnapshot(ss.read.parquet(snapDir).drop("batch_id"), batchId)
       }
       .start()
+}
+
+/** Multi-client fan-out of snapshot pushes — the reference broadcasts to
+  * ALL open sockets and tolerates per-client failure
+  * (`api/server.js:166-193`): one client's exception is recorded, the
+  * rest still receive the snapshot. Register/unregister is concurrent
+  * (clients connect and drop while ticks fire). */
+final class SnapshotFanout {
+  private val clients =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Long) => Unit]
+
+  def register(clientId: String, push: (DataFrame, Long) => Unit): Unit =
+    clients.put(clientId, push): Unit
+
+  def unregister(clientId: String): Unit =
+    clients.remove(clientId): Unit
+
+  /** Push to every registered client; returns per-client success. */
+  def broadcast(snapshot: DataFrame, batchId: Long): Map[String, Boolean] = {
+    val results = Map.newBuilder[String, Boolean]
+    clients.forEach { (id, push) =>
+      results += id -> (try { push(snapshot, batchId); true }
+        catch { case scala.util.control.NonFatal(_) => false })
+    }
+    results.result()
+  }
 }

@@ -25,4 +25,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.length == 8)
     assert(r.forall(b => b >= 0 && b < 16))
   }
+
+  test("graft_shingles rejects a non-boolean-literal distinct argument") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingles('a b c', 2, 'yes')").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[IllegalArgumentException]),
+      s"expected IllegalArgumentException in cause chain, got $e")
+  }
+
+  test("qualityFilterScaled (approx_percentile) matches the exact-median " +
+    "filter at tight accuracy on the testdata") {
+    val exact = SparkEntry.queries("q_quality_filter")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val scaled = graft.queries.Extensions
+      .qualityFilterScaled(Tables.documents(spark, sf0001))
+      .collect().map(_.toSeq).toSeq
+    assert(exact.nonEmpty)
+    assert(scaled == exact)
+  }
 }

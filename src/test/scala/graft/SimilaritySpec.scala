@@ -59,6 +59,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("LSH-prefiltered near-dup pairs == exact all-pairs on real " +
+    "embeddings at the tested threshold (recall 1.0)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val exact = Similarity.cosineNearDupPairsExact(emb, "label", 0.35)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    val lsh = Similarity.cosineNearDupPairs(emb, "label", 0.35)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty, "fixture must produce qualifying pairs")
+    assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("cosine / lsh_signatures propagate null on a null array slot " +
+    "instead of folding an undefined value") {
+    val df = Seq(1).toDF("i").select(
+      array(lit(1.0f), lit(null.asInstanceOf[java.lang.Float]), lit(3.0f)).as("withNull"),
+      array(lit(1.0f), lit(2.0f), lit(3.0f)).as("clean"))
+    val out = df.select(
+      Similarity.cosine(col("withNull"), col("clean")).as("c1"),
+      Similarity.cosine(col("clean"), col("clean")).as("c2"),
+      Similarity.lshSignatures(col("withNull"), 2, 2).as("s1"),
+      Similarity.lshSignatures(col("clean"), 2, 2).as("s2")).head()
+    assert(out.isNullAt(0), "cosine over a null slot must be null")
+    assert(!out.isNullAt(1))
+    assert(out.isNullAt(2), "lsh signature over a null slot must be null")
+    assert(!out.isNullAt(3))
+  }
+
   test("LSH ANN achieves recall >= 0.6 vs brute force on real embeddings") {
     val emb = Tables.embeddings(spark, sf0001)
     val probes = emb.filter(col("vec_id") < 10)

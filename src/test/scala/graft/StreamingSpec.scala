@@ -158,14 +158,15 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == 8)
   }
 
-  test("snapshot stream: foreachBatch appends + recomputes latest-per-key " +
-    "and invokes the broadcast seam per tick") {
+  test("snapshot stream: incremental latest-per-key snapshot per tick, " +
+    "batch-id-idempotent store writes, broadcast seam invoked") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
     val store = Files.createTempDirectory("graft_store").toString + "/prices"
+    val snapDir = Files.createTempDirectory("graft_snap").toString + "/snap"
     val ckpt = Files.createTempDirectory("graft_ckpt").toString
     val snaps = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Double]]
-    val q = Streams.startSnapshotStream(spark, mem.toDF(), store, ckpt,
+    val q = Streams.startSnapshotStream(spark, mem.toDF(), store, ckpt, snapDir,
         Trigger.ProcessingTime(0)) { (snap, _) =>
       snaps += snap.select("user_id", "value").as[(Long, Double)].collect().toMap
     }
@@ -177,5 +178,37 @@ class StreamingSpec extends SparkSpec {
     assert(snaps.size == 2)
     assert(snaps(0) == Map(1L -> 1.0, 2L -> 5.0))
     assert(snaps(1) == Map(1L -> 7.0, 2L -> 5.0)) // latest wins after tick 2
+    // incremental chain == full recompute over the accumulated store
+    val recomputed = Streams.snapshotRecompute(spark, store)
+      .select("user_id", "value").as[(Long, Double)].collect().toMap
+    assert(snaps.last == recomputed,
+      s"incremental=${snaps.last} recompute=$recomputed")
+    // history store holds every event exactly once, in batch_id partitions
+    assert(spark.read.parquet(store).select("event_id").distinct().count() == 3)
+  }
+
+  test("snapshot replay is a fixpoint: folding a batch into its own " +
+    "snapshot generation changes nothing (at-least-once safety)") {
+    val batch = Seq(ev(1, 0, 1, "click", 1.0), ev(2, 1, 2, "view", 5.0),
+      ev(3, 2, 1, "click", 7.0)).toDF()
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val snap1 = Streams.latestSnapshot(batch)
+    // replay: latest over (snapshot ∪ same batch) == snapshot
+    val replayed = Streams.latestSnapshot(snap1.unionByName(batch))
+    assert(replayed.collect().toSet == snap1.collect().toSet)
+  }
+
+  test("SnapshotFanout pushes to all clients and isolates per-client failure") {
+    val fan = new graft.streaming.SnapshotFanout
+    val got = scala.collection.mutable.Set.empty[String]
+    fan.register("a", (_, _) => got += "a": Unit)
+    fan.register("boom", (_, _) => throw new RuntimeException("client gone"))
+    fan.register("c", (_, _) => got += "c": Unit)
+    val snap = Seq((1L, 2.0)).toDF("user_id", "value")
+    val results = fan.broadcast(snap, 0L)
+    assert(results == Map("a" -> true, "boom" -> false, "c" -> true))
+    assert(got == Set("a", "c"), "healthy clients still receive the push")
+    fan.unregister("boom")
+    assert(fan.broadcast(snap, 1L) == Map("a" -> true, "c" -> true))
   }
 }

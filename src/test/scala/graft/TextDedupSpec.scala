@@ -72,6 +72,58 @@ class TextDedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 0)))
   }
 
+  test("simhash band blocking: identical output to all-pairs on a skewed " +
+    "single-source block, with candidates bounded by band buckets") {
+    // one giant block — the 100 TB skew case the banding exists for
+    val n = 60
+    val fixture = docs((1L to n.toLong).map { i =>
+      if (i % 10 == 0) // every 10th doc is a near-dup of its predecessor
+        i -> (1 to 50).map(j => if (j == 25) s"CHG$i" else s"tok${i - 1}_$j").mkString(" ")
+      else i -> (1 to 50).map(j => s"tok${i}_$j").mkString(" ")
+    }.map { case (i, t) => (i, t) }: _*).withColumn("src", lit("one_source"))
+    val maxHamming = 6
+    val sims = Dedup.simhash32(fixture, "doc_id", "text")
+      .join(fixture.select(col("doc_id"), col("src")), "doc_id")
+      .persist()
+    // ground truth: the quadratic all-pairs form, inline
+    val a = sims.select(col("src"), col("doc_id").as("id_a"), col("simhash").as("sim_a"))
+    val b = sims.select(col("src"), col("doc_id").as("id_b"), col("simhash").as("sim_b"))
+    val allPairs = a.join(b, Seq("src")).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    val banded = Dedup.simhashNearDups(fixture, "doc_id", "text", "src", maxHamming)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == allPairs, s"banded=$banded allPairs=$allPairs")
+    // candidate boundedness: the band self-join must touch far fewer
+    // pairs than the n*(n-1)/2 the all-pairs block join materializes
+    // expected collision fraction for random 32-bit hashes over 7 bands
+    // (4×5-bit + 3×4-bit) is 4/32 + 3/16 ≈ 0.31 — assert well inside the
+    // all-pairs count, which is what the banding buys at fixed hash width
+    val candidates = Dedup.simhashBandCandidates(sims, "doc_id", "src", maxHamming).count()
+    val quadratic = n.toLong * (n - 1) / 2
+    assert(candidates < quadratic / 2,
+      s"band candidates $candidates not ∝ buckets (all-pairs would be $quadratic)")
+    sims.unpersist()
+  }
+
+  test("simhash banding is pigeonhole-complete at the hamming bound") {
+    // two synthetic hashes exactly maxHamming apart must still collide in
+    // >= 1 of the maxHamming+1 bands and be verified as a pair
+    val maxHamming = 6
+    // flip 6 bits spread across different bands (bits 0,5,10,15,20,25)
+    val h1 = 0L
+    val h2 = (0 until 30 by 5).foldLeft(0L)((acc, bit) => acc | (1L << bit))
+    val sims = Seq((1L, h1), (2L, h2)).toDF("doc_id", "simhash")
+      .withColumn("src", lit("s"))
+    val out = Dedup.simhashBandCandidates(sims, "doc_id", "src", maxHamming)
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
+
   test("langId picks the marker-dominant language, 'und' when none") {
     val out = docs(
       (1L, "the cat and the dog is here"),
