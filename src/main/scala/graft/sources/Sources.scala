@@ -36,4 +36,33 @@ object Sources {
   def quotesFromPayloadColumn(df: DataFrame, payloadCol: String): DataFrame =
     df.select(explode(from_json(col(payloadCol), ArrayType(quoteSchema))).as("q"))
       .select("q.*")
+
+  /** One tick of the reference's polling ETL loop
+    * (`etl/crypto_etl.py:40-52,154-157`), composed end to end: call
+    * `fetch` (the network seam — the only thing a real deployment swaps
+    * in), parse the payload, shape + batch-stamp it (graft.ops.Ingest),
+    * and stage it as one tick-keyed parquet directory that a file-source
+    * stream tails (`spark.readStream.parquet(stagingDir)` — the S6
+    * trigger then carries it into the snapshot pipeline).
+    *
+    * A failed fetch or parse SKIPS the tick — the reference logs and
+    * sleeps to the next tick rather than dying (`etl/crypto_etl.py:
+    * 47-52`); here that is a logged 0-row return, and the tick directory
+    * is never created, so downstream consumers see nothing partial.
+    * Overwrite into `tick=<ms>` makes a re-run of the same tick
+    * idempotent. Returns rows staged (0 = skipped). */
+  def pollTick(spark: SparkSession, fetch: () => String, stagingDir: String,
+               tickTime: java.sql.Timestamp): Long =
+    try {
+      val shaped = graft.ops.Ingest.shapeBatch(
+        quotesFromJsonPayload(spark, fetch()), tickTime)
+      val n = shaped.count()
+      if (n > 0)
+        shaped.write.mode("overwrite").parquet(s"$stagingDir/tick=${tickTime.getTime}")
+      n
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft.Sources.pollTick] tick skipped: ${e.getMessage}")
+        0L
+    }
 }

@@ -45,4 +45,33 @@ class SourceSinkSpec extends SparkSpec {
     val plan = oneDay.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(event_date"), plan.take(500))
   }
+
+  test("polling loop end to end: fetch → parse → stage → stream, with a " +
+    "failed tick skipped (reference skip-on-error semantics)") {
+    val staging = Files.createTempDirectory("graft_poll").toString + "/staged"
+    val good1 = """[{"symbol":"BTC","name":"Bitcoin","current_price":1.0}]"""
+    val good3 =
+      """[{"symbol":"BTC","name":"Bitcoin","current_price":3.0},
+        |{"symbol":"ETH","name":"Ether","current_price":2.0}]""".stripMargin
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-02-0$day 00:00:00")
+    // tick 1 succeeds, tick 2's fetch dies (network), tick 3 succeeds
+    assert(Sources.pollTick(spark, () => good1, staging, ts(1)) == 1L)
+    assert(Sources.pollTick(spark,
+      () => throw new java.io.IOException("connection refused"), staging, ts(2)) == 0L)
+    assert(Sources.pollTick(spark, () => good3, staging, ts(3)) == 2L)
+    // a malformed payload also skips (parse failure path, not just IO)
+    assert(Sources.pollTick(spark, () => "not json at all", staging, ts(4)) == 0L)
+    // the staged ticks flow through a file-source stream — the actual S1
+    // wiring: poll loop stages, Structured Streaming tails
+    val q = spark.readStream.schema(Ingest.pricesSchema).parquet(staging)
+      .writeStream.format("memory").queryName("poll_out").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("poll_out")
+      .select("symbol", "current_price").as[(String, Double)].collect().toSet
+    assert(out == Set(("btc", 1.0), ("btc", 3.0), ("eth", 2.0)),
+      s"only successful ticks may surface: $out")
+    // re-running a tick (at-least-once poll scheduler) stays idempotent
+    assert(Sources.pollTick(spark, () => good1, staging, ts(1)) == 1L)
+    assert(spark.read.schema(Ingest.pricesSchema).parquet(staging).count() == 3)
+  }
 }
