@@ -136,6 +136,37 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Train/eval CONTAMINATION check — the leakage metric every
+    * training-data pipeline needs before an eval set is trusted: for each
+    * eval doc, the fraction of its distinct n-gram shingles that appear
+    * ANYWHERE in the training corpus (containment |A ∩ corpus| / |A|).
+    *
+    * Shape: one posting list (doc, shingle), eval side vs the DISTINCT
+    * train shingle set via left-semi equi-join — work ∝ matching
+    * postings, exactly the inverted-index scaling of jaccardProbeAll; the
+    * distinct train-shingle set is the corpus index a warehouse would
+    * keep materialized (or replace with a Bloom filter when an
+    * approximate screen suffices). The ratio is raw double division of
+    * the two counts — identical operands are bit-exact across engines, no
+    * rounding hazard. `isEval` partitions the corpus (rows matching =
+    * eval set, rest = train). */
+  def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
+                       shingleLen: Int, isEval: Column): DataFrame = {
+    val post = docs.select(col(idCol), isEval.as("__eval"),
+        explode(Text.shingleSet(col(textCol), shingleLen)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalPost = post.filter(col("__eval")).select(col(idCol), col("sh"))
+    val trainShingles = post.filter(!col("__eval")).select("sh").distinct()
+    val sizes = evalPost.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val hits = evalPost.join(trainShingles, Seq("sh"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    sizes.join(hits, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("containment",
+        col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → bucket
     * self-join → exact-Jaccard verify → threshold. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,

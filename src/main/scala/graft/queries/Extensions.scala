@@ -40,15 +40,15 @@ object Extensions {
   /** DuckDB expression mirrors of graft.text.Text (kept adjacent to their
     * Scala twins — drift between the two IS the bug class the oracle
     * catches). */
-  private def sqlNorm(c: String) =
+  private[queries] def sqlNorm(c: String) =
     s"regexp_replace(lower(trim($c)), '\\s+', ' ', 'g')"
-  private def sqlTokens(c: String) =
+  private[queries] def sqlTokens(c: String) =
     s"regexp_split_to_array(${sqlNorm(c)}, ' ')"
   // word n-gram shingles with duplicates; <n tokens → one whole-doc shingle
   private def sqlShingles(c: String, n: Int) =
     s"""list_transform(range(1, greatest(len(${sqlTokens(c)}) - ${n - 2}, 2)),
        | i -> array_to_string(list_slice(${sqlTokens(c)}, i, i + ${n - 1}), ' '))""".stripMargin
-  private def sqlShingleSet(c: String, n: Int) = s"list_distinct(${sqlShingles(c, n)})"
+  private[queries] def sqlShingleSet(c: String, n: Int) = s"list_distinct(${sqlShingles(c, n)})"
 
   val defs: Map[String, Q] = Map(
     // ---- text analysis --------------------------------------------------
@@ -204,13 +204,18 @@ object Extensions {
         .orderBy(col("probe_id").asc, col("rank").asc)
     }),
 
-    // ---- multimodal (stub decode, real plumbing; no SQL oracle —
-    // deterministic synthetic blobs, semantics pinned in MultimodalSpec).
-    // Binary dedup over media payloads (rows-only; dup-group structure
-    // pinned in MultimodalSpec).
+    // ---- multimodal (stub decode, real plumbing; deterministic
+    // synthetic blobs make both aggregates SQL-statable in closed form).
+    // Binary dedup over media payloads. The md5 fingerprint itself is an
+    // implementation detail DuckDB can't reproduce on constructed blobs,
+    // so the oracle-facing columns are the dedup OUTCOME — canonical id,
+    // group size, dup flag — whose closed form over the synthetic corpus
+    // (payload identity = media_id mod 100) the md5 grouping must land on
+    // exactly. Byte-level fp behavior stays pinned in MultimodalSpec.
     "q_media_dedup" -> ((s, _) => {
       graft.multimodal.Multimodal.payloadDedup(
           graft.multimodal.Multimodal.syntheticMedia(s, 300))
+        .select("media_id", "canonical_id", "group_size", "is_dup")
         .orderBy(col("media_id").asc)
     }),
 
@@ -436,9 +441,19 @@ object Extensions {
          |ORDER BY id_a, id_b""".stripMargin,
 
     // The synthetic media corpus is a pure function of media_id
-    // (graft.multimodal.Multimodal.syntheticMedia), so its per-kind
-    // aggregate is SQL-statable from a generated id range — no parquet
-    // table needed, only the same closed-form header fields.
+    // (graft.multimodal.Multimodal.syntheticMedia): payloads repeat every
+    // 100 ids, so with 300 blobs every payload group is {s, s+100, s+200}
+    // — canonical id = id mod 100, group size 3, dup iff id >= 100.
+    "q_media_dedup" ->
+      """SELECT id AS media_id,
+        |  CAST(id % 100 AS BIGINT) AS canonical_id,
+        |  CAST(3 AS BIGINT) AS group_size,
+        |  CAST(CASE WHEN id >= 100 THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+        |FROM range(300) t(id) ORDER BY media_id""".stripMargin,
+
+    // The per-kind metadata aggregate is likewise SQL-statable from a
+    // generated id range — no parquet table needed, only the same
+    // closed-form header fields.
     "q_media_meta" ->
       """WITH m AS (
         |  SELECT id,

@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.text.Text
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second batch of training-data-pipeline operators: eval-set
+  * contamination screening and TF-IDF term ranking. Both follow the
+  * cross-engine parity discipline of Extensions: md5-free, and every
+  * ranked/derived number is integer arithmetic or raw double division of
+  * identical operands (bit-exact in any engine) — no rounding, no
+  * transcendentals in anything the oracle hashes.
+  */
+object Extensions2 {
+
+  private val ShingleLen = 3
+  // eval set = doc_id < EvalMax, train = the rest (a fixed split keeps
+  // the query and oracle in lockstep)
+  private val EvalMax = 25
+  private val TopTerms = 3
+
+  val defs: Map[String, Q] = Map(
+    // Train/eval contamination: per eval doc, the fraction of its
+    // distinct 3-gram shingles present anywhere in the train corpus —
+    // the leakage screen run before an eval set is trusted
+    // (inverted-index shape, graft.dedup.Dedup.ngramContainment).
+    "q_contamination" -> ((s, dir) => {
+      Dedup.ngramContainment(Tables.documents(s, dir), "doc_id", "text",
+          ShingleLen, col("doc_id") < EvalMax)
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // Top-3 terms per document by TF-IDF with RATIO idf (tf · N / df):
+    // log-idf's mathematically-coincident scores (2·ln10 == ln100) can
+    // order differently across engines' libm, while an int-ratio double
+    // is bit-identical — same monotone-in-rarity intent, deterministic
+    // ranking (score desc, term asc).
+    "q_tfidf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+        explode(Text.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf") * col("__n")).cast("double") / col("df").cast("double"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopTerms)
+        .select(col("doc_id"), col("rank"), col("term"),
+          col("tf"), col("df"), col("score"))
+        .orderBy(col("doc_id").asc, col("rank").asc)
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_contamination" ->
+      s"""WITH sets AS (
+         |  SELECT doc_id, unnest(${Extensions.sqlShingleSet("text", ShingleLen)}) AS sh
+         |  FROM documents),
+         |ev AS (SELECT doc_id, sh FROM sets WHERE doc_id < $EvalMax),
+         |tr AS (SELECT DISTINCT sh FROM sets WHERE doc_id >= $EvalMax),
+         |sz AS (SELECT doc_id, count(*) AS n_shingles FROM ev GROUP BY doc_id),
+         |ht AS (SELECT doc_id, count(*) AS n_contaminated FROM ev
+         |  WHERE sh IN (SELECT sh FROM tr) GROUP BY doc_id)
+         |SELECT sz.doc_id, n_shingles,
+         |  CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+         |  CAST(coalesce(n_contaminated, 0) AS DOUBLE)
+         |    / CAST(n_shingles AS DOUBLE) AS containment
+         |FROM sz LEFT JOIN ht ON sz.doc_id = ht.doc_id
+         |ORDER BY sz.doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${Extensions.sqlTokens("text")}) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |scored AS (
+         |  SELECT doc_id, term, tf, df,
+         |    CAST(tf * (SELECT count(*) FROM documents) AS DOUBLE)
+         |      / CAST(df AS DOUBLE) AS score
+         |  FROM tf JOIN df USING (term)),
+         |ranked AS (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT doc_id, rank, term, tf, df, score FROM ranked
+         |WHERE rank <= $TopTerms ORDER BY doc_id, rank""".stripMargin)
+}

@@ -124,6 +124,21 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("ngramContainment flags a copied eval doc as fully contaminated " +
+    "and a novel one as clean") {
+    val train = (1 to 40).map(i => s"tr$i").mkString(" ")
+    val fixture = docs(
+      (1L, train),                                    // eval: verbatim copy of train doc
+      (2L, (1 to 40).map(i => s"novel$i").mkString(" ")), // eval: no overlap
+      (3L, train),                                    // train
+      (4L, (100 to 140).map(i => s"other$i").mkString(" ")))
+    val out = Dedup.ngramContainment(fixture, "doc_id", "text", 3,
+        col("doc_id") <= 2)
+      .select("doc_id", "containment").as[(Long, Double)].collect().toMap
+    assert(out(1L) == 1.0, s"copied doc must be 100% contained: $out")
+    assert(out(2L) == 0.0, s"novel doc must be 0% contained: $out")
+  }
+
   test("langId picks the marker-dominant language, 'und' when none") {
     val out = docs(
       (1L, "the cat and the dog is here"),
