@@ -167,6 +167,32 @@ object Dedup {
         col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Corpus-frequent n-gram (boilerplate) screening — the C4/RefinedWeb
+    * move of dropping content repeated across many documents, at shingle
+    * granularity since this corpus has no line structure: a shingle with
+    * document frequency >= minDocs is boilerplate; each doc is annotated
+    * with its distinct-shingle count, boilerplate-shingle count, and the
+    * raw-double ratio. Same inverted-index scaling as ngramContainment —
+    * document frequency is ONE count over the posting list (per-doc
+    * distinct shingles, so count(*) IS df), and only postings matching a
+    * boilerplate shingle flow into the per-doc hit count. */
+  def boilerplateRatio(docs: DataFrame, idCol: String, textCol: String,
+                       shingleLen: Int, minDocs: Long): DataFrame = {
+    val post = docs.select(col(idCol),
+        explode(Text.shingleSet(col(textCol), shingleLen)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val boiler = post.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs).select("sh")
+    val sizes = post.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val hits = post.join(boiler, Seq("sh"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_boilerplate"))
+    sizes.join(hits, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_boilerplate"), lit(0L)).as("n_boilerplate"))
+      .withColumn("boilerplate_ratio",
+        col("n_boilerplate").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → bucket
     * self-join → exact-Jaccard verify → threshold. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,

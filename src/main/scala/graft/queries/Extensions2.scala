@@ -20,6 +20,9 @@ object Extensions2 {
   // the query and oracle in lockstep)
   private val EvalMax = 25
   private val TopTerms = 3
+  // a shingle in >= this many docs counts as boilerplate (the corpus's
+  // trigram df tops out near 7 per 500 docs, so 4 marks the right tail)
+  private val BoilerMinDocs = 4
 
   val defs: Map[String, Q] = Map(
     // Train/eval contamination: per eval doc, the fraction of its
@@ -29,6 +32,15 @@ object Extensions2 {
     "q_contamination" -> ((s, dir) => {
       Dedup.ngramContainment(Tables.documents(s, dir), "doc_id", "text",
           ShingleLen, col("doc_id") < EvalMax)
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // Corpus-frequent n-gram boilerplate screening (C4-style repeated-
+    // content removal at shingle granularity): per doc, how much of it is
+    // shingles seen in >= 4 documents (graft.dedup.Dedup.boilerplateRatio).
+    "q_boilerplate" -> ((s, dir) => {
+      Dedup.boilerplateRatio(Tables.documents(s, dir), "doc_id", "text",
+          ShingleLen, minDocs = BoilerMinDocs)
         .orderBy(col("doc_id").asc)
     }),
 
@@ -70,6 +82,21 @@ object Extensions2 {
          |  CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated,
          |  CAST(coalesce(n_contaminated, 0) AS DOUBLE)
          |    / CAST(n_shingles AS DOUBLE) AS containment
+         |FROM sz LEFT JOIN ht ON sz.doc_id = ht.doc_id
+         |ORDER BY sz.doc_id""".stripMargin,
+
+    "q_boilerplate" ->
+      s"""WITH sets AS (
+         |  SELECT doc_id, unnest(${Extensions.sqlShingleSet("text", ShingleLen)}) AS sh
+         |  FROM documents),
+         |boiler AS (SELECT sh FROM sets GROUP BY sh HAVING count(*) >= $BoilerMinDocs),
+         |sz AS (SELECT doc_id, count(*) AS n_shingles FROM sets GROUP BY doc_id),
+         |ht AS (SELECT doc_id, count(*) AS n_boilerplate FROM sets
+         |  WHERE sh IN (SELECT sh FROM boiler) GROUP BY doc_id)
+         |SELECT sz.doc_id, n_shingles,
+         |  CAST(coalesce(n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
+         |  CAST(coalesce(n_boilerplate, 0) AS DOUBLE)
+         |    / CAST(n_shingles AS DOUBLE) AS boilerplate_ratio
          |FROM sz LEFT JOIN ht ON sz.doc_id = ht.doc_id
          |ORDER BY sz.doc_id""".stripMargin,
 

@@ -21,4 +21,21 @@ object Sinks {
       .write.mode("append")
       .partitionBy("event_date")
       .parquet(path)
+
+  /** Compact an append-grown store: streaming ingestion writes one
+    * directory per micro-batch (plus one file per task), so after D days
+    * at a 300 s cadence a store holds ~288·D tiny files per partition —
+    * the small-files problem that kills scan throughput and driver
+    * planning time at 100 TB. Compaction rewrites the accumulated rows
+    * into `numFiles` right-sized files in ONE pass (coalesce, no
+    * shuffle), into a fresh directory the caller then swaps in (write-
+    * new-then-swap keeps readers of the old layout consistent; on object
+    * stores the swap is a catalog/manifest pointer update). Run off the
+    * hot path on a schedule. Returns the compacted row count. */
+  def compactStore(spark: org.apache.spark.sql.SparkSession, storePath: String,
+                   compactedPath: String, numFiles: Int): Long = {
+    val rows = spark.read.parquet(storePath)
+    rows.coalesce(numFiles).write.mode("overwrite").parquet(compactedPath)
+    spark.read.parquet(compactedPath).count()
+  }
 }

@@ -88,6 +88,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "anti join must broadcast the K rows")
   }
 
+  test("q_simhash pairs join on band keys, not on the block column alone") {
+    val df = SparkEntry.queries("q_simhash")(spark, sf0001)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    // the self-join keys must include the band decomposition — a join
+    // keyed only on `source` is the quadratic-within-block shape
+    assert(p.contains("band_idx") && p.contains("band_val"),
+      s"band keys missing from join:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), "banded join must be hash-keyed")
+  }
+
+  test("q_embed_neardup candidates come from the (label, table, bucket) " +
+    "LSH join, not an all-pairs label join") {
+    val df = SparkEntry.queries("q_embed_neardup")(spark, sf0001)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("bucket"), s"LSH bucket key missing:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), "prefilter join must be hash-keyed")
+  }
+
+  test("q_quality_filter scans the scored subtree once (persisted), " +
+    "threshold side included") {
+    val df = SparkEntry.queries("q_quality_filter")(spark, sf0001)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"),
+      s"scored frame not persisted — text pipeline would run twice:\n${p.take(600)}")
+  }
+
+  test("q_contamination eval-vs-train check is a semi join over the " +
+    "posting list") {
+    val df = SparkEntry.queries("q_contamination")(spark, sf0001)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("whole-stage codegen covers the q1_agg pipeline") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = SparkEntry.queries("q1_agg")(spark, sf0001)

@@ -74,4 +74,32 @@ class SourceSinkSpec extends SparkSpec {
     assert(Sources.pollTick(spark, () => good1, staging, ts(1)) == 1L)
     assert(spark.read.schema(Ingest.pricesSchema).parquet(staging).count() == 3)
   }
+
+  test("compactStore rewrites a many-batch store into few files with " +
+    "identical rows (small-files remediation)") {
+    val store = Files.createTempDirectory("graft_cmp").toString + "/store"
+    // simulate 12 micro-batch appends — one dir + >=1 file each
+    (0 until 12).foreach { b =>
+      Seq((b.toLong, s"u$b", b * 1.5)).toDF("event_id", "who", "value")
+        .repartition(2)
+        .write.mode("overwrite").parquet(s"$store/batch_id=$b")
+    }
+    def parquetFiles(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
+    }
+    val before = parquetFiles(store)
+    assert(before >= 12, s"fixture should be fragmented, got $before files")
+    val compacted = Files.createTempDirectory("graft_cmpo").toString + "/compacted"
+    val n = Sinks.compactStore(spark, store, compacted, numFiles = 2)
+    assert(n == 12)
+    assert(parquetFiles(compacted) <= 2, "compaction must merge files")
+    // contents identical (batch_id partition column surfaces in both reads)
+    val a = spark.read.parquet(store).select("event_id", "who", "value")
+      .collect().map(_.toSeq).toSet
+    val b = spark.read.parquet(compacted).select("event_id", "who", "value")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }

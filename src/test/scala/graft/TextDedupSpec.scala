@@ -139,6 +139,23 @@ class TextDedupSpec extends SparkSpec {
     assert(out(2L) == 0.0, s"novel doc must be 0% contained: $out")
   }
 
+  test("boilerplateRatio marks corpus-repeated shingles, leaves unique " +
+    "content at ratio 0") {
+    val boiler = "shared header line for every doc"
+    val fixture = docs((1L to 5L).map { i =>
+      if (i <= 4) i -> s"$boiler unique$i tail$i words$i"
+      else i -> s"totally distinct content ${i}a ${i}b ${i}c ${i}d"
+    }: _*)
+    val out = Dedup.boilerplateRatio(fixture, "doc_id", "text", 3, minDocs = 4)
+      .select("doc_id", "n_boilerplate", "boilerplate_ratio")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // docs 1-4 share the 4 header trigrams ("shared header line",
+    // "header line for", "line for every", "for every doc"); doc 5 is clean
+    assert(out(1L)._2 == 4, s"$out")
+    assert(out(5L)._2 == 0 && out(5L)._3 == 0.0, s"$out")
+    assert(out(1L)._3 > 0.3 && out(1L)._3 < 0.7, s"$out")
+  }
+
   test("langId picks the marker-dominant language, 'und' when none") {
     val out = docs(
       (1L, "the cat and the dog is here"),
