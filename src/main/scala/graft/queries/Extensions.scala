@@ -268,6 +268,40 @@ object Extensions {
     .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
     .mkString(" + ")
 
+  /** Verified MinHash near-dup pairs as one (nestable) WITH-chain — the
+    * SQL twin of `verifiedPairs`, shared by the q_dedup_minhash oracle
+    * and the recursive-closure q_dedup_clusters oracle so the parameter
+    * sets cannot drift. */
+  private val minhashPairsSql: String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, unnest(${sqlShingleSet("text", ShingleLen)}) AS sh
+       |  FROM documents),
+       |hm AS (SELECT doc_id, md5(sh) AS m FROM sh),
+       |hh AS (SELECT doc_id,
+       |    ('0x' || substr(m, 1, 15))::BIGINT AS h1,
+       |    (('0x' || substr(m, 17, 15))::BIGINT % ${Dedup.KMod}) AS h2
+       |  FROM hm),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $minhashSigCols
+       |  FROM hh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, ${sqlShingleSet("text", ShingleLen)} AS s FROM documents),
+       |verified AS (
+       |  SELECT id_a, id_b,
+       |    round(len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
+       |      / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))), 4) AS jaccard
+       |  FROM cands JOIN sets sa ON sa.doc_id = id_a
+       |             JOIN sets sb ON sb.doc_id = id_b)
+       |SELECT id_a, id_b, jaccard FROM verified
+       |WHERE jaccard >= $JaccThreshold""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_text_stats" ->
       s"""SELECT doc_id,
@@ -350,35 +384,25 @@ object Extensions {
          |  CAST(f.doc_id <> c.canonical_id AS INTEGER) AS is_dup
          |FROM fp f JOIN canon c USING (fp) ORDER BY f.doc_id""".stripMargin,
 
-    "q_dedup_minhash" ->
-      s"""WITH sh AS (
-         |  SELECT DISTINCT doc_id, unnest(${sqlShingleSet("text", ShingleLen)}) AS sh
-         |  FROM documents),
-         |hm AS (SELECT doc_id, md5(sh) AS m FROM sh),
-         |hh AS (SELECT doc_id,
-         |    ('0x' || substr(m, 1, 15))::BIGINT AS h1,
-         |    (('0x' || substr(m, 17, 15))::BIGINT % ${Dedup.KMod}) AS h2
-         |  FROM hm),
-         |sigs AS (
-         |  SELECT doc_id,
-         |    $minhashSigCols
-         |  FROM hh GROUP BY doc_id),
-         |bands AS (
-         |  $bandSelects),
-         |cands AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |   AND a.doc_id < b.doc_id),
-         |sets AS (SELECT doc_id, ${sqlShingleSet("text", ShingleLen)} AS s FROM documents),
-         |verified AS (
-         |  SELECT id_a, id_b,
-         |    round(len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
-         |      / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))), 4) AS jaccard
-         |  FROM cands JOIN sets sa ON sa.doc_id = id_a
-         |             JOIN sets sb ON sb.doc_id = id_b)
-         |SELECT id_a, id_b, jaccard FROM verified
-         |WHERE jaccard >= $JaccThreshold ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_minhash" -> (minhashPairsSql + " ORDER BY id_a, id_b"),
+
+    // dup clusters = transitive closure of the verified pairs, stated as
+    // a recursive CTE over the SAME pairs chain — the oracle computes the
+    // EXACT fixpoint, so a hash match also proves the Spark side's
+    // bounded label propagation converged on this corpus.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($minhashPairsSql),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION
+         |  SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |labels AS (SELECT src AS doc_id, min(dst) AS m FROM reach GROUP BY src)
+         |SELECT doc_id, least(m, doc_id) AS cluster_id FROM labels
+         |WHERE least(m, doc_id) <> doc_id ORDER BY doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH sets AS (SELECT doc_id, ${sqlShingleSet("text", ShingleLen)} AS s FROM documents),
