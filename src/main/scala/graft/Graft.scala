@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.{History, Latest, TopK}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's user-facing API surface as a library facade — the
+  * three calls a user of the reference's endpoints switches to, over any
+  * events-shaped frame:
+  *
+  *  - `GET /api/prices` (`api/server.js:67-77`): latest row per key,
+  *    value-descending → `snapshot`;
+  *  - `GET /api/history` (`api/server.js:90-143`): per-key time range
+  *    with the four optional-predicate WHERE shapes and inclusive end
+  *    day → `history`;
+  *  - the dashboard's top-7 + "Other" doughnut feed
+  *    (`frontend/src/App.js:87-142`) → `topWithOther`.
+  *
+  * `session` builds the canonically configured SparkSession (UTC, AQE,
+  * ns-parquet handling, graft SQL extensions) so the facade works
+  * against the same engine configuration the test/bench harnesses pin.
+  */
+object Graft {
+
+  def session(master: String = "local[*]",
+              shufflePartitions: Int = 32): SparkSession =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+
+  /** Latest row per key (max-ts ties all emitted, the reference's join
+    * form), ordered value-descending. */
+  def snapshot(events: DataFrame, keyCol: String = "user_id",
+               tsCol: String = "ts"): DataFrame =
+    Latest.latestPerKeyJoin(events, keyCol, tsCol)
+      .orderBy(col("value").desc_nulls_last, col(keyCol).asc)
+
+  /** Per-key history; either bound may be absent (the four WHERE shapes
+    * of the reference's dynamic query compiler). */
+  def history(events: DataFrame, keyValue: Any,
+              startDay: Option[String], endDay: Option[String],
+              keyCol: String = "user_id", tsCol: String = "ts",
+              tieBreak: String = "event_id"): DataFrame =
+    History.keyHistoryOptional(events, keyCol, keyValue, tsCol,
+      startDay, endDay, tieBreak)
+
+  /** Top-k buckets + "Other" rollup with percent-of-total. */
+  def topWithOther(df: DataFrame, bucketCol: String, valueCol: String,
+                   k: Int = 7): DataFrame =
+    TopK.withPercentOfTotal(TopK.topKPlusOther(df, bucketCol, valueCol, k),
+      valueCol)
+}

@@ -22,6 +22,21 @@ object Sinks {
       .partitionBy("event_date")
       .parquet(path)
 
+  /** Range-clustered rewrite: `repartitionByRange` + sort-within on the
+    * clustering columns, so every output file covers a DISJOINT range of
+    * the key (asserted in SourceSinkSpec). Parquet min/max stats then
+    * skip whole files/row-groups for range predicates — the layout that
+    * lets a time-range query over a 100 TB event log read one file
+    * instead of all of them, complementing partition pruning one level
+    * below the partition grain. Range boundaries come from a sampled
+    * sketch of the data (Spark's RangePartitioner), so skew in the
+    * clustering key spreads across files instead of hot-spotting one. */
+  def writeRangeClustered(df: DataFrame, path: String, numFiles: Int,
+                          clusterCols: String*): Unit =
+    df.repartitionByRange(numFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+
   /** Compact an append-grown store: streaming ingestion writes one
     * directory per micro-batch (plus one file per task), so after D days
     * at a 300 s cadence a store holds ~288·D tiny files per partition —

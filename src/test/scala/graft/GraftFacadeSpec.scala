@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The Graft facade must be exactly the reference-parity queries a
+  * switching user expects — pinned by equivalence to the oracle-checked
+  * q_ entries, not by re-stating their logic. */
+class GraftFacadeSpec extends SparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("Graft.snapshot == q_latest") {
+    val ev = Tables.events(spark, sf0001)
+    val got = Graft.snapshot(ev)
+      .select("event_id", "user_id", "ts", "event_type", "value")
+      .orderBy(col("value").desc_nulls_last, col("user_id").asc, col("event_id").asc)
+    val want = SparkEntry.queries("q_latest")(spark, sf0001)
+    assert(rows(got) == rows(want))
+  }
+
+  test("Graft.history covers all four optional-bound shapes") {
+    val ev = Tables.events(spark, sf0001)
+    def shape(s: Option[String], e: Option[String], q: String) = {
+      val got = Graft.history(ev, 7L, s, e)
+        .select("event_id", "ts", "event_type", "value")
+      assert(rows(got) == rows(SparkEntry.queries(q)(spark, sf0001)), q)
+    }
+    shape(Some("2024-01-05"), Some("2024-01-20"), "q_history")
+    shape(None, Some("2024-01-10"), "q_history_open_start")
+    shape(Some("2024-01-15"), None, "q_history_open_end")
+    shape(None, None, "q_history_nodates")
+  }
+
+  test("Graft.topWithOther == the q_topk_other rollup") {
+    val rev = Tables.orders(spark, sf0001)
+      .filter(col("o_totalprice").isNotNull && col("o_totalprice") > 0)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+      .select(col("o_custkey").cast("string").as("bucket"), col("rev"))
+    val got = Graft.topWithOther(rev, "bucket", "rev")
+      .withColumn("rev", round(col("rev"), 2))
+      .orderBy(col("rev").desc_nulls_last, col("bucket").asc)
+      .select("bucket", "rev")
+    val want = SparkEntry.queries("q_topk_other")(spark, sf0001)
+      .select("bucket", "rev")
+    assert(rows(got) == rows(want))
+  }
+}

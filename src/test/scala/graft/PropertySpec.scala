@@ -48,6 +48,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("simhash band candidates are COMPLETE for any pair within the " +
+    "hamming bound (pigeonhole, random hashes and flip sets)") {
+    import graft.dedup.Dedup
+    val gen = for {
+      base <- Gen.choose(Long.MinValue, Long.MaxValue).map(_ & 0xFFFFFFFFL)
+      d <- Gen.choose(0, 6)
+      bits <- Gen.pick(d, 0 until 32)
+    } yield (base, bits.foldLeft(base)((h, b) => h ^ (1L << b)))
+    val pairs = samples(gen, 60)
+    // one block per pair so each pair is judged in isolation, one job total
+    val rows = pairs.zipWithIndex.flatMap { case ((h1, h2), i) =>
+      Seq((i * 2L, h1, s"b$i"), (i * 2L + 1L, h2, s"b$i"))
+    }
+    val sims = rows.toDF("doc_id", "simhash", "blk")
+    val found = Dedup.simhashBandCandidates(sims, "doc_id", "blk", 6).count()
+    assert(found == pairs.size,
+      s"banding lost ${pairs.size - found} of ${pairs.size} in-bound pairs")
+  }
+
   test("inclusiveDayRange ≡ [start 00:00, end+1day 00:00)") {
     val base = 1704067200L // 2024-01-01 00:00:00 UTC
     samples(Gen.listOfN(40, Gen.choose(0L, 40L * 86400)), 8).foreach { secs =>

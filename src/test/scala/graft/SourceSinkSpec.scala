@@ -75,6 +75,27 @@ class SourceSinkSpec extends SparkSpec {
     assert(spark.read.schema(Ingest.pricesSchema).parquet(staging).count() == 3)
   }
 
+  test("writeRangeClustered produces files with pairwise-DISJOINT key " +
+    "ranges (file-level min/max pruning layout)") {
+    val out = Files.createTempDirectory("graft_rc").toString + "/clustered"
+    Sinks.writeRangeClustered(Tables.events(spark, sf0001), out, 4, "ts")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val files = walk(new java.io.File(out)).filter(_.getName.endsWith(".parquet"))
+    assert(files.size >= 2, "fixture must span multiple files")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("ts"), max("ts")).head()
+      (r.getAs[java.time.LocalDateTime](0), r.getAs[java.time.LocalDateTime](1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hiA), (loB, _)) =>
+        assert(!hiA.isAfter(loB),
+          s"file ranges overlap: $hiA > $loB — min/max stats cannot prune")
+      case _ =>
+    }
+  }
+
   test("compactStore rewrites a many-batch store into few files with " +
     "identical rows (small-files remediation)") {
     val store = Files.createTempDirectory("graft_cmp").toString + "/store"

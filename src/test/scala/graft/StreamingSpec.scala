@@ -158,6 +158,27 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == 8)
   }
 
+  test("Trigger.AvailableNow drains the whole backlog then terminates " +
+    "— the backfill mode for catching a store up without a resident job") {
+    val srcDir = Files.createTempDirectory("graft_an_src").toString
+    val ckpt = Files.createTempDirectory("graft_an_ck").toString
+    (1 to 3).foreach { b =>
+      (1 to 4).map(i => Ev(b * 10L + i, Timestamp.valueOf("2024-01-01 10:00:00"),
+          1, "click", i, "{}"))
+        .toDF().write.mode("append").parquet(srcDir)
+    }
+    val q = spark.readStream.schema(Streams.eventSchema
+        .copy(fields = Streams.eventSchema.fields.map(f =>
+          if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.TimestampType) else f)))
+      .parquet(srcDir)
+      .writeStream.format("memory").queryName("an_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+    assert(spark.table("an_out").count() == 12)
+  }
+
   test("snapshot stream: incremental latest-per-key snapshot per tick, " +
     "batch-id-idempotent store writes, broadcast seam invoked") {
     implicit val sqlCtx = spark.sqlContext
