@@ -23,6 +23,8 @@ object Extensions2 {
   // a shingle in >= this many docs counts as boilerplate (the corpus's
   // trigram df tops out near 7 per 500 docs, so 4 marks the right tail)
   private val BoilerMinDocs = 4
+  // context length for the chunk planner
+  private val ChunkTokens = 64L
 
   val defs: Map[String, Q] = Map(
     // Train/eval contamination: per eval doc, the fraction of its
@@ -42,6 +44,25 @@ object Extensions2 {
       Dedup.boilerplateRatio(Tables.documents(s, dir), "doc_id", "text",
           ShingleLen, minDocs = BoilerMinDocs)
         .orderBy(col("doc_id").asc)
+    }),
+
+    // Document chunking for a fixed context length — the split step
+    // before sequence packing: one row per L-token chunk with its token
+    // span, emitted by a GENERATOR (explode of a sequence), never a
+    // driver loop; the last chunk is short (tok_end clamps to n_tokens).
+    // Pure integer arithmetic end to end.
+    "q_chunking" -> ((s, dir) => {
+      val L = ChunkTokens
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Text.nTokens(col("text")).cast("long").as("n_tokens"))
+        .withColumn("chunk_idx",
+          // `div` (integer), not `/` (Divide → double) — the chunk count
+          // must stay in the exact integer domain
+          explode(sequence(lit(0L), expr(s"(n_tokens + ${L - 1}) div $L - 1"))))
+        .select(col("doc_id"), col("n_tokens"), col("chunk_idx"),
+          (col("chunk_idx") * L).as("tok_start"),
+          least(col("n_tokens"), (col("chunk_idx") + 1L) * L).as("tok_end"))
+        .orderBy(col("doc_id").asc, col("chunk_idx").asc)
     }),
 
     // Top-3 terms per document by TF-IDF with RATIO idf (tf · N / df):
@@ -99,6 +120,18 @@ object Extensions2 {
          |    / CAST(n_shingles AS DOUBLE) AS boilerplate_ratio
          |FROM sz LEFT JOIN ht ON sz.doc_id = ht.doc_id
          |ORDER BY sz.doc_id""".stripMargin,
+
+    "q_chunking" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len(${Extensions.sqlTokens("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  unnest(range(0, (n_tokens + ${ChunkTokens - 1}) // $ChunkTokens)) AS chunk_idx
+         |  FROM t)
+         |SELECT doc_id, n_tokens, chunk_idx,
+         |  chunk_idx * $ChunkTokens AS tok_start,
+         |  least(n_tokens, (chunk_idx + 1) * $ChunkTokens) AS tok_end
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_tfidf" ->
       s"""WITH toks AS (

@@ -126,6 +126,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("NanosPushdown is a no-op under a non-UTC session timezone " +
+    "(the NTZ-cast unwrap is only value-preserving at UTC)") {
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val p = SparkEntry.queries("q_history")(spark, sf0001)
+        .queryExecution.optimizedPlan.toString
+      assert("ts#\\d+L? >= \\d{15,}".r.findFirstIn(p).isEmpty,
+        s"ns-domain rewrite must not fire under non-UTC tz:\n${p.take(400)}")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("whole-stage codegen covers the q1_agg pipeline") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = SparkEntry.queries("q1_agg")(spark, sf0001)
