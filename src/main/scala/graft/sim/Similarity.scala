@@ -90,17 +90,22 @@ object Similarity {
   def cosineNearDupPairs(emb: DataFrame, blockCol: String, threshold: Double,
                          idCol: String = "vec_id", vecCol: String = "embedding",
                          numPlanes: Int = 2, numTables: Int = 24): DataFrame = {
-    val sig = emb.select(col(blockCol), col(idCol), col(vecCol),
+    // the exploded signature frame carries IDS ONLY — shipping the
+    // vector through a numTables-way explode would multiply shuffle
+    // width by tables × dim; vectors re-join onto the deduped candidate
+    // pairs, each exactly once
+    val sig = emb.select(col(blockCol), col(idCol),
       posexplode(lshSignatures(col(vecCol), numPlanes, numTables)).as(Seq("t", "bucket")))
-    val a = sig.select(col(blockCol), col("t"), col("bucket"),
-      col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = sig.select(col(blockCol), col("t"), col("bucket"),
-      col(idCol).as("id_b"), col(vecCol).as("vb"))
-    a.join(b, Seq(blockCol, "t", "bucket"))
+    val a = sig.select(col(blockCol), col("t"), col("bucket"), col(idCol).as("id_a"))
+    val b = sig.select(col(blockCol), col("t"), col("bucket"), col(idCol).as("id_b"))
+    val cands = a.join(b, Seq(blockCol, "t", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      // a pair colliding in m tables surfaces m times; vectors are
-      // functionally dependent on the ids, so keep-any dedup is exact
+      // a pair colliding in m tables surfaces m times
       .dropDuplicates("id_a", "id_b")
+      .select(col(blockCol), col("id_a"), col("id_b"))
+    val va = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val vb = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    cands.join(va, "id_a").join(vb, "id_b")
       .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
       .filter(col("cos") >= threshold)
       .select(col(blockCol), col("id_a"), col("id_b"), col("cos"))
