@@ -68,6 +68,22 @@ object Streams {
     df.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("user_id", "event_id")
 
+  /** Streaming CONTENT dedup for a document stream: drop any doc whose
+    * normalized-content fingerprint (graft.text.Text.fingerprint — the
+    * same 32-byte md5 the batch exact-dedup groups on) was already seen
+    * within the watermark. State is one fingerprint per distinct content
+    * within the lateness horizon — bounded, unlike a grow-forever seen
+    * set; exact cross-horizon dedup is the batch job's duty
+    * (Dedup.exactDups over the store). The streaming half of the
+    * dedup story: batch dedups the corpus, this keeps the live feed
+    * clean between batch runs. Requires event-time column `ts`. */
+  def streamingContentDedup(docs: DataFrame, textCol: String,
+                            delay: String): DataFrame =
+    docs.withColumn("__fp", graft.text.Text.fingerprint(col(textCol)))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Latest-per-key snapshot over an accumulated store — what the
     * reference recomputes and broadcasts on every notify
     * (`api/server.js:166-193`). */

@@ -67,6 +67,28 @@ class PropertySpec extends SparkSpec {
       s"banding lost ${pairs.size - found} of ${pairs.size} in-bound pairs")
   }
 
+  test("ngramContainment (inverted index) equals the direct per-doc " +
+    "set computation on random small-vocab corpora") {
+    import graft.dedup.Dedup
+    import graft.text.Text
+    val docGen = Gen.listOfN(30, Gen.choose(0, 8).map(i => s"w$i"))
+    samples(Gen.listOfN(12, docGen), 4).foreach { docsRaw =>
+      val df = docsRaw.zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val out = Dedup.ngramContainment(df, "doc_id", "text", 3, col("doc_id") < 4)
+        .select("doc_id", "containment").as[(Long, Double)].collect().toMap
+      val sets = df.select(col("doc_id"), Text.shingleSet(col("text"), 3).as("sh"))
+      val train = sets.filter(col("doc_id") >= 4)
+        .select(explode(col("sh")).as("s")).distinct().as[String].collect().toSet
+      sets.filter(col("doc_id") < 4).as[(Long, Seq[String])].collect()
+        .foreach { case (id, sh) =>
+          val exp = sh.count(train.contains).toDouble / sh.size
+          assert(out(id) == exp, s"doc $id: ${out(id)} vs $exp")
+        }
+    }
+  }
+
   test("inclusiveDayRange ≡ [start 00:00, end+1day 00:00)") {
     val base = 1704067200L // 2024-01-01 00:00:00 UTC
     samples(Gen.listOfN(40, Gen.choose(0L, 40L * 86400)), 8).foreach { secs =>

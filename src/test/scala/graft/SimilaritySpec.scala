@@ -86,6 +86,48 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.isNullAt(3))
   }
 
+  test("LSH prefilter equals exact all-pairs on synthetic clustered " +
+    "vectors at a near-dup threshold (0.9), where the miss bound is " +
+    "strongest") {
+    // 20 clusters of 4 near-identical vectors (tiny deterministic
+    // perturbations) + noise dims — every within-cluster pair has cosine
+    // ~0.99; cross-cluster pairs are near-orthogonal
+    val dim = 16
+    val rows = (0 until 20).flatMap { c =>
+      (0 until 4).map { j =>
+        val v = Array.tabulate(dim)(d =>
+          (if (d == c % dim) 10f else 0.1f * ((c * 7 + d) % 5)) +
+            0.01f * ((j * 13 + d) % 3))
+        ((c * 4 + j).toLong, v.toSeq, s"g${c % 3}")
+      }
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val exact = Similarity.cosineNearDupPairsExact(emb, "label", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineNearDupPairs(emb, "label", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("multimodal features flow into ANN search end to end " +
+    "(extract → index → top-k)") {
+    import graft.multimodal.Multimodal
+    // payloads repeat every 100 ids → feature vectors repeat too; the
+    // nearest neighbor of any probe must be its payload twin
+    val media = Multimodal.syntheticMedia(spark, 200)
+    val feats = Multimodal.extractFeatures(media)
+      .withColumnRenamed("media_id", "vec_id")
+      .withColumnRenamed("features", "embedding")
+    val probes = feats.filter(col("vec_id") < 5)
+    val out = Similarity.bruteForceTopK(probes, feats, k = 1)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach { id =>
+      assert(out(id) == id + 100L,
+        s"probe $id's nearest must be its payload twin, got ${out(id)}")
+    }
+  }
+
   test("LSH ANN achieves recall >= 0.6 vs brute force on real embeddings") {
     val emb = Tables.embeddings(spark, sf0001)
     val probes = emb.filter(col("vec_id") < 10)

@@ -158,6 +158,28 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == 8)
   }
 
+  test("streamingContentDedup drops same-content docs (normalization " +
+    "included) within the watermark, keeps distinct content") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // reuse Ev: event_type carries the "text" payload for this test
+    val q = Streams.streamingContentDedup(
+        mem.toDF().withColumnRenamed("event_type", "text"), "text", "10 minutes")
+      .writeStream.format("memory").queryName("cd_out")
+      .outputMode("append").start()
+    mem.addData(
+      ev(1, 0, 1, "Same Doc  Text", 1.0),
+      ev(2, 1, 2, "same doc text", 2.0),   // normalizes identically → dropped
+      ev(3, 2, 3, "different text", 3.0))
+    q.processAllAvailable()
+    mem.addData(ev(4, 3, 4, "SAME   DOC TEXT", 4.0)) // replay within watermark
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("cd_out").select("event_id")
+      .as[Long].collect().toSet
+    assert(out == Set(1L, 3L), s"got $out")
+  }
+
   test("Trigger.AvailableNow drains the whole backlog then terminates " +
     "— the backfill mode for catching a store up without a resident job") {
     val srcDir = Files.createTempDirectory("graft_an_src").toString
