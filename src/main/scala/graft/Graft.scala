@@ -22,16 +22,25 @@ import org.apache.spark.sql.functions._
   */
 object Graft {
 
+  /** `getOrCreate` ignores builder configs when a session already
+    * exists, so the runtime-settable canon (UTC, nanos handling, AQE,
+    * shuffle width) is re-asserted on the returned session either way.
+    * `spark.sql.extensions` is create-time-only: an inherited session
+    * keeps graft SQL functions/rules only if it was built with them —
+    * the one contract `session()` cannot retrofit (documented, not
+    * silent: the facade's Column API works regardless). */
   def session(master: String = "local[*]",
-              shufflePartitions: Int = 32): SparkSession =
-    SparkSession.builder()
+              shufflePartitions: Int = 32): SparkSession = {
+    val s = SparkSession.builder()
       .master(master)
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
+    s.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s
+  }
 
   /** Latest row per key (max-ts ties all emitted, the reference's join
     * form), ordered value-descending. */

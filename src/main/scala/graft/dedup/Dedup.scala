@@ -149,7 +149,12 @@ object Dedup {
     * approximate screen suffices). The ratio is raw double division of
     * the two counts — identical operands are bit-exact across engines, no
     * rounding hazard. `isEval` partitions the corpus (rows matching =
-    * eval set, rest = train). */
+    * eval set, rest = train).
+    *
+    * Persist lifecycle (here and in boilerplateRatio/simhashNearDups/
+    * minhashNearDups): the posting-list cache lives inside the returned
+    * plan and stays for the session — callers looping over many corpora
+    * should `spark.catalog.clearCache()` between them. */
   def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
                        shingleLen: Int, isEval: Column): DataFrame = {
     val post = docs.select(col(idCol), isEval.as("__eval"),

@@ -127,8 +127,12 @@ object Breadth2 {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
         .select(col("event_type"), col("exact_users"),
-          (abs(col("approx_users") - col("exact_users")).cast("double") /
-            col("exact_users") <= 0.05).as("approx_ok"))
+          // exact = 0 would make the ratio null (non-ANSI x/0) and fail
+          // the oracle's literal-true row; an all-null-users group is
+          // "ok" iff the sketch also says 0
+          when(col("exact_users") === 0, col("approx_users") === 0)
+            .otherwise(abs(col("approx_users") - col("exact_users")).cast("double") /
+              col("exact_users") <= 0.05).as("approx_ok"))
         .orderBy(col("event_type").asc)
     }))
 

@@ -28,14 +28,21 @@ object Extensions {
     * materialized pairs table every dedup job reads; here it is a
     * persisted frame so a harness running the queries back to back pays
     * the shingle→signature→band→verify pipeline once, not three times. */
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.DataFrame]
+  // keyed on the session OBJECT (reference equality — identityHashCode
+  // alone can collide after GC and hand back a frame bound to a dead
+  // session) + dir; bounded: a session churner clears the whole cache
+  // rather than pinning stopped sessions forever (entries are only
+  // caches — recompute is correct, just slower)
+  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
   private[queries] def verifiedPairs(s: org.apache.spark.sql.SparkSession,
-                                     dir: String): org.apache.spark.sql.DataFrame =
-    pairsCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", _ =>
+                                     dir: String): org.apache.spark.sql.DataFrame = {
+    if (pairsCache.size > 8) pairsCache.clear()
+    pairsCache.computeIfAbsent((s, dir), _ =>
       Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
           ShingleLen, NumHashes, Bands, JaccThreshold)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** DuckDB expression mirrors of graft.text.Text (kept adjacent to their
     * Scala twins — drift between the two IS the bug class the oracle

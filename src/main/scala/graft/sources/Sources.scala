@@ -50,19 +50,27 @@ object Sources {
     * 47-52`); here that is a logged 0-row return, and the tick directory
     * is never created, so downstream consumers see nothing partial.
     * Overwrite into `tick=<ms>` makes a re-run of the same tick
-    * idempotent. Returns rows staged (0 = skipped). */
+    * idempotent. Returns rows staged; 0 = a legitimately EMPTY payload
+    * (healthy tick, nothing staged), -1 = a SKIPPED tick (fetch/parse
+    * failure) — a monitor must distinguish the two, as the reference's
+    * log-and-skip does. */
   def pollTick(spark: SparkSession, fetch: () => String, stagingDir: String,
                tickTime: java.sql.Timestamp): Long =
     try {
+      // persist: both the row count and the staging write consume the
+      // parse+shape pipeline — without it every tick parses twice
       val shaped = graft.ops.Ingest.shapeBatch(
-        quotesFromJsonPayload(spark, fetch()), tickTime)
-      val n = shaped.count()
-      if (n > 0)
-        shaped.write.mode("overwrite").parquet(s"$stagingDir/tick=${tickTime.getTime}")
-      n
+          quotesFromJsonPayload(spark, fetch()), tickTime)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = shaped.count()
+        if (n > 0)
+          shaped.write.mode("overwrite").parquet(s"$stagingDir/tick=${tickTime.getTime}")
+        n
+      } finally shaped.unpersist(blocking = false): Unit
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft.Sources.pollTick] tick skipped: ${e.getMessage}")
-        0L
+        -1L
     }
 }

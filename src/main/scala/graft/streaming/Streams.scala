@@ -161,15 +161,32 @@ object Streams {
   def snapshotRecompute(spark: SparkSession, storePath: String): DataFrame =
     latestSnapshot(spark.read.parquet(storePath))
 
-  private def maxBatchDir(path: String): Option[(Long, String)] = {
-    val dirs = new java.io.File(path).listFiles()
-    if (dirs == null) None
-    else dirs.toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
-      .flatMap(f => f.getName.stripPrefix("batch_id=").toLongOption
-        .map(_ -> f.getAbsolutePath))
-      .maxByOption(_._1)
+  /** Snapshot-generation directory listing via the Hadoop FileSystem API
+    * — works on HDFS/S3/local alike (java.io.File would silently return
+    * nothing on a remote store and collapse every snapshot to the
+    * current batch's keys). */
+  private def listBatchDirs(spark: SparkSession,
+                            path: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+      st.getPath.getName match {
+        case n if n.startsWith("batch_id=") =>
+          n.stripPrefix("batch_id=").toLongOption.map(_ -> st.getPath)
+        case _ => None
+      }
+    }
   }
+
+  /** A generation is only trustworthy if its write COMMITTED — the
+    * _SUCCESS marker distinguishes a torn crash-interrupted directory
+    * (which must never be folded into the next snapshot) from a
+    * complete one. */
+  private def isCommitted(spark: SparkSession,
+                          dir: org.apache.hadoop.fs.Path): Boolean =
+    dir.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
 
   /** The reference's full tick, as one streaming query. Per micro-batch:
     *
@@ -202,9 +219,14 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ss = batch.sparkSession
         batch.write.mode("overwrite").parquet(s"$storePath/batch_id=$batchId")
-        // previous generation < this batch id (a replay of batch N must
-        // fold into snapshot N-1 or N, both of which are fixpoints)
-        val prev = maxBatchDir(snapshotPath).map(_._2).map(ss.read.parquet)
+        // fold into the newest COMMITTED generation STRICTLY BELOW this
+        // batch id: a replay of batch N must land on snapshot N-1 (a
+        // fixpoint), never read its own possibly-torn batch_id=N dir,
+        // and never trust a crash-interrupted write (no _SUCCESS)
+        val gens = listBatchDirs(ss, snapshotPath)
+        val prevGen = gens.filter(_._1 < batchId).sortBy(-_._1)
+          .find(g => isCommitted(ss, g._2))
+        val prev = prevGen.map(g => ss.read.parquet(g._2.toString))
         val batchCols = batch.drop("batch_id")
         val base = prev match {
           case Some(p) => p.select(batchCols.columns.map(col).toSeq: _*)
@@ -213,6 +235,15 @@ object Streams {
         }
         val snapDir = s"$snapshotPath/batch_id=$batchId"
         latestSnapshot(base).write.mode("overwrite").parquet(snapDir)
+        // retention: only the generation just written and the one it was
+        // derived from are live (the latter so a replay of THIS batch can
+        // still find its fold base); everything older is dead weight that
+        // would otherwise grow storage and listing cost without bound
+        val keep = Set(batchId) ++ prevGen.map(_._1)
+        gens.filterNot(g => keep.contains(g._1)).foreach { case (_, dir) =>
+          dir.getFileSystem(ss.sessionState.newHadoopConf())
+            .delete(dir, true): Unit
+        }
         onSnapshot(ss.read.parquet(snapDir).drop("batch_id"), batchId)
       }
       .start()

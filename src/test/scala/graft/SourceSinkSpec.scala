@@ -54,12 +54,13 @@ class SourceSinkSpec extends SparkSpec {
       """[{"symbol":"BTC","name":"Bitcoin","current_price":3.0},
         |{"symbol":"ETH","name":"Ether","current_price":2.0}]""".stripMargin
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-02-0$day 00:00:00")
-    // tick 1 succeeds, tick 2's fetch dies (network), tick 3 succeeds
+    // tick 1 succeeds, tick 2's fetch dies (network: -1 = SKIPPED,
+    // distinguishable from an empty-but-healthy payload), tick 3 succeeds
     assert(Sources.pollTick(spark, () => good1, staging, ts(1)) == 1L)
     assert(Sources.pollTick(spark,
-      () => throw new java.io.IOException("connection refused"), staging, ts(2)) == 0L)
+      () => throw new java.io.IOException("connection refused"), staging, ts(2)) == -1L)
     assert(Sources.pollTick(spark, () => good3, staging, ts(3)) == 2L)
-    // a malformed payload also skips (parse failure path, not just IO)
+    // a malformed payload yields no rows (PERMISSIVE parse → empty, 0)
     assert(Sources.pollTick(spark, () => "not json at all", staging, ts(4)) == 0L)
     // the staged ticks flow through a file-source stream — the actual S1
     // wiring: poll loop stages, Structured Streaming tails
