@@ -25,6 +25,8 @@ object Extensions2 {
   private val BoilerMinDocs = 4
   // context length for the chunk planner
   private val ChunkTokens = 64L
+  // semantic near-dup threshold (matches Extensions' q_embed_neardup)
+  private val CosNearDupThreshold = 0.35
 
   val defs: Map[String, Q] = Map(
     // Train/eval contamination: per eval doc, the fraction of its
@@ -63,6 +65,27 @@ object Extensions2 {
           (col("chunk_idx") * L).as("tok_start"),
           least(col("n_tokens"), (col("chunk_idx") + 1L) * L).as("tok_end"))
         .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+    }),
+
+    // Cross-modal curation join: embedding near-dup pairs (LSH-
+    // prefiltered, the scale path) pulled back onto document metadata —
+    // the "inspect semantic dup candidates with their provenance" step
+    // of corpus curation. vec_id keys the documents row (testdata
+    // contract: aligned ids).
+    "q_semantic_dedup" -> ((s, dir) => {
+      val pairs = graft.sim.Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, dir), "label", CosNearDupThreshold)
+      val meta = Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"), col("source"))
+      pairs
+        .join(meta.select(col("doc_id").as("id_a"), col("lang").as("lang_a"),
+          col("source").as("source_a")), "id_a")
+        .join(meta.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
+          col("source").as("source_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("cos"),
+          col("lang_a"), col("lang_b"),
+          (col("source_a") === col("source_b")).cast("int").as("same_source"))
+        .orderBy(col("id_a").asc, col("id_b").asc)
     }),
 
     // Top-3 terms per document by TF-IDF with RATIO idf (tf · N / df):
@@ -120,6 +143,22 @@ object Extensions2 {
          |    / CAST(n_shingles AS DOUBLE) AS boilerplate_ratio
          |FROM sz LEFT JOIN ht ON sz.doc_id = ht.doc_id
          |ORDER BY sz.doc_id""".stripMargin,
+
+    "q_semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(list_dot_product(a.v, b.v)
+         |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.v, b.v)
+         |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= $CosNearDupThreshold)
+         |SELECT id_a, id_b, cos,
+         |  da.lang AS lang_a, db.lang AS lang_b,
+         |  CAST(da.source = db.source AS INTEGER) AS same_source
+         |FROM pairs JOIN documents da ON da.doc_id = id_a
+         |           JOIN documents db ON db.doc_id = id_b
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_chunking" ->
       s"""WITH t AS (
