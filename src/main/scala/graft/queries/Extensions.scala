@@ -37,7 +37,12 @@ object Extensions {
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
   private[queries] def verifiedPairs(s: org.apache.spark.sql.SparkSession,
                                      dir: String): org.apache.spark.sql.DataFrame = {
-    if (pairsCache.size > 8) pairsCache.clear()
+    if (pairsCache.size > 8) {
+      // release the dropped frames' storage too — clearing only the map
+      // would leave orphaned MEMORY_AND_DISK blocks in their sessions
+      pairsCache.values.forEach(_.unpersist(blocking = false): Unit)
+      pairsCache.clear()
+    }
     pairsCache.computeIfAbsent((s, dir), _ =>
       Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
           ShingleLen, NumHashes, Bands, JaccThreshold)
