@@ -19,8 +19,9 @@ object Extensions {
   private val NumHashes = 12
   private val Bands = 4
   private val JaccThreshold = 0.8
-  // Blocking for the pairwise ops.
-  private val CosThreshold = 0.35
+  // Blocking for the pairwise ops (shared with Extensions2's
+  // q_semantic_dedup so the two cannot drift).
+  private[queries] val CosThreshold = 0.35
 
   /** Verified MinHash near-dup pairs, memoized per (session, sf dir):
     * three queries (q_dedup_minhash, q_dedup_clusters, q_dedup_apply)
@@ -28,26 +29,48 @@ object Extensions {
     * materialized pairs table every dedup job reads; here it is a
     * persisted frame so a harness running the queries back to back pays
     * the shingle→signature→band→verify pipeline once, not three times. */
-  // keyed on the session OBJECT (reference equality — identityHashCode
-  // alone can collide after GC and hand back a frame bound to a dead
-  // session) + dir; bounded: a session churner clears the whole cache
-  // rather than pinning stopped sessions forever (entries are only
-  // caches — recompute is correct, just slower)
-  private val pairsCache = new java.util.concurrent.ConcurrentHashMap[
+  // Shared materialized-intermediate cache, keyed on the session OBJECT
+  // (reference equality — identityHashCode alone can collide after GC
+  // and hand back a frame bound to a dead session) + dir. Bounded: a
+  // session churner clears the whole cache rather than pinning stopped
+  // sessions forever (entries are only caches — recompute is correct,
+  // just slower). All access under one lock so eviction can never race
+  // an in-flight insert and strand a persisted-but-unmapped frame; the
+  // guarded fn only BUILDS a plan (persist marks lazily, no job), so
+  // holding the lock is cheap.
+  private val memoCache = scala.collection.mutable.HashMap.empty[
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
-  private[queries] def verifiedPairs(s: org.apache.spark.sql.SparkSession,
-                                     dir: String): org.apache.spark.sql.DataFrame = {
-    if (pairsCache.size > 8) {
-      // release the dropped frames' storage too — clearing only the map
-      // would leave orphaned MEMORY_AND_DISK blocks in their sessions
-      pairsCache.values.forEach(_.unpersist(blocking = false): Unit)
-      pairsCache.clear()
+  private def memoized(s: org.apache.spark.sql.SparkSession, key: String)
+                      (build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    memoCache.synchronized {
+      if (memoCache.size > 8) {
+        // release dropped frames' storage too; a frame whose session has
+        // since stopped throws from unpersist — swallow, the blocks died
+        // with the session
+        memoCache.values.foreach(f =>
+          try f.unpersist(blocking = false)
+          catch { case scala.util.control.NonFatal(_) => })
+        memoCache.clear()
+      }
+      memoCache.getOrElseUpdate((s, key),
+        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
-    pairsCache.computeIfAbsent((s, dir), _ =>
+
+  private[queries] def verifiedPairs(s: org.apache.spark.sql.SparkSession,
+                                     dir: String): org.apache.spark.sql.DataFrame =
+    memoized(s, s"minhash|$dir") {
       Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
-          ShingleLen, NumHashes, Bands, JaccThreshold)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+        ShingleLen, NumHashes, Bands, JaccThreshold)
+    }
+
+  /** Embedding near-dup pairs (LSH-prefiltered), memoized like
+    * verifiedPairs — q_embed_neardup and q_semantic_dedup consume the
+    * SAME frame instead of running the bucket-join pipeline twice. */
+  private[queries] def embedNearDupPairs(s: org.apache.spark.sql.SparkSession,
+                                         dir: String): org.apache.spark.sql.DataFrame =
+    memoized(s, s"embed|$dir") {
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "label", CosThreshold)
+    }
 
   /** DuckDB expression mirrors of graft.text.Text (kept adjacent to their
     * Scala twins — drift between the two IS the bug class the oracle
@@ -189,10 +212,10 @@ object Extensions {
         .orderBy(col("probe_id").asc, col("rank").asc)
     }),
 
-    // Embedding-cosine near-dup pairs within label blocks.
+    // Embedding-cosine near-dup pairs within label blocks (shared
+    // materialized intermediate — see embedNearDupPairs).
     "q_embed_neardup" -> ((s, dir) => {
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "label", CosThreshold)
-        .orderBy(col("id_a").asc, col("id_b").asc)
+      embedNearDupPairs(s, dir).orderBy(col("id_a").asc, col("id_b").asc)
     }),
 
     // LSH-bucketed ANN (the scale path; no SQL oracle — recall vs
@@ -279,6 +302,18 @@ object Extensions {
   private val simhashValue = (0 until 32)
     .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
     .mkString(" + ")
+
+  /** Embedding near-dup pairs as one (nestable) WITH-chain — the SQL
+    * twin of `embedNearDupPairs`, shared by the q_embed_neardup oracle
+    * and Extensions2's q_semantic_dedup oracle. */
+  private[queries] val embedPairsSql: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(list_dot_product(a.v, b.v)
+       |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE round(list_dot_product(a.v, b.v)
+       |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= $CosThreshold""".stripMargin
 
   /** Verified MinHash near-dup pairs as one (nestable) WITH-chain — the
     * SQL twin of `verifiedPairs`, shared by the q_dedup_minhash oracle
@@ -466,15 +501,7 @@ object Extensions {
         |SELECT probe_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
 
-    "q_embed_neardup" ->
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-         |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
-         |  round(list_dot_product(a.v, b.v)
-         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE round(list_dot_product(a.v, b.v)
-         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= $CosThreshold
-         |ORDER BY id_a, id_b""".stripMargin,
+    "q_embed_neardup" -> (embedPairsSql + " ORDER BY id_a, id_b"),
 
     // The synthetic media corpus is a pure function of media_id
     // (graft.multimodal.Multimodal.syntheticMedia): payloads repeat every

@@ -25,8 +25,6 @@ object Extensions2 {
   private val BoilerMinDocs = 4
   // context length for the chunk planner
   private val ChunkTokens = 64L
-  // semantic near-dup threshold (matches Extensions' q_embed_neardup)
-  private val CosNearDupThreshold = 0.35
 
   val defs: Map[String, Q] = Map(
     // Train/eval contamination: per eval doc, the fraction of its
@@ -68,13 +66,13 @@ object Extensions2 {
     }),
 
     // Cross-modal curation join: embedding near-dup pairs (LSH-
-    // prefiltered, the scale path) pulled back onto document metadata —
-    // the "inspect semantic dup candidates with their provenance" step
-    // of corpus curation. vec_id keys the documents row (testdata
-    // contract: aligned ids).
+    // prefiltered, the scale path; SAME materialized intermediate as
+    // q_embed_neardup — Extensions.embedNearDupPairs) pulled back onto
+    // document metadata — the "inspect semantic dup candidates with
+    // their provenance" step of corpus curation. vec_id keys the
+    // documents row (testdata contract: aligned ids).
     "q_semantic_dedup" -> ((s, dir) => {
-      val pairs = graft.sim.Similarity.cosineNearDupPairs(
-        Tables.embeddings(s, dir), "label", CosNearDupThreshold)
+      val pairs = Extensions.embedNearDupPairs(s, dir)
       val meta = Tables.documents(s, dir).select(
         col("doc_id"), col("lang"), col("source"))
       pairs
@@ -144,15 +142,10 @@ object Extensions2 {
          |FROM sz LEFT JOIN ht ON sz.doc_id = ht.doc_id
          |ORDER BY sz.doc_id""".stripMargin,
 
+    // shares Extensions' pairs CTE so threshold/shape cannot drift from
+    // the q_embed_neardup oracle
     "q_semantic_dedup" ->
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |pairs AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |    round(list_dot_product(a.v, b.v)
-         |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE round(list_dot_product(a.v, b.v)
-         |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= $CosNearDupThreshold)
+      s"""WITH pairs AS (${Extensions.embedPairsSql})
          |SELECT id_a, id_b, cos,
          |  da.lang AS lang_a, db.lang AS lang_b,
          |  CAST(da.source = db.source AS INTEGER) AS same_source

@@ -57,10 +57,21 @@ object Sources {
   def pollTick(spark: SparkSession, fetch: () => String, stagingDir: String,
                tickTime: java.sql.Timestamp): Long =
     try {
+      val payload = fetch()
+      // from_json never throws (PERMISSIVE → null on malformed input),
+      // so an API returning an HTML error page would otherwise be
+      // indistinguishable from a healthy empty array — probe the parse
+      // result explicitly so parse failure really takes the -1 path
+      import spark.implicits._
+      val parsed = Seq(payload).toDF("payload")
+        .select(from_json(col("payload"), ArrayType(quoteSchema)).as("q"))
+        .head()
+      if (parsed.isNullAt(0))
+        throw new IllegalArgumentException("unparseable payload (not a JSON array)")
       // persist: both the row count and the staging write consume the
       // parse+shape pipeline — without it every tick parses twice
       val shaped = graft.ops.Ingest.shapeBatch(
-          quotesFromJsonPayload(spark, fetch()), tickTime)
+          quotesFromJsonPayload(spark, payload), tickTime)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val n = shaped.count()

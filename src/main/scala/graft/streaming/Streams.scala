@@ -202,12 +202,17 @@ object Streams {
     *     `snapshotPath/batch_id=N` (also overwrite-idempotent: replaying
     *     batch N against snapshot N is a fixpoint);
     *  3. `onSnapshot` receives the new snapshot (the WS-broadcast seam,
-    *     S4/S5 — fan out to many clients via SnapshotFanout).
+    *     S4/S5 — fan out to many clients via SnapshotFanout). CONSUME IT
+    *     WITHIN THE CALLBACK: the frame is lazy over the generation
+    *     directory, which retention deletes once two newer generations
+    *     exist — a deferred action on a stored frame can hit
+    *     FileNotFoundException.
     *
     * Restart recovery: the freshest snapshot generation is rediscovered
-    * from the directory listing. Guarantee: idempotent at the store and
-    * snapshot level (NOT exactly-once side effects — `onSnapshot` may be
-    * re-invoked for a replayed batch with identical input). */
+    * from the directory listing (including after a checkpoint reset —
+    * see the fold-base selection). Guarantee: idempotent at the store
+    * and snapshot level (NOT exactly-once side effects — `onSnapshot`
+    * may be re-invoked for a replayed batch with identical input). */
   def startSnapshotStream(spark: SparkSession, source: DataFrame,
                           storePath: String, checkpoint: String,
                           snapshotPath: String,
@@ -222,10 +227,23 @@ object Streams {
         // fold into the newest COMMITTED generation STRICTLY BELOW this
         // batch id: a replay of batch N must land on snapshot N-1 (a
         // fixpoint), never read its own possibly-torn batch_id=N dir,
-        // and never trust a crash-interrupted write (no _SUCCESS)
+        // and never trust a crash-interrupted write (no _SUCCESS).
+        // CHECKPOINT RESET: a wiped checkpoint restarts batch ids at 0
+        // while older generations (ids ABOVE batchId) survive on disk —
+        // inherit the newest committed one instead of silently
+        // abandoning (and below, deleting) the accumulated state; a gen
+        // whose id EQUALS batchId is this batch's own earlier write
+        // (replay) and is correctly never a fold base. (Known marginal
+        // edge: resetting the checkpoint when the old stream ran EXACTLY
+        // one batch leaves only gen 0, indistinguishable from a replay
+        // of new batch 0 — that lone generation is not inherited; keys
+        // reappear as they re-tick, and snapshotRecompute over the store
+        // remains the full-recovery path.)
         val gens = listBatchDirs(ss, snapshotPath)
-        val prevGen = gens.filter(_._1 < batchId).sortBy(-_._1)
-          .find(g => isCommitted(ss, g._2))
+        def newestCommitted(c: Seq[(Long, org.apache.hadoop.fs.Path)]) =
+          c.sortBy(-_._1).find(g => isCommitted(ss, g._2))
+        val prevGen = newestCommitted(gens.filter(_._1 < batchId))
+          .orElse(newestCommitted(gens.filter(_._1 > batchId)))
         val prev = prevGen.map(g => ss.read.parquet(g._2.toString))
         val batchCols = batch.drop("batch_id")
         val base = prev match {

@@ -60,8 +60,11 @@ class SourceSinkSpec extends SparkSpec {
     assert(Sources.pollTick(spark,
       () => throw new java.io.IOException("connection refused"), staging, ts(2)) == -1L)
     assert(Sources.pollTick(spark, () => good3, staging, ts(3)) == 2L)
-    // a malformed payload yields no rows (PERMISSIVE parse → empty, 0)
-    assert(Sources.pollTick(spark, () => "not json at all", staging, ts(4)) == 0L)
+    // a malformed payload is a SKIPPED tick too (-1), NOT a healthy
+    // empty one — from_json's null-on-malformed is probed explicitly
+    assert(Sources.pollTick(spark, () => "not json at all", staging, ts(4)) == -1L)
+    // a genuinely empty array IS healthy: 0 rows, no error
+    assert(Sources.pollTick(spark, () => "[]", staging, ts(5)) == 0L)
     // the staged ticks flow through a file-source stream — the actual S1
     // wiring: poll loop stages, Structured Streaming tails
     val q = spark.readStream.schema(Ingest.pricesSchema).parquet(staging)

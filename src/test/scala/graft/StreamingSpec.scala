@@ -230,6 +230,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(store).select("event_id").distinct().count() == 3)
   }
 
+  test("snapshot stream survives a checkpoint reset: batch ids restart " +
+    "at 0 but the accumulated snapshot state is inherited") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = Files.createTempDirectory("graft_cr_store").toString + "/prices"
+    val snapDir = Files.createTempDirectory("graft_cr_snap").toString + "/snap"
+    def run(ckpt: String, batches: Seq[Seq[Ev]]): Seq[Map[Long, Double]] = {
+      val mem = MemoryStream[Ev]
+      val snaps = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Double]]
+      val q = Streams.startSnapshotStream(spark, mem.toDF(), store, ckpt, snapDir,
+          Trigger.ProcessingTime(0)) { (snap, _) =>
+        snaps += snap.select("user_id", "value").as[(Long, Double)].collect().toMap
+      }
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      snaps.toSeq
+    }
+    // first life: two batches, two users
+    run(Files.createTempDirectory("graft_cr_ck1").toString, Seq(
+      Seq(ev(1, 0, 1, "click", 1.0), ev(2, 1, 2, "view", 5.0)),
+      Seq(ev(3, 2, 1, "click", 7.0))))
+    // checkpoint WIPED (fresh dir): batch ids restart at 0; user 3 is
+    // new, users 1 and 2 have no events in the new life at all
+    val snaps2 = run(Files.createTempDirectory("graft_cr_ck2").toString, Seq(
+      Seq(ev(4, 3, 3, "click", 9.0))))
+    assert(snaps2.last == Map(1L -> 7.0, 2L -> 5.0, 3L -> 9.0),
+      s"pre-reset keys must survive the reset: ${snaps2.last}")
+  }
+
   test("snapshot replay is a fixpoint: folding a batch into its own " +
     "snapshot generation changes nothing (at-least-once safety)") {
     val batch = Seq(ev(1, 0, 1, "click", 1.0), ev(2, 1, 2, "view", 5.0),
