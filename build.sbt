@@ -15,6 +15,10 @@ run / fork := true
 // strategy prefixes every stdout line with "[info] ", which breaks any
 // consumer that parses graft.Bench's one-line JSON from stdout.
 run / outputStrategy := Some(StdoutOutput)
+// ... and sbt's own "[success] Total time: ..." trailer would otherwise
+// print AFTER the JSON, so a last-line parser still misses it.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
