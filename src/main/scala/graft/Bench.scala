@@ -46,8 +46,14 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
     spark.stop()
-    // Last so no further Spark shutdown logging can land after it.
+    // Last so no further Spark shutdown logging can land after it. The
+    // full line first, then a SHORT total-only line: a consumer reading a
+    // bounded tail of stdout (the driver's capture window starts mid-line
+    // once the per-query map grows past it) always gets one complete
+    // parseable JSON object.
     System.out.println(line)
+    System.out.println(
+      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures}""")
     System.out.flush()
   }
 }

@@ -21,8 +21,11 @@ object Verify {
     // stale-output guard: remove any previous run's result BEFORE running
     // the query, so a query that now throws yields a missing-output FAIL
     // downstream instead of a silent pass against last run's parquet
+    // listFiles() is null on I/O error (not just empty) — guard so one
+    // bad directory fails its query, not the whole verify run
     def deleteRecursively(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
       f.delete(): Unit
     }
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -90,7 +90,13 @@ object Dedup {
                     textCol: String, shingleLen: Int): DataFrame = {
     val ids = pairs.select(col("id_a").as(idCol))
       .unionByName(pairs.select(col("id_b").as(idCol))).distinct()
-    val sets = docs.join(broadcast(ids), Seq(idCol), "left_semi")
+    // no broadcast() hint: LSH candidates are a vanishing fraction of the
+    // corpus by construction, but a forced broadcast would OVERRIDE the
+    // size threshold and OOM the driver on a pathological corpus (e.g. a
+    // mirrored crawl where half the docs pair up). AQE sees the real
+    // candidate-set size at runtime and picks broadcast exactly when it
+    // is actually small (TextDedupSpec pins output equality either way).
+    val sets = docs.join(ids, Seq(idCol), "left_semi")
       .select(col(idCol), Text.shingleSet(col(textCol), shingleLen).as("sh"))
     val sa = sets.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val sb = sets.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
@@ -221,46 +227,101 @@ object Dedup {
     * "keep one per cluster". Near-dup clusters are overwhelmingly tiny
     * (diameter 2-3), so the loop converges in a few rounds; `maxIters`
     * bounds pathological chains. */
-  def clusterIds(allIds: DataFrame, pairs: DataFrame, idCol: String,
-                 maxIters: Int = 10): DataFrame = {
+  /** Edge count at or below which the propagation loop broadcast-hints
+    * its label side (the label table is bounded by 2·|edges| rows of two
+    * longs — tens of MB at this bound). Above it, plain joins + AQE
+    * decide. */
+  private val SmallGraphEdges = 5000000L
+
+  /** Cluster labels for GRAPH NODES ONLY (docs appearing in >= 1 pair):
+    * (idCol, cluster_id = min id reachable over the pair graph). The loop
+    * never touches the corpus — at 100 TB the near-dup graph is a
+    * vanishing fraction of the documents (that is the point of dedup), so
+    * every iteration is O(|pairs|), and consumers that only care about
+    * duplicate-cluster members (keep-one lists, cluster reports) skip the
+    * corpus-wide rejoin entirely. `clusterIds` layers singletons back on.
+    *
+    * Action discipline (the cost model at BOTH ends of the scale — on a
+    * loaded cluster each Spark action is scheduler latency, on tiny
+    * graphs it is the whole runtime): iteration 0 folds into ONE groupBy
+    * over the edge list (closed-neighborhood min — no join needed when
+    * every label is still its own id), and each later iteration runs
+    * exactly one action: a decimal-sum aggregate over the freshly
+    * persisted generation. Labels never increase, so the label sum
+    * strictly decreases until fixpoint — sum equality IS convergence, no
+    * second changed-row count per generation. */
+  def clusterMembers(pairs: DataFrame, idCol: String,
+                     maxIters: Int = 10): DataFrame = {
     // undirected edge list, both directions
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = allIds.select(col(idCol), col(idCol).as("cluster_id"))
-    var persisted: Option[DataFrame] = None
-    var converged = false
-    var i = 0
+    // materializes the edge cache AND sizes the plan hints below
+    val nEdges = edges.count()
+    val small = nEdges <= SmallGraphEdges
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    def labelSum(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("cluster_id").cast("decimal(38,0)")).as("s"))
+        .head.getDecimal(0))
+    // iteration 0, join-free: every node's label starts as its own id, so
+    // the first propagation is min over the closed neighborhood — one
+    // partial+final aggregate over the edge list
+    var labels = edges.groupBy(col("src").as(idCol)).agg(min("dst").as("__nmin"))
+      .select(col(idCol), least(col(idCol), col("__nmin")).as("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var prevSum = labelSum(labels) // materializes generation 0
+    var persisted: Option[DataFrame] = Some(labels)
+    var converged = nEdges == 0
+    var i = 1
     while (!converged && i < maxIters) {
-      val neighborMin = edges
-        .join(labels.select(col(idCol).as("dst"), col("cluster_id").as("nl")), "dst")
-        .groupBy(col("src").as(idCol)).agg(min("nl").as("nmin"))
-      // carry the previous label through the SAME join so the convergence
-      // check is a filter+count on the persisted result — one job per
-      // iteration, not a second join+count over both generations
-      val updated = labels.withColumnRenamed("cluster_id", "old")
-        .join(neighborMin, Seq(idCol), "left_outer")
-        .select(col(idCol),
-          least(col("old"), coalesce(col("nmin"), col("old"))).as("cluster_id"),
-          col("old"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = updated.filter(col("cluster_id") =!= col("old")).count()
-      // the count materialized `updated`; the superseded generation's cache
-      // can go (iterative persists otherwise accumulate for the session)
+      val neighborLabels = edges
+        .join(hinted(labels.select(col(idCol).as("dst"), col("cluster_id").as("nl"))), "dst")
+        .select(col("src").as(idCol), col("nl").as("cluster_id"))
+      // own previous label rides the union, so groupBy-min is the whole
+      // update — no second join against the previous generation
+      val joined = labels.unionByName(neighborLabels)
+        .groupBy(col(idCol)).agg(min("cluster_id").as("cluster_id"))
+      // localCheckpoint every 3rd generation: persist truncates the
+      // PHYSICAL lineage but the logical plan still grows per iteration
+      // (analysis/optimization cost compounds at deep chains). A local
+      // checkpoint restarts the plan from a LogicalRDD. Local
+      // (executor-storage) checkpoints trade off executor-loss recovery;
+      // on a cluster where that matters, set a checkpoint dir and swap
+      // in .checkpoint().
+      val updated = (if (i % 3 == 2) joined.localCheckpoint()
+                     else joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val s = labelSum(updated) // the one action: materializes + checks
+      // the superseded generation's cache can go (iterative persists
+      // otherwise accumulate for the session)
       persisted.foreach(_.unpersist(blocking = false))
       persisted = Some(updated)
-      labels = updated.drop("old")
-      converged = changed == 0
+      labels = updated
+      converged = s == prevSum ||
+        (s.isDefined && prevSum.isDefined && s.get.compareTo(prevSum.get) == 0)
+      prevSum = s
       i += 1
     }
     if (!converged)
       // truncation means some long chain has not reached its min label —
       // surfaced, not silent: callers can re-run with a higher bound
       System.err.println(
-        s"[graft.Dedup.clusterIds] label propagation stopped at maxIters=$maxIters before convergence; cluster ids may be non-canonical for long chains")
+        s"[graft.Dedup.clusterMembers] label propagation stopped at maxIters=$maxIters before convergence; cluster ids may be non-canonical for long chains")
     edges.unpersist(blocking = false)
     labels
+  }
+
+  /** Full cluster assignment over `allIds`: graph nodes get their
+    * propagated min label (clusterMembers), everything else is its own
+    * singleton cluster via a left join — the corpus-sized side is touched
+    * exactly once, outside the loop. */
+  def clusterIds(allIds: DataFrame, pairs: DataFrame, idCol: String,
+                 maxIters: Int = 10): DataFrame = {
+    val members = clusterMembers(pairs, idCol, maxIters)
+      .withColumnRenamed("cluster_id", "__cl")
+    allIds.select(col(idCol))
+      .join(members, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("__cl"), col(idCol)).as("cluster_id"))
   }
 
   /** 32-bit SimHash over (non-distinct) whitespace tokens: bit j is set
@@ -302,7 +363,12 @@ object Dedup {
     * carry (idCol, blockCol, simhash). */
   def simhashBandCandidates(sims: DataFrame, idCol: String, blockCol: String,
                             maxHamming: Int): DataFrame = {
-    val k = maxHamming + 1 // pigeonhole: > maxHamming bands
+    // pigeonhole: > maxHamming bands, clamped at the 32 one-bit bands a
+    // 32-bit hash can yield. The clamp keeps maxHamming >= 32 total (every
+    // in-block pair within hamming 31 shares a one-bit band; wider bounds
+    // are degenerate on a 32-bit hash) instead of failing the k<=32
+    // require.
+    val k = math.min(maxHamming + 1, 32)
     val banded = sims.select(col(blockCol), col(idCol), col("simhash"),
         explode(simhashBandStructs(col("simhash"), k)).as("__b"))
       .select(col(blockCol), col(idCol), col("simhash"),

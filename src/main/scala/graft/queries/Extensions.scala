@@ -38,6 +38,14 @@ object Extensions {
   // an in-flight insert and strand a persisted-but-unmapped frame; the
   // guarded fn only BUILDS a plan (persist marks lazily, no job), so
   // holding the lock is cheap.
+  // STALENESS CONTRACT: entries key on (session, dir) only — if the
+  // parquet files under `dir` are REGENERATED within the same session, a
+  // cached frame serves results computed from the old files (or throws
+  // FileNotFound from the cached scan — the plan's file listing is
+  // snapshotted at build time, not just its storage). A harness that
+  // rewrites data mid-session must start a fresh session for the new
+  // data (the normal driver pattern: one session per verify/bench run);
+  // spark.catalog.clearCache() alone is NOT enough to refresh these.
   private val memoCache = scala.collection.mutable.HashMap.empty[
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
   private def memoized(s: org.apache.spark.sql.SparkSession, key: String)
@@ -145,12 +153,13 @@ object Extensions {
     }),
 
     // Pairwise near-dups → duplicate CLUSTERS (connected components via
-    // min-label propagation; rows-only — recursive closure is pinned by
-    // fixtures in TextDedupSpec, not SQL).
+    // min-label propagation). The query keeps only members of nontrivial
+    // clusters, so it reads the graph-nodes-only clusterMembers frame —
+    // singletons (the corpus-sized rejoin clusterIds adds) would be
+    // filtered right back out.
     "q_dedup_clusters" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      Dedup.clusterIds(docs.select("doc_id"), verifiedPairs(s, dir), "doc_id")
-        .filter(col("cluster_id") =!= col("doc_id")) // members of nontrivial clusters
+      Dedup.clusterMembers(verifiedPairs(s, dir), "doc_id")
+        .filter(col("cluster_id") =!= col("doc_id")) // cluster minima drop too
         .orderBy(col("doc_id").asc)
     }),
 
@@ -218,25 +227,37 @@ object Extensions {
       embedNearDupPairs(s, dir).orderBy(col("id_a").asc, col("id_b").asc)
     }),
 
-    // LSH-bucketed ANN (the scale path; no SQL oracle — recall vs
-    // brute force is asserted in AnnSpec).
+    // LSH-bucketed ANN (the scale path), emitted as a per-probe recall
+    // report vs the in-query brute-force ground truth so the driver
+    // oracle checks it (the q_approx_distinct bound-assertion pattern —
+    // closes the last rows-only gap from round 2). 16 tables (one
+    // OR-amplification rung above the spec's 8-table recall floor) holds
+    // per-probe recall at >= 4/5 on the gate SFs with the asserted bound
+    // at 3/5.
     "q_embed_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
-          numPlanes = 4, numTables = 8)
-        .orderBy(col("probe_id").asc, col("rank").asc)
+      val probes = emb.filter(col("vec_id") < 10)
+      val ann = Similarity.lshTopK(probes, emb, k = 5,
+        numPlanes = 4, numTables = 16)
+      Similarity.recallReport(ann, Similarity.bruteForceTopK(probes, emb, 5),
+          minHits = 3)
+        .orderBy(col("probe_id").asc)
     }),
 
-    // IVF ANN (deterministic Lloyd-trained cells, nProbe search; no SQL
-    // oracle — recall vs brute force pinned in SimilaritySpec).
+    // IVF ANN (deterministic Lloyd-trained cells, nProbe search) — same
+    // recall-report shape and bound as the LSH query; nProbe=6 of 16
+    // cells holds per-probe recall at >= 4/5 on the gate SFs.
     "q_embed_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") < 10)
       val centroids = graft.sim.Ivf.trainCentroids(emb, k = 16, iters = 2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val index = graft.sim.Ivf.buildIndex(emb, centroids)
-      graft.sim.Ivf.ivfTopK(emb.filter(col("vec_id") < 10), index, centroids,
-          nProbe = 4, k = 5)
-        .orderBy(col("probe_id").asc, col("rank").asc)
+      val ann = graft.sim.Ivf.ivfTopK(probes, index, centroids,
+        nProbe = 6, k = 5)
+      Similarity.recallReport(ann, Similarity.bruteForceTopK(probes, emb, 5),
+          minHits = 3)
+        .orderBy(col("probe_id").asc)
     }),
 
     // ---- multimodal (stub decode, real plumbing; deterministic
@@ -314,6 +335,37 @@ object Extensions {
        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE round(list_dot_product(a.v, b.v)
        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= $CosThreshold""".stripMargin
+
+  /** Brute-force cosine top-k ranking as a WITH-chain (through the
+    * `ranked` CTE) — shared by the q_embed_topk oracle and the two ANN
+    * recall oracles so the ground-truth definition cannot drift. */
+  private val bruteRankedSql: String =
+    """WITH probes AS (SELECT vec_id AS probe_id,
+      |    CAST(embedding AS DOUBLE[]) AS pv
+      |  FROM embeddings WHERE vec_id < 10),
+      |corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      |scored AS (
+      |  SELECT probe_id, vec_id AS neighbor_id,
+      |    round(list_dot_product(pv, cv)
+      |      / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+      |  FROM probes CROSS JOIN corpus
+      |  WHERE vec_id <> probe_id),
+      |ranked AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+      |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+      |  FROM scored)""".stripMargin
+
+  /** Shared oracle for both ANN queries (Similarity.recallReport output):
+    * per-probe true-top-5 stats from the brute ranking + the literal
+    * recall bound. */
+  private val annRecallOracleSql: String =
+    s"""$bruteRankedSql
+      |SELECT probe_id, count(*) AS n_true,
+      |  max(CASE WHEN rank = 1 THEN neighbor_id END) AS best_neighbor_id,
+      |  max(CASE WHEN rank = 1 THEN cos END) AS best_cos,
+      |  CAST(1 AS BOOLEAN) AS recall_ok
+      |FROM ranked WHERE rank <= 5
+      |GROUP BY probe_id ORDER BY probe_id""".stripMargin
 
   /** Verified MinHash near-dup pairs as one (nestable) WITH-chain — the
     * SQL twin of `verifiedPairs`, shared by the q_dedup_minhash oracle
@@ -484,22 +536,17 @@ object Extensions {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_embed_topk" ->
-      """WITH probes AS (SELECT vec_id AS probe_id,
-        |    CAST(embedding AS DOUBLE[]) AS pv
-        |  FROM embeddings WHERE vec_id < 10),
-        |corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-        |scored AS (
-        |  SELECT probe_id, vec_id AS neighbor_id,
-        |    round(list_dot_product(pv, cv)
-        |      / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
-        |  FROM probes CROSS JOIN corpus
-        |  WHERE vec_id <> probe_id),
-        |ranked AS (
-        |  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
-        |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
-        |  FROM scored)
+      s"""$bruteRankedSql
         |SELECT probe_id, rank, neighbor_id, cos FROM ranked
         |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+
+    // ANN recall oracles: every column except recall_ok is an exact
+    // brute-force derivation the oracle computes independently; recall_ok
+    // asserts |ann ∩ true top-5| >= 3 per probe, which the oracle states
+    // as literal true (measured per-probe minimum at the gate SFs is
+    // 4/5 for both index configurations — one hit of margin).
+    "q_embed_ann_lsh" -> annRecallOracleSql,
+    "q_embed_ann_ivf" -> annRecallOracleSql,
 
     "q_embed_neardup" -> (embedPairsSql + " ORDER BY id_a, id_b"),
 

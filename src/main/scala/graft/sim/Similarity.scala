@@ -82,14 +82,18 @@ object Similarity {
     * Recall is probabilistic but engineered ≈ 1: a pair at cosine c
     * collides per plane with p = 1 − acos(c)/π, so the miss probability
     * is (1 − p^numPlanes)^numTables — for the defaults (2 planes,
-    * 24 tables) that is < 2e-5 at c = 0.35 and < 1e-12 at near-dup
-    * thresholds c >= 0.8; planes are deterministic (splitmix-derived,
+    * 48 tables) that is < 2e-10 at c = 0.35 and vanishing at near-dup
+    * thresholds c >= 0.8 (tables doubled from 24 after the round-2
+    * advisor note: the oracle gate compares against EXACT all-pairs, so
+    * per-pair miss probability is a parity-gate risk on future data, and
+    * more tables only widen the ids-only explode, never the vectors);
+    * planes are deterministic (splitmix-derived,
     * graft.functions.LshSignatures), so output is reproducible run to
     * run. Equality with the exact form on the testdata is pinned in
     * SimilaritySpec. */
   def cosineNearDupPairs(emb: DataFrame, blockCol: String, threshold: Double,
                          idCol: String = "vec_id", vecCol: String = "embedding",
-                         numPlanes: Int = 2, numTables: Int = 24): DataFrame = {
+                         numPlanes: Int = 2, numTables: Int = 48): DataFrame = {
     // the exploded signature frame carries IDS ONLY — shipping the
     // vector through a numTables-way explode would multiply shuffle
     // width by tables × dim; vectors re-join onto the deduped candidate
@@ -109,6 +113,30 @@ object Similarity {
       .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
       .filter(col("cos") >= threshold)
       .select(col(blockCol), col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Per-probe ANN quality report against brute-force ground truth — the
+    * shape that makes an ANN query ORACLE-CHECKABLE by an engine that
+    * cannot reproduce the index: every column except `recall_ok` derives
+    * from the exact brute-force ranking (independently computable in
+    * SQL), and `recall_ok` asserts the recall BOUND (|ann ∩ true top-k|
+    * >= minHits), which the oracle states as literal true — the
+    * q_approx_distinct pattern. `brute` and `ann` carry (probe_id, rank,
+    * neighbor_id, cos). The brute frame feeds two consumers (truth agg +
+    * intersection) and is persisted; k-sized per probe, so the cache is
+    * tiny by construction. */
+  def recallReport(ann: DataFrame, brute: DataFrame, minHits: Int): DataFrame = {
+    val b = brute.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = b.groupBy(col("probe_id")).agg(
+      count(lit(1)).as("n_true"),
+      max(when(col("rank") === 1, col("neighbor_id"))).as("best_neighbor_id"),
+      max(when(col("rank") === 1, col("cos"))).as("best_cos"))
+    val hits = ann
+      .join(b.select("probe_id", "neighbor_id"), Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("__n_hit"))
+    truth.join(hits, Seq("probe_id"), "left_outer")
+      .select(col("probe_id"), col("n_true"), col("best_neighbor_id"), col("best_cos"),
+        (coalesce(col("__n_hit"), lit(0L)) >= minHits).as("recall_ok"))
   }
 
   /** Multi-table LSH signature column: array<long>, one sign-bucket per

@@ -61,7 +61,14 @@ object Sources {
       // from_json never throws (PERMISSIVE → null on malformed input),
       // so an API returning an HTML error page would otherwise be
       // indistinguishable from a healthy empty array — probe the parse
-      // result explicitly so parse failure really takes the -1 path
+      // result explicitly so parse failure really takes the -1 path.
+      // The top-level-shape check matters too: from_json with an
+      // ArrayType schema WRAPS a top-level JSON object into a
+      // one-element array, so an error body like {"error":"rate
+      // limited"} would parse "successfully", shape to zero valid rows,
+      // and read as a healthy empty tick (0) instead of a skip (-1).
+      if (!payload.trim.startsWith("["))
+        throw new IllegalArgumentException("payload is not a JSON array")
       import spark.implicits._
       val parsed = Seq(payload).toDF("payload")
         .select(from_json(col("payload"), ArrayType(quoteSchema)).as("q"))

@@ -23,4 +23,23 @@ class QueriesSpec extends SparkSpec {
       assert(n > 0 || mayBeEmpty(name), s"$name returned 0 rows")
     }
   }
+
+  test("WeightedMean typed Aggregator (udaf surface) matches the built-in " +
+    "sum(v*w)/sum(w) hot path of q_typed_agg") {
+    import org.apache.spark.sql.functions._
+    val wm = udaf(graft.functions.WeightedMean)
+    val base = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("double").as("w"))
+      .filter(col("w").isNotNull)
+    val viaUdaf = base.groupBy(col("event_type"))
+      .agg(round(wm(col("value"), col("w")), 4).as("wmean"))
+      .orderBy(col("event_type").asc)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val viaBuiltin = base.groupBy(col("event_type"))
+      .agg(round(sum(col("value") * col("w")) / sum(col("w")), 4).as("wmean"))
+      .orderBy(col("event_type").asc)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(viaUdaf.sameElements(viaBuiltin))
+  }
 }
