@@ -60,18 +60,49 @@ object Dedup {
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** The same MinHash signatures computed PER ROW (higher-order array
+    * fold over the shingle set — no explode, no shuffle, no aggregation),
+    * appended as h0..h{numHashes-1} columns with every input column
+    * preserved. Identical values to `minhashSignatures` (pinned in
+    * TextDedupSpec): min over the same derived-hash family, just folded
+    * in-row instead of shuffled. This is the STREAMING-SAFE shape — a
+    * stateless map a micro-batch can run without a stateful aggregation —
+    * and the right batch shape too when rows are normal-document-sized
+    * (the exploded+grouped form exists for pathological single-row
+    * blowups where one doc's shingle set should not sit in one buffer).
+    * The md5 array is materialized in its own projection first: a lambda
+    * referencing an unmaterialized expensive array inlines it PER
+    * ELEMENT (the winnowing O(n²) trap — see the parity notes). */
+  def withRowwiseMinhashSignatures(df: DataFrame, textCol: String,
+                                   shingleLen: Int, numHashes: Int): DataFrame = {
+    val hs = transform(Text.shingleSet(col(textCol), shingleLen), sh => {
+      val m = md5(sh)
+      struct(conv(substring(m, 1, 15), 16, 10).cast("long").as("h1"),
+        (conv(substring(m, 17, 15), 16, 10).cast("long") % KMod).as("h2"))
+    })
+    val staged = df.withColumn("__hs", hs)
+    val sigCols = (0 until numHashes).map(i =>
+      array_min(transform(col("__hs"), s =>
+        s.getField("h1") + lit(i.toLong) * s.getField("h2"))).as(s"h$i"))
+    staged.select(col("*") +: sigCols: _*).drop("__hs")
+  }
+
   /** LSH band keys: (band_idx, band_key) rows, band_key = md5 of the
     * concatenated row hashes in the band. One generator pass (explode of
     * per-band structs) — a union of per-band selects would re-run the
     * whole upstream MinHash aggregation once per band. */
-  def lshBands(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandStructs = (0 until bands).map { b =>
+  /** The per-row array of (band_idx, band_key) structs over signature
+    * columns h0..h{numHashes-1} — shared by the batch band table and the
+    * streaming screen so the band definition cannot drift. */
+  def lshBandStructs(bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
       struct(lit(b).as("band_idx"), md5(concat_ws("|", cols: _*)).as("band_key"))
-    }
-    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("__b"))
+    }: _*)
+
+  def lshBands(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col(idCol), explode(lshBandStructs(bands, rowsPerBand)).as("__b"))
       .select(col(idCol), col("__b.band_idx"), col("__b.band_key"))
-  }
 
   /** Candidate pairs (a < b) sharing at least one LSH band. */
   def lshCandidates(bandDf: DataFrame, idCol: String): DataFrame = {

@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.Tables
+import graft.sources.Sinks
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Partitioned-store queries: the §7.4.7 layout story driven END TO END —
+  * the event log is written through `Sinks.appendDatePartitioned` into a
+  * date-partitioned parquet store, and the history query reads it back
+  * with a partition-pruning plan (PartitionFilters on `event_date`,
+  * row-level PushedFilters on the key — pinned in PlanSpec). This is the
+  * difference between scanning a day and a decade at 100 TB: the
+  * reference re-scans its whole unpartitioned PG table per request
+  * (`api/server.js:90-143`).
+  */
+object Stores {
+
+  private val lock = new Object
+
+  /** Cheap content fingerprint of a source parquet file/dir (mtime +
+    * length over the tree): keys the store path so regenerated testdata
+    * can never be served from a stale store built by an earlier run. */
+  private def fingerprint(f: java.io.File): Long = {
+    val own = f.lastModified() ^ java.lang.Long.rotateLeft(f.length(), 31)
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .foldLeft(own)((acc, c) => acc ^ java.lang.Long.rotateLeft(fingerprint(c), 7))
+    else own
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Build (once) and return the date-partitioned events store for `dir`.
+    * Idempotent per (testdata fingerprint): a `_STORE_OK` marker commits
+    * a finished build — a torn previous attempt (no marker) is wiped and
+    * rebuilt, never appended into (append-mode double-write is exactly
+    * the duplication hazard the marker exists to prevent). Serialized on
+    * a JVM-wide lock; the driver runs verify/bench single-threaded per
+    * JVM, and cross-JVM runs are separated in time. */
+  def eventsByDate(s: SparkSession, dir: String): String = lock.synchronized {
+    val src = new java.io.File(dir, "events.parquet")
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      f"graft_store_${fingerprint(src)}%016x")
+    val store = new java.io.File(root, "events_by_date")
+    val ok = new java.io.File(root, "_STORE_OK")
+    if (!ok.exists()) {
+      deleteRecursively(store)
+      root.mkdirs()
+      Sinks.appendDatePartitioned(Tables.events(s, dir), store.getPath, "ts")
+      ok.createNewFile(): Unit
+    }
+    store.getPath
+  }
+
+  val defs: Map[String, Q] = Map(
+    // Same semantics (and oracle) as q_history, but served from the
+    // date-partitioned store: the day-range lands on the PARTITION column
+    // (directory pruning — non-selected days are never listed, let alone
+    // read), the key equality lands in PushedFilters, and the row-level
+    // ts bounds keep the exact [start 00:00, end+1d) semantics within the
+    // boundary days.
+    "q_history_partitioned" -> ((s, dir) => {
+      val store = s.read.parquet(eventsByDate(s, dir))
+      store
+        .filter(col("event_date") >= to_date(lit("2024-01-05")) &&
+          col("event_date") <= to_date(lit("2024-01-20")) &&
+          col("user_id") === 7L &&
+          graft.ops.History.inclusiveDayRange(col("ts"), "2024-01-05", "2024-01-20"))
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy(col("ts").asc, col("event_id").asc)
+    }))
+
+  val oracle: Map[String, String] = Map(
+    // The store holds exactly the events rows (+ the derived partition
+    // column, projected away), so the oracle reads the ORIGINAL events
+    // table — which doubles as a round-trip check on the store write.
+    "q_history_partitioned" ->
+      """SELECT event_id, ts, event_type, value FROM events
+        |WHERE user_id = 7
+        |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-21 00:00:00'
+        |ORDER BY ts, event_id""".stripMargin)
+}

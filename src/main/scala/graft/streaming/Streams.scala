@@ -84,6 +84,57 @@ object Streams {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming NEAR-dup screen for a live document stream — the MinHash
+    * rung above `streamingContentDedup`'s exact fingerprints: each live
+    * doc's LSH band keys (computed per row, no stateful aggregation —
+    * Dedup.withRowwiseMinhashSignatures) join the BATCH corpus band table
+    * (stream-static, stateless: the static side is the materialized LSH
+    * index the warehouse already keeps for Dedup.minhashNearDups), and
+    * band-collision candidates are exact-Jaccard verified against the
+    * corpus shingle sets. Emits (idCol, corpus_id, ts, jaccard) matches
+    * at or above `threshold`; a pair colliding in several bands dedups in
+    * watermark-bounded state. Same shingle/signature/band parameters →
+    * identical candidate generation and verification arithmetic as the
+    * batch pipeline (parity pinned in StreamingSpec).
+    *
+    * Both static frames are persisted: a file-backed static side would
+    * otherwise recompute signatures for the WHOLE corpus every
+    * micro-batch. Refresh cadence = the batch index job's schedule
+    * (unpersist + rebuild on corpus change). */
+  def streamingMinhashNearDups(live: DataFrame, corpus: DataFrame,
+                               idCol: String, textCol: String, delay: String,
+                               shingleLen: Int = 3, numHashes: Int = 12,
+                               bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val corpusBands = graft.dedup.Dedup.lshBands(
+        graft.dedup.Dedup.minhashSignatures(corpus, idCol, textCol, shingleLen, numHashes),
+        idCol, bands, rowsPerBand)
+      .withColumnRenamed(idCol, "corpus_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusSets = corpus.select(col(idCol).as("corpus_id"),
+        graft.text.Text.shingleSet(col(textCol), shingleLen).as("__sh_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = graft.dedup.Dedup.withRowwiseMinhashSignatures(
+      live, textCol, shingleLen, numHashes)
+    val liveBands = sigs
+      .select(col(idCol), col("ts"), col(textCol),
+        explode(graft.dedup.Dedup.lshBandStructs(bands, rowsPerBand)).as("__b"))
+      .select(col(idCol), col("ts"), col(textCol),
+        col("__b.band_idx").as("band_idx"), col("__b.band_key").as("band_key"))
+    val cands = liveBands
+      .join(corpusBands, Seq("band_idx", "band_key"))
+      .filter(col(idCol) =!= col("corpus_id"))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(idCol, "corpus_id")
+    cands.join(corpusSets, "corpus_id")
+      .withColumn("__sh_a", graft.text.Text.shingleSet(col(textCol), shingleLen))
+      .withColumn("__inter", size(array_intersect(col("__sh_a"), col("__sh_b"))))
+      .withColumn("jaccard", round(col("__inter").cast("double") /
+        (size(col("__sh_a")) + size(col("__sh_b")) - col("__inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col(idCol), col("corpus_id"), col("ts"), col("jaccard"))
+  }
+
   /** Latest-per-key snapshot over an accumulated store — what the
     * reference recomputes and broadcasts on every notify
     * (`api/server.js:166-193`). */

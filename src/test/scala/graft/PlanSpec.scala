@@ -138,6 +138,38 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("q_history_partitioned prunes store partitions by event_date and " +
+    "pushes the key filter") {
+    val df = SparkEntry.queries("q_history_partitioned")(spark, sf0001)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    // the day-range must land on the PARTITION column (directory pruning),
+    // not only as a row-level filter
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_date"),
+      s"event_date bounds not in PartitionFilters:\n${p.take(800)}")
+    assert("event_date#\\d+ >=".r.findFirstIn(pf).isDefined &&
+      "event_date#\\d+ <=".r.findFirstIn(pf).isDefined,
+      s"both day bounds must prune partitions: $pf")
+    // key equality + row-level ts bounds still reach the parquet reader
+    assert(p.contains("EqualTo(user_id,7"), "key filter not pushed")
+    // and the scan must actually have skipped non-selected days: 16
+    // selected dates at most out of the ~40+ the store holds (scans hide
+    // under the AQE wrapper / materialized query stages — unwrap)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scanPartitionCounts(p: SparkPlan): Seq[Long] = p match {
+      case a: AdaptiveSparkPlanExec => scanPartitionCounts(a.executedPlan)
+      case q: QueryStageExec => scanPartitionCounts(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(f.selectedPartitions.partitionCount.toLong)
+      case other => other.children.flatMap(scanPartitionCounts)
+    }
+    val scanned = scanPartitionCounts(df.queryExecution.executedPlan)
+    assert(scanned.nonEmpty && scanned.forall(n => n > 0 && n <= 16),
+      s"expected <= 16 pruned store partitions, scanned $scanned")
+  }
+
   test("whole-stage codegen covers the q1_agg pipeline") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = SparkEntry.queries("q1_agg")(spark, sf0001)

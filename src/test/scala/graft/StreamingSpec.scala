@@ -10,6 +10,8 @@ import org.apache.spark.sql.streaming.Trigger
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double, props: String)
 
+case class DocEv(doc_id: Long, ts: Timestamp, text: String)
+
 /** Streaming semantics (SURVEY.md §2.9): batch/stream parity of the
   * shared transforms, watermark-bounded windowed aggs, snapshot
   * maintenance via foreachBatch — the reference's tick formalized. */
@@ -64,6 +66,44 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet
     assert(out.contains((1L, 2L, 3.0)), s"first session missing: $out")
     assert(out.contains((1L, 1L, 4.0)), s"second session missing: $out")
+  }
+
+  test("streamingMinhashNearDups matches batch minhashNearDups pairs and " +
+    "jaccard values on the same corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    def variant(change: Int) =
+      (1 to 40).map(i => if (i == change) "CHANGED" else s"tok$i").mkString(" ")
+    val texts = Seq(
+      1L -> base, 2L -> variant(20),
+      3L -> (100 to 140).map(i => s"zzz$i").mkString(" "),
+      4L -> variant(5),
+      5L -> (200 to 240).map(i => s"yyy$i").mkString(" "))
+    val corpus = texts.toDF("doc_id", "text")
+    val batchPairs = graft.dedup.Dedup
+      .minhashNearDups(corpus, "doc_id", "text", 3, 12, 4, 0.5)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batchPairs.nonEmpty, "fixture must contain batch near-dups")
+    val mem = MemoryStream[DocEv]
+    val q = Streams.streamingMinhashNearDups(mem.toDF(), corpus,
+        "doc_id", "text", "1 minute", shingleLen = 3, numHashes = 12,
+        bands = 4, threshold = 0.5)
+      .writeStream.format("memory").queryName("smnd_out")
+      .outputMode("append").start()
+    mem.addData(texts.map { case (id, t) =>
+      DocEv(id, Timestamp.valueOf("2024-01-01 10:00:00"), t) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    // the stream sees each pair from both ends (live=a,corpus=b and
+    // live=b,corpus=a) — canonicalize to (min,max) and expect EXACTLY the
+    // batch pairs with identical verified jaccard
+    val streamed = spark.table("smnd_out")
+      .select(least(col("doc_id"), col("corpus_id")).as("a"),
+        greatest(col("doc_id"), col("corpus_id")).as("b"), col("jaccard"))
+      .distinct()
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batchPairs, s"stream=$streamed batch=$batchPairs")
   }
 
   test("incrementalLatest keeps one state row per key and emits only changed keys") {

@@ -53,6 +53,19 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("row-wise minhash signatures equal the exploded+grouped form") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val fixture = docs((1L, base),
+      (2L, (1 to 40).map(i => if (i == 7) "X" else s"tok$i").mkString(" ")),
+      (3L, (100 to 130).map(i => s"zzz$i").mkString(" ")))
+    val grouped = Dedup.minhashSignatures(fixture, "doc_id", "text", 3, 12)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val rowwise = Dedup.withRowwiseMinhashSignatures(fixture, "text", 3, 12)
+      .select("doc_id", (0 until 12).map(i => s"h$i"): _*)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(grouped.toSeq == rowwise.toSeq)
+  }
+
   test("clusterIds: min-label propagation finds transitive dup clusters") {
     val ids = (1L to 8L).toDF("doc_id")
     // clusters: {1,2,3} via chain 1-2, 2-3; {5,7}; singletons 4,6,8
