@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fifth relational-breadth wave: the distribution-rank window family
+  * (ntile / percent_rank / cume_dist) and explicit-frame value windows
+  * (first/last/nth). Ranks and distribution scores are exact integer
+  * ratios — bit-identical across engines; every window totally orders
+  * its partition (tiebreak on the unique id) so frames are reproducible.
+  */
+object Breadth5 {
+
+  val defs: Map[String, Q] = Map(
+    // Distribution ranks per event type: quartile bucket, percent rank,
+    // cumulative distribution. percent_rank = (rank-1)/(n-1) and
+    // cume_dist = preceding/n are integer-ratio doubles (no rounding
+    // needed); the ordering is totally determined by (value, event_id).
+    "q_window_dist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .filter(col("event_id") < 1500)
+        .select(col("event_id"), col("event_type"), col("value"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cum_dist"))
+        .orderBy(col("event_id").asc)
+    }),
+
+    // Explicit-frame value windows per user (time-ordered, id tiebreak):
+    // the session's first value, the running last (default frame —
+    // unbounded preceding to current row), and the partition-wide second
+    // value via an explicit full frame. Frames are spelled out because
+    // last_value over the DEFAULT frame is the classic silent-wrong-
+    // answer trap — pinned here with both engines agreeing.
+    "q_window_firstlast" -> ((s, dir) => {
+      val ordered = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val full = ordered.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .filter(col("event_id") < 1500)
+        .select(col("event_id"), col("user_id"), col("value"),
+          first(col("value")).over(running).as("first_v"),
+          last(col("value")).over(running).as("running_last_v"),
+          nth_value(col("value"), 2).over(full).as("second_v"))
+        .orderBy(col("event_id").asc)
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_window_dist" ->
+      """SELECT event_id, event_type, value,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cum_dist
+        |FROM events WHERE event_id < 1500
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_window_firstlast" ->
+      """SELECT event_id, user_id, value,
+        |  first_value(value) OVER running AS first_v,
+        |  last_value(value) OVER running AS running_last_v,
+        |  nth_value(value, 2) OVER wfull AS second_v
+        |FROM events WHERE event_id < 1500
+        |WINDOW
+        |  running AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wfull AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin)
+}

@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.Tables
+import graft.sim.Similarity
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Third batch of training-data-pipeline operators: repetition-based
+  * quality signals (the Gopher/RefinedWeb "excessive repetition" rules),
+  * PII detection/redaction, and embedding-space outlier screening
+  * against per-label centroids. Same parity discipline as Extensions:
+  * integer counts, raw double division of identical operands, rounding
+  * only where both engines provably hold identical operands.
+  */
+object Extensions3 {
+
+  // PII patterns — Java-regex and RE2 compatible (no lookaround, no
+  // backrefs), so Spark and DuckDB match identical spans.
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val UrlRe = "https?://[^ ]+"
+
+  // embedding outlier flag: cosine-to-own-label-centroid below this
+  private val OutlierCos = 0.0
+
+  val defs: Map[String, Q] = Map(
+    // Token-repetition quality signals, per doc: duplicate-token ratio
+    // (1 - distinct/total re-expressed as an exact count ratio) and the
+    // dominant token's share — the two cheapest Gopher-style repetition
+    // screens. Inverted-list shape: tokens explode once, per-token counts
+    // partial-aggregate map-side, the per-doc argmax is a window over the
+    // (doc, token) counts — never a per-row array sort. The dominant
+    // token tie-breaks lexicographically so the cut is reproducible.
+    "q_repetition" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(graft.text.Text.tokens(col("text"))).as("tok"))
+      val perTok = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("n").desc, col("tok").asc)
+      perTok
+        .withColumn("__rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(sum("n").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max(when(col("__rn") === 1, col("tok"))).as("top_tok"),
+          max(when(col("__rn") === 1, col("n"))).as("top_n"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          col("top_tok"), col("top_n"),
+          ((col("n_tokens") - col("n_distinct")).cast("double") /
+            col("n_tokens").cast("double")).as("dup_ratio"),
+          (col("top_n").cast("double") / col("n_tokens").cast("double"))
+            .as("top_ratio"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // PII detect + redact. The corpus itself is synthetic and PII-free,
+    // so deterministic PII is INJECTED first (a pure function of doc_id,
+    // mirrored exactly in the oracle) — the operator under test is the
+    // detection/redaction pass: occurrence counts per pattern and the
+    // redacted length after replacing every match with a fixed tag.
+    // Everything is a codegen'd regexp over one projection — at 100 TB
+    // this is a map-only pass, no shuffle.
+    "q_pii_redact" -> ((s, dir) => {
+      val injected = concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" see https://docs.example.org/d/"), col("doc_id")))
+          .otherwise(lit("")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), injected.as("__t"))
+        .select(col("doc_id"),
+          regexp_count(col("__t"), lit(EmailRe)).as("n_emails"),
+          regexp_count(col("__t"), lit(UrlRe)).as("n_urls"),
+          length(col("__t")).as("len_raw"),
+          length(regexp_replace(regexp_replace(col("__t"), EmailRe, "<EMAIL>"),
+            UrlRe, "<URL>")).as("len_redacted"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // Embedding-space outlier screen: each vector's cosine to its OWN
+    // label's centroid, flagged when below threshold — the "does this
+    // example belong to its cluster" filter a curation pipeline runs
+    // after labeling. Centroid = elementwise mean via posexplode +
+    // groupBy(label, pos) (partial-aggregated, the corpus never
+    // collects), rounded to 6 dp BEFORE the cosine: the mean's last ulp
+    // is accumulation-order-dependent across engines, but once both
+    // engines hold the identical rounded centroid, the sequential-fold
+    // cosine (and therefore the flag) is bit-exact.
+    "q_embed_outliers" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cent = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("m"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("label"), transform(col("pm"), s => s.getField("m")).as("centroid"))
+      emb.join(broadcast(cent), "label")
+        .withColumn("cos_c",
+          round(Similarity.cosine(col("embedding"), col("centroid")), 4))
+        .select(col("vec_id"), col("label"), col("cos_c"),
+          (col("cos_c") < OutlierCos).as("is_outlier"))
+        .orderBy(col("vec_id").asc)
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_repetition" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(${Extensions.sqlTokens("text")}) AS tok
+        |  FROM documents),
+        |per_tok AS (
+        |  SELECT doc_id, tok, count(*) AS n FROM toks GROUP BY doc_id, tok),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY n DESC, tok) AS rn
+        |  FROM per_tok)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+        |  max(CASE WHEN rn = 1 THEN tok END) AS top_tok,
+        |  max(CASE WHEN rn = 1 THEN n END) AS top_n,
+        |  CAST(sum(n) - count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS dup_ratio,
+        |  CAST(max(CASE WHEN rn = 1 THEN n END) AS DOUBLE)
+        |    / CAST(sum(n) AS DOUBLE) AS top_ratio
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_pii_redact" ->
+      s"""WITH injected AS (
+        |  SELECT doc_id,
+        |    text
+        |      || CASE WHEN doc_id % 5 = 0
+        |           THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+        |      || CASE WHEN doc_id % 7 = 0
+        |           THEN ' see https://docs.example.org/d/' || doc_id ELSE '' END
+        |      AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '$UrlRe')) AS INTEGER) AS n_urls,
+        |  CAST(len(t) AS INTEGER) AS len_raw,
+        |  CAST(len(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+        |    '$UrlRe', '<URL>', 'g')) AS INTEGER) AS len_redacted
+        |FROM injected ORDER BY doc_id""".stripMargin,
+
+    "q_embed_outliers" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |dims AS (
+        |  SELECT label, i, round(avg(v[i]), 6) AS m
+        |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY label, i),
+        |cent AS (SELECT label, list(m ORDER BY i) AS c FROM dims GROUP BY label)
+        |SELECT vec_id, e.label,
+        |  round(list_dot_product(v, c)
+        |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c))), 4) AS cos_c,
+        |  round(list_dot_product(v, c)
+        |    / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(c, c))), 4)
+        |    < $OutlierCos AS is_outlier
+        |FROM e JOIN cent USING (label) ORDER BY vec_id""".stripMargin)
+}
