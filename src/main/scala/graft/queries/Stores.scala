@@ -35,28 +35,45 @@ object Stores {
     f.delete(): Unit
   }
 
-  /** Build (once) and return the date-partitioned events store for `dir`.
-    * Idempotent per (testdata fingerprint): a `_STORE_OK` marker commits
-    * a finished build — a torn previous attempt (no marker) is wiped and
-    * rebuilt, never appended into (append-mode double-write is exactly
-    * the duplication hazard the marker exists to prevent). Serialized on
-    * a JVM-wide lock; the driver runs verify/bench single-threaded per
-    * JVM, and cross-JVM runs are separated in time. */
-  def eventsByDate(s: SparkSession, dir: String): String = lock.synchronized {
+  /** Build (once) a derived store for `dir` and return its path.
+    * Idempotent per (testdata fingerprint): a per-store `_OK` marker
+    * commits a finished build — a torn previous attempt (no marker) is
+    * wiped and rebuilt, never appended into (append-mode double-write is
+    * exactly the duplication hazard the marker exists to prevent).
+    * Serialized on a JVM-wide lock; the driver runs verify/bench
+    * single-threaded per JVM, and cross-JVM runs are separated in time. */
+  private def materialized(dir: String, name: String)
+                          (build: String => Unit): String = lock.synchronized {
     val src = new java.io.File(dir, "events.parquet")
     val root = new java.io.File(
       sys.props("java.io.tmpdir"),
       f"graft_store_${fingerprint(src)}%016x")
-    val store = new java.io.File(root, "events_by_date")
-    val ok = new java.io.File(root, "_STORE_OK")
+    val out = new java.io.File(root, name)
+    val ok = new java.io.File(root, s"_OK_$name")
     if (!ok.exists()) {
-      deleteRecursively(store)
+      deleteRecursively(out)
       root.mkdirs()
-      Sinks.appendDatePartitioned(Tables.events(s, dir), store.getPath, "ts")
+      build(out.getPath)
       ok.createNewFile(): Unit
     }
-    store.getPath
+    out.getPath
   }
+
+  /** The date-partitioned events store for `dir` (see `materialized`). */
+  def eventsByDate(s: SparkSession, dir: String): String =
+    materialized(dir, "events_by_date") { p =>
+      Sinks.appendDatePartitioned(Tables.events(s, dir), p, "ts")
+    }
+
+  /** The events log as JSONL (one JSON object per line) — the staging
+    * format the reference's ETL would hand off if it spooled fetched
+    * payloads to disk instead of straight to PG. */
+  def eventsJsonl(s: SparkSession, dir: String): String =
+    materialized(dir, "events_jsonl") { p =>
+      Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").json(p)
+    }
 
   val defs: Map[String, Q] = Map(
     // Same semantics (and oracle) as q_history, but served from the
@@ -74,6 +91,29 @@ object Stores {
           graft.ops.History.inclusiveDayRange(col("ts"), "2024-01-05", "2024-01-20"))
         .select("event_id", "ts", "event_type", "value")
         .orderBy(col("ts").asc, col("event_id").asc)
+    }),
+
+    // JSON-lines source with schema-on-read (the S1 parse surface over a
+    // FILE feed instead of an in-memory payload): events round-trip
+    // through JSONL and aggregate back. An EXPLICIT read schema — never
+    // inference, which would scan the data twice and lock in whatever
+    // the sample happened to contain. n_ts counts successfully parsed
+    // timestamps: a serialization-format regression surfaces as
+    // n_ts < n, which the oracle (count(ts) over the original table,
+    // where ts is never null) would catch as a hash mismatch.
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampNTZType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      s.read.schema(schema).json(eventsJsonl(s, dir))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), count(col("ts")).as("n_ts"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy(col("event_type").asc)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -85,5 +125,10 @@ object Stores {
         |WHERE user_id = 7
         |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-21 00:00:00'
-        |ORDER BY ts, event_id""".stripMargin)
+        |ORDER BY ts, event_id""".stripMargin,
+
+    "q_jsonl_roundtrip" ->
+      """SELECT event_type, count(*) AS n, count(ts) AS n_ts,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

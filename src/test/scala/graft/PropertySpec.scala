@@ -89,6 +89,54 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("clusterMembers labels equal driver union-find components on " +
+    "random pair graphs") {
+    val pairsGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(1L, 30L)
+      b <- Gen.choose(1L, 30L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    samples(pairsGen, 8).foreach { pairList =>
+      val pairs = pairList.distinct
+      // reference: driver-side union-find with path compression
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(id => id -> find(id)).toMap
+      // min-label propagation must assign each node the MINIMUM id of its
+      // component; union-find roots are minima by the ordered-union above
+      val got = graft.dedup.Dedup
+        .clusterMembers(pairs.toDF("id_a", "id_b"), "doc_id", maxIters = 40)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"pairs=$pairs got=$got expected=$expected")
+    }
+  }
+
+  test("row-wise minhash signatures equal the grouped form on random texts") {
+    val docGen = Gen.nonEmptyListOf(
+      Gen.choose(1, 30).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps",
+          "zeta", "eta", "theta")).map(_.mkString(" "))))
+    samples(docGen, 6).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val grouped = graft.dedup.Dedup
+        .minhashSignatures(df, "doc_id", "text", 3, 8)
+        .orderBy("doc_id").collect().map(_.toSeq)
+      val rowwise = graft.dedup.Dedup
+        .withRowwiseMinhashSignatures(df, "text", 3, 8)
+        .select("doc_id", (0 until 8).map(i => s"h$i"): _*)
+        .orderBy("doc_id").collect().map(_.toSeq)
+      assert(grouped.toSeq == rowwise.toSeq)
+    }
+  }
+
   test("inclusiveDayRange ≡ [start 00:00, end+1day 00:00)") {
     val base = 1704067200L // 2024-01-01 00:00:00 UTC
     samples(Gen.listOfN(40, Gen.choose(0L, 40L * 86400)), 8).foreach { secs =>
