@@ -47,6 +47,43 @@ object Breadth5 {
           last(col("value")).over(running).as("running_last_v"),
           nth_value(col("value"), 2).over(full).as("second_v"))
         .orderBy(col("event_id").asc)
+    }),
+
+    // Recursive CTE (Spark 4 UnionLoop): generate a contiguous day spine
+    // and gap-fill daily event counts — the time-series continuity fix
+    // for dashboards that must show zero-activity days. The recursion
+    // materializes |days| rows (bounded, driver-independent); the event
+    // aggregation stays a partial+final count and joins the tiny spine.
+    "q_recursive_days" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_rv")
+      s.sql(
+        """WITH RECURSIVE days(d) AS (
+          |  SELECT DATE'2024-01-01'
+          |  UNION ALL SELECT date_add(d, 1) FROM days WHERE d < DATE'2024-02-10'
+          |)
+          |SELECT d AS day, coalesce(n, 0L) AS n_events
+          |FROM days LEFT JOIN (
+          |  SELECT CAST(ts AS DATE) AS ed, count(*) AS n
+          |  FROM events_rv GROUP BY CAST(ts AS DATE)) e
+          |ON d = ed ORDER BY day""".stripMargin)
+    }),
+
+    // UNPIVOT (melt): wide per-row measures → long (metric, value) rows,
+    // then a per-metric profile — the normalization step before generic
+    // per-metric aggregation. Spark's unpivot is a local generator (no
+    // shuffle until the aggregate); the oracle states the UNION ALL
+    // equivalent, which is exactly unpivot's semantics.
+    "q_unpivot" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_quantity").cast("double").as("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax")),
+          "metric", "val")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"), round(sum("val"), 2).as("total"))
+        .orderBy(col("metric").asc)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -70,5 +107,25 @@ object Breadth5 {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         |  wfull AS (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_recursive_days" ->
+      """WITH RECURSIVE days(d) AS (
+        |  SELECT DATE '2024-01-01'
+        |  UNION ALL SELECT d + 1 FROM days WHERE d < DATE '2024-02-10')
+        |SELECT d AS day, coalesce(n, 0) AS n_events
+        |FROM days LEFT JOIN (
+        |  SELECT CAST(ts AS DATE) AS ed, count(*) AS n
+        |  FROM events GROUP BY CAST(ts AS DATE)) e
+        |ON d = ed ORDER BY day""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH melted AS (
+        |  SELECT l_orderkey, 'l_quantity' AS metric,
+        |    CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+        |  UNION ALL SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_orderkey, 'l_tax', l_tax FROM lineitem)
+        |SELECT metric, count(*) AS n, round(sum(val), 2) AS total
+        |FROM melted GROUP BY metric ORDER BY metric""".stripMargin)
 }
