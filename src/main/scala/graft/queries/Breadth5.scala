@@ -68,6 +68,57 @@ object Breadth5 {
           |ON d = ed ORDER BY day""".stripMargin)
     }),
 
+    // grouping_id over a cube: the bitmask that tells subtotal rows apart
+    // from genuine NULL group keys — the disambiguation q_cube's
+    // coalesce('ALL') trick cannot provide when a key can itself be null.
+    "q_grouping_id" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("-")).as("rf"),
+          coalesce(col("l_linestatus"), lit("-")).as("ls"),
+          col("gid").cast("int").as("gid"), col("n"))
+        .orderBy(col("gid").asc, col("rf").asc, col("ls").asc)
+    }),
+
+    // Null-safe equality join (<=>): rows pair when keys are equal OR
+    // both null — the semantics a plain equi-join silently drops. Nulls
+    // are injected deterministically on both sides; the oracle uses IS
+    // NOT DISTINCT FROM. NOTE the scale caveat: null-safe joins hash the
+    // null bucket like any key, so a null-heavy corpus skews one
+    // partition — the mitigation (filter-nulls + union) is what q_skew's
+    // salting demonstrates; here nulls are a bounded minority.
+    "q_nullsafe_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 500)
+        .select(col("event_id"),
+          when(pmod(col("user_id"), lit(10)) === 0, lit(null).cast("long"))
+            .otherwise(col("user_id")).as("uid"))
+      val u = Tables.events(s, dir).filter(col("event_id") < 500)
+        .groupBy(when(pmod(col("user_id"), lit(10)) === 0, lit(null).cast("long"))
+          .otherwise(col("user_id")).as("uid"))
+        .agg(count(lit(1)).as("n_events"))
+      e.join(u, e("uid") <=> u("uid"))
+        .select(col("event_id"), e("uid").as("uid"), col("n_events"))
+        .orderBy(col("event_id").asc)
+    }),
+
+    // Array higher-order functions over embeddings: filter / exists /
+    // aggregate / transform — per-row lambda pipelines that stay inside
+    // codegen (no UDF, no explode): positive-component count, any-above-
+    // threshold flag, and the sequential-fold sum of squares (identical
+    // fold order to DuckDB's list functions, so doubles match raw).
+    "q_array_funcs" -> ((s, dir) => {
+      val v = col("embedding")
+      Tables.embeddings(s, dir).select(
+          col("vec_id"),
+          size(v).as("dim"),
+          size(filter(v, x => x > 0.0f)).as("n_pos"),
+          exists(v, x => x > lit(2.0f)).as("has_large"),
+          round(aggregate(v, lit(0.0),
+            (acc, x) => acc + x.cast("double") * x.cast("double")), 4).as("sum_sq"))
+        .orderBy(col("vec_id").asc)
+    }),
+
     // UNPIVOT (melt): wide per-row measures → long (metric, value) rows,
     // then a per-metric profile — the normalization step before generic
     // per-metric aggregation. Spark's unpivot is a local generator (no
@@ -108,6 +159,36 @@ object Breadth5 {
         |  wfull AS (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY event_id""".stripMargin,
+
+    "q_grouping_id" ->
+      """SELECT coalesce(l_returnflag, '-') AS rf,
+        |  coalesce(l_linestatus, '-') AS ls,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin,
+
+    "q_nullsafe_join" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END AS uid
+        |  FROM events WHERE event_id < 500),
+        |u AS (
+        |  SELECT CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END AS uid,
+        |    count(*) AS n_events
+        |  FROM events WHERE event_id < 500 GROUP BY 1)
+        |SELECT event_id, e.uid, n_events
+        |FROM e JOIN u ON e.uid IS NOT DISTINCT FROM u.uid
+        |ORDER BY event_id""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+        |  len(list_filter(embedding, x -> x > 2.0)) > 0 AS has_large,
+        |  round(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[])), 4) AS sum_sq
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q_recursive_days" ->
       """WITH RECURSIVE days(d) AS (
