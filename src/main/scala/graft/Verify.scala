@@ -21,17 +21,13 @@ object Verify {
     // stale-output guard: remove any previous run's result BEFORE running
     // the query, so a query that now throws yields a missing-output FAIL
     // downstream instead of a silent pass against last run's parquet
-    // listFiles() is null on I/O error (not just empty) — guard so one
-    // bad directory fails its query, not the whole verify run
-    def deleteRecursively(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-      f.delete(): Unit
-    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
+        // Fs.deleteRecursively throws if the stale dir survives, landing
+        // in this catch — the query then has MISSING output and fails
+        // downstream, rather than silently passing on last run's parquet
         val prev = new java.io.File(s"$outDir/$name")
-        if (prev.exists()) deleteRecursively(prev)
+        if (prev.exists()) Fs.deleteRecursively(prev)
         val df = fn(spark, sfDir)
         // Session tz is UTC, so LTZ→NTZ is wall-clock identity; writing
         // NTZ makes the result parquet carry the same timezone-naive

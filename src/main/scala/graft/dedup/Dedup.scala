@@ -316,11 +316,13 @@ object Dedup {
       // localCheckpoint every 3rd generation: persist truncates the
       // PHYSICAL lineage but the logical plan still grows per iteration
       // (analysis/optimization cost compounds at deep chains). A local
-      // checkpoint restarts the plan from a LogicalRDD. Local
-      // (executor-storage) checkpoints trade off executor-loss recovery;
-      // on a cluster where that matters, set a checkpoint dir and swap
-      // in .checkpoint().
-      val updated = (if (i % 3 == 2) joined.localCheckpoint()
+      // checkpoint restarts the plan from a LogicalRDD. LAZY (eager would
+      // add a second job — the labelSum below materializes it, keeping
+      // the one-action-per-generation invariant). Local (executor-
+      // storage) checkpoints trade off executor-loss recovery; on a
+      // cluster where that matters, set a checkpoint dir and swap in
+      // .checkpoint().
+      val updated = (if (i % 3 == 2) joined.localCheckpoint(eager = false)
                      else joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val s = labelSum(updated) // the one action: materializes + checks
       // the superseded generation's cache can go (iterative persists
@@ -394,12 +396,20 @@ object Dedup {
     * carry (idCol, blockCol, simhash). */
   def simhashBandCandidates(sims: DataFrame, idCol: String, blockCol: String,
                             maxHamming: Int): DataFrame = {
-    // pigeonhole: > maxHamming bands, clamped at the 32 one-bit bands a
-    // 32-bit hash can yield. The clamp keeps maxHamming >= 32 total (every
-    // in-block pair within hamming 31 shares a one-bit band; wider bounds
-    // are degenerate on a 32-bit hash) instead of failing the k<=32
-    // require.
-    val k = math.min(maxHamming + 1, 32)
+    // Degenerate bound: at maxHamming >= 32 EVERY in-block pair qualifies
+    // on a 32-bit hash, and banding cannot deliver it — with the maximal
+    // 32 one-bit bands, an exact-complement pair (hamming 32) disagrees
+    // on every band and would be silently dropped. Honor the documented
+    // "identical output to the all-pairs self-join" contract with the
+    // literal all-pairs join instead (the caller asked for all pairs).
+    if (maxHamming >= 32) {
+      val a = sims.select(col(blockCol), col(idCol).as("id_a"), col("simhash").as("sim_a"))
+      val b = sims.select(col(blockCol), col(idCol).as("id_b"), col("simhash").as("sim_b"))
+      return a.join(b, Seq(blockCol))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
+    }
+    val k = maxHamming + 1 // pigeonhole: > maxHamming bands
     val banded = sims.select(col(blockCol), col(idCol), col("simhash"),
         explode(simhashBandStructs(col("simhash"), k)).as("__b"))
       .select(col(blockCol), col(idCol), col("simhash"),

@@ -85,16 +85,25 @@ object Extensions3 {
     // example belong to its cluster" filter a curation pipeline runs
     // after labeling. Centroid = elementwise mean via posexplode +
     // groupBy(label, pos) (partial-aggregated, the corpus never
-    // collects), rounded to 6 dp BEFORE the cosine: the mean's last ulp
-    // is accumulation-order-dependent across engines, but once both
-    // engines hold the identical rounded centroid, the sequential-fold
-    // cosine (and therefore the flag) is bit-exact.
+    // collects). PARITY: a float mean is accumulation-order-dependent
+    // (Spark's partial aggregation vs DuckDB's sequential scan differ in
+    // the last ulp, and rounding an almost-boundary value can then
+    // diverge), so components quantize to EXACT integers first —
+    // floor(v·1e6 + 0.5) as long — whose sum is order-independent; the
+    // mean is then one double division of identical operands in both
+    // engines, bit-exact with no rounding at all. The 1e-6 quantization
+    // is far below float precision at these magnitudes.
     "q_embed_outliers" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cent = emb
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("label"), col("pos"))
-        .agg(round(avg(col("v").cast("double")), 6).as("m"))
+        .agg(sum(floor(col("v").cast("double") * lit(1000000.0) + lit(0.5))
+            .cast("long")).as("s"),
+          count(lit(1)).as("cnt"))
+        .select(col("label"), col("pos"),
+          (col("s").cast("double") /
+            (col("cnt").cast("double") * lit(1000000.0))).as("m"))
         .groupBy(col("label"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("label"), transform(col("pm"), s => s.getField("m")).as("centroid"))
@@ -147,8 +156,12 @@ object Extensions3 {
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings),
         |dims AS (
-        |  SELECT label, i, round(avg(v[i]), 6) AS m
-        |  FROM e CROSS JOIN range(1, 65) t(i) GROUP BY label, i),
+        |  SELECT label, i,
+        |    CAST(sum(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |      / (CAST(count(*) AS DOUBLE) * 1000000.0) AS m
+        |  FROM (SELECT label, unnest(v) AS x,
+        |          unnest(range(1, len(v) + 1)) AS i FROM e)
+        |  GROUP BY label, i),
         |cent AS (SELECT label, list(m ORDER BY i) AS c FROM dims GROUP BY label)
         |SELECT vec_id, e.label,
         |  round(list_dot_product(v, c)

@@ -18,21 +18,20 @@ object Stores {
 
   private val lock = new Object
 
-  /** Cheap content fingerprint of a source parquet file/dir (mtime +
-    * length over the tree): keys the store path so regenerated testdata
-    * can never be served from a stale store built by an earlier run. */
+  /** Cheap content fingerprint of a source parquet file/dir (name +
+    * mtime + length over the tree): keys the store path so regenerated
+    * testdata can never be served from a stale store built by an earlier
+    * run. Children fold through a polynomial hash over the NAME-SORTED
+    * listing — an XOR fold would cancel identical sibling fingerprints
+    * (two part files with equal mtime+length), and listFiles() order is
+    * not stable across filesystems. */
   private def fingerprint(f: java.io.File): Long = {
-    val own = f.lastModified() ^ java.lang.Long.rotateLeft(f.length(), 31)
+    val own = f.getName.hashCode.toLong * 1000003L ^
+      f.lastModified() ^ java.lang.Long.rotateLeft(f.length(), 31)
     if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty)
-        .foldLeft(own)((acc, c) => acc ^ java.lang.Long.rotateLeft(fingerprint(c), 7))
+      Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+        .foldLeft(own)((acc, c) => acc * 6364136223846793005L + fingerprint(c))
     else own
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(): Unit
   }
 
   /** Build (once) a derived store for `dir` and return its path.
@@ -51,7 +50,7 @@ object Stores {
     val out = new java.io.File(root, name)
     val ok = new java.io.File(root, s"_OK_$name")
     if (!ok.exists()) {
-      deleteRecursively(out)
+      if (out.exists()) graft.Fs.deleteRecursively(out)
       root.mkdirs()
       build(out.getPath)
       ok.createNewFile(): Unit
