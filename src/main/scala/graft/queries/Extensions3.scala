@@ -22,6 +22,9 @@ object Extensions3 {
   // embedding outlier flag: cosine-to-own-label-centroid below this
   private val OutlierCos = 0.0
 
+  // context length for the sequence packer (matches the q_chunking grain)
+  private val PackTokens = 64L
+
   val defs: Map[String, Q] = Map(
     // Token-repetition quality signals, per doc: duplicate-token ratio
     // (1 - distinct/total re-expressed as an exact count ratio) and the
@@ -51,6 +54,52 @@ object Extensions3 {
           (col("top_n").cast("double") / col("n_tokens").cast("double"))
             .as("top_ratio"))
         .orderBy(col("doc_id").asc)
+    }),
+
+    // Sequence PACKING: the step after chunking — chunks fill fixed-L
+    // context bins by a running token count, bin = floor(tokens-before/L)
+    // (greedy offset packing: deterministic, one window pass; exact
+    // first-fit-decreasing is inherently sequential and buys little at
+    // uniform chunk sizes). The running sum partitions BY SOURCE SHARD —
+    // a global running sum would be a single-partition window, the
+    // classic scale trap; per-shard packing is what a distributed packer
+    // does anyway (each worker packs its shard independently).
+    "q_packing" -> ((s, dir) => {
+      val L = PackTokens
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          graft.text.Text.nTokens(col("text")).cast("long").as("n_tokens"))
+        .withColumn("chunk_idx",
+          explode(sequence(lit(0L), expr(s"(n_tokens + ${L - 1}) div $L - 1"))))
+        .select(col("doc_id"), col("source"), col("chunk_idx"),
+          (least(col("n_tokens"), (col("chunk_idx") + 1L) * L) -
+            col("chunk_idx") * L).as("len"))
+      val before = Window.partitionBy(col("source"))
+        .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      chunks
+        .withColumn("__before", coalesce(sum(col("len")).over(before), lit(0L)))
+        .withColumn("bin_id", expr(s"__before div $L"))
+        .groupBy(col("source"), col("bin_id"))
+        .agg(count(lit(1)).as("n_chunks"), sum("len").as("bin_tokens"))
+        .orderBy(col("source").asc, col("bin_id").asc)
+    }),
+
+    // Deterministic MIXTURE sampling: per-source keep rates (a pure
+    // function of the source id — no RNG, reproducible on any cluster),
+    // reported as kept/total/achieved-rate per source. The select itself
+    // is a map-only filter; this is the dataset-weighting step of corpus
+    // assembly.
+    "q_mixture" -> ((s, dir) => {
+      val rate = pmod(substring(col("source"), 4, 10).cast("int"), lit(3)) + 1
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), rate.as("rate"))
+        .groupBy(col("source"), col("rate"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(pmod(col("doc_id"), col("rate")) === 0, 1)).as("n_kept"))
+        .withColumn("achieved",
+          col("n_kept").cast("double") / col("n_total").cast("double"))
+        .orderBy(col("source").asc)
     }),
 
     // PII detect + redact. The corpus itself is synthetic and PII-free,
@@ -133,6 +182,44 @@ object Extensions3 {
         |  CAST(max(CASE WHEN rn = 1 THEN n END) AS DOUBLE)
         |    / CAST(sum(n) AS DOUBLE) AS top_ratio
         |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_packing" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(${Extensions.sqlTokens("text")}) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    unnest(range(0, (n_tokens + ${PackTokens - 1}) // $PackTokens))
+        |      AS chunk_idx
+        |  FROM t),
+        |chunks AS (
+        |  SELECT doc_id, source, chunk_idx,
+        |    least(n_tokens, (chunk_idx + 1) * $PackTokens)
+        |      - chunk_idx * $PackTokens AS len
+        |  FROM c),
+        |binned AS (
+        |  SELECT source,
+        |    coalesce(sum(len) OVER (PARTITION BY source
+        |      ORDER BY doc_id, chunk_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // $PackTokens AS bin_id,
+        |    len
+        |  FROM chunks)
+        |SELECT source, CAST(bin_id AS BIGINT) AS bin_id, count(*) AS n_chunks,
+        |  CAST(sum(len) AS BIGINT) AS bin_tokens
+        |FROM binned GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin,
+
+    "q_mixture" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST(substr(source, 4) AS INTEGER) % 3 + 1 AS INTEGER) AS rate
+        |  FROM documents)
+        |SELECT source, rate, count(*) AS n_total,
+        |  count(CASE WHEN doc_id % rate = 0 THEN 1 END) AS n_kept,
+        |  CAST(count(CASE WHEN doc_id % rate = 0 THEN 1 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS achieved
+        |FROM r GROUP BY source, rate ORDER BY source""".stripMargin,
 
     "q_pii_redact" ->
       s"""WITH injected AS (

@@ -53,6 +53,20 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("simhashNearDups at the degenerate maxHamming >= 32 bound returns " +
+    "ALL in-block pairs, including exact complements") {
+    // two unrelated docs whose simhashes differ widely (plus any pair at
+    // hamming 32 — a complement — which one-bit banding could never pair)
+    val out = Dedup.simhashNearDups(
+      docs((1L, (1 to 60).map(i => s"w$i").mkString(" ")),
+        (2L, (100 to 160).map(i => s"q$i").mkString(" ")),
+        (3L, (200 to 260).map(i => s"r$i").mkString(" ")))
+        .withColumn("src", lit("s")),
+      "doc_id", "text", "src", maxHamming = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("row-wise minhash signatures equal the exploded+grouped form") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val fixture = docs((1L, base),
