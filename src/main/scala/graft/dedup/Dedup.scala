@@ -372,6 +372,28 @@ object Dedup {
     sums.select(col(idCol), sim.as("simhash"))
   }
 
+  /** The same 32-bit SimHash computed PER ROW (token-hash array + 32
+    * in-row bit-sum folds — no explode, no shuffle, no join to carry the
+    * block column back), appended as `simhash` with every input column
+    * preserved. Identical values to `simhash32` (pinned in
+    * TextDedupSpec): same md5 token hash, same ±1 bit sums, just folded
+    * in-row. Streaming-safe (stateless map) and the default batch shape;
+    * the exploded+grouped `simhash32` remains for pathological single
+    * rows whose token array should not sit in one buffer. */
+  def withRowwiseSimhash32(df: DataFrame, textCol: String): DataFrame = {
+    // token-hash array materialized once — a lambda referencing an
+    // unmaterialized expensive array inlines it PER ELEMENT
+    val staged = df.withColumn("__hv",
+      transform(Text.tokens(col(textCol)), t => Text.tokenHash32(t)))
+    val sim = (0 until 32).map { j =>
+      val bitSum = aggregate(col("__hv"), lit(0),
+        (acc, hv) => acc +
+          when(shiftright(hv, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    staged.withColumn("simhash", sim).drop("__hv")
+  }
+
   /** Band decomposition of a 32-bit simhash for pigeonhole blocking:
     * array of k (band_idx, band_val) structs, band widths as equal as
     * 32/k allows. Two hashes within hamming d differ in at most d bands,
@@ -435,9 +457,12 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       blockCol: String, maxHamming: Int): DataFrame = {
     // one row per doc; read twice by the band self-join — persist so the
-    // token-explode + 32-way bit aggregation runs once, not per side
-    val sims = simhash32(docs, idCol, textCol)
-      .join(docs.select(col(idCol), col(blockCol)), idCol)
+    // in-row hash fold runs once, not per side. Row-wise simhash keeps
+    // the block column on the row: no shuffle, no join-back (the grouped
+    // form previously cost an explode + 32-way bit aggregation + join).
+    val sims = withRowwiseSimhash32(
+        docs.select(col(idCol), col(blockCol), col(textCol)), textCol)
+      .select(col(idCol), col(blockCol), col("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     simhashBandCandidates(sims, idCol, blockCol, maxHamming)
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))

@@ -67,6 +67,19 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("row-wise simhash equals the exploded+grouped form") {
+    val base = (1 to 50).map(i => s"tok$i repeat$i").mkString(" ")
+    val fixture = docs((1L, base),
+      (2L, (1 to 30).map(i => s"x$i").mkString(" ")),
+      (3L, "one two three two one"))
+    val grouped = Dedup.simhash32(fixture, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val rowwise = Dedup.withRowwiseSimhash32(fixture, "text")
+      .select("doc_id", "simhash")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(grouped == rowwise)
+  }
+
   test("row-wise minhash signatures equal the exploded+grouped form") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val fixture = docs((1L, base),
