@@ -135,6 +135,48 @@ object Streams {
       .select(col(idCol), col("corpus_id"), col("ts"), col("jaccard"))
   }
 
+  /** Streaming SimHash near-dup screen — the hamming-distance sibling of
+    * `streamingMinhashNearDups` for when "near" means small token edits
+    * rather than shingle overlap: each live doc's 32-bit simhash
+    * (per-row fold, stateless — Dedup.withRowwiseSimhash32) band-joins
+    * the batch corpus simhash table (pigeonhole: a pair within
+    * `maxHamming` shares >= 1 of maxHamming+1 bands), then exact hamming
+    * verifies. Emits (idCol, corpus_id, ts, hamming); band multi-hits
+    * dedup in watermark-bounded state. Parity with batch
+    * `simhashNearDups` pinned in StreamingSpec. */
+  def streamingSimhashNearDups(live: DataFrame, corpus: DataFrame,
+                               idCol: String, textCol: String, delay: String,
+                               maxHamming: Int): DataFrame = {
+    import graft.dedup.Dedup
+    require(maxHamming < 32, "use a batch all-pairs job for degenerate bounds")
+    val k = maxHamming + 1
+    val corpusSims = Dedup.withRowwiseSimhash32(
+        corpus.select(col(idCol), col(textCol)), textCol)
+      .select(col(idCol).as("corpus_id"), col("simhash").as("sim_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusBands = corpusSims
+      .select(col("corpus_id"), col("sim_b"),
+        explode(Dedup.simhashBandStructs(col("sim_b"), k)).as("__b"))
+      .select(col("corpus_id"), col("sim_b"),
+        col("__b.band_idx").as("band_idx"), col("__b.band_val").as("band_val"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val liveSims = Dedup.withRowwiseSimhash32(live, textCol)
+    val liveBands = liveSims
+      .select(col(idCol), col("ts"), col("simhash").as("sim_a"),
+        explode(Dedup.simhashBandStructs(col("simhash"), k)).as("__b"))
+      .select(col(idCol), col("ts"), col("sim_a"),
+        col("__b.band_idx").as("band_idx"), col("__b.band_val").as("band_val"))
+    liveBands
+      .join(corpusBands, Seq("band_idx", "band_val"))
+      .filter(col(idCol) =!= col("corpus_id"))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(idCol, "corpus_id")
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col(idCol), col("corpus_id"), col("ts"), col("hamming"))
+  }
+
   /** Latest-per-key snapshot over an accumulated store — what the
     * reference recomputes and broadcasts on every notify
     * (`api/server.js:166-193`). */

@@ -106,6 +106,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchPairs, s"stream=$streamed batch=$batchPairs")
   }
 
+  test("streamingSimhashNearDups matches batch simhashNearDups pairs and " +
+    "hamming values on the same corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val texts = Seq(
+      1L -> base,
+      2L -> (1 to 60).map(i => if (i == 30) "EDIT" else s"w$i").mkString(" "),
+      3L -> (500 to 560).map(i => s"zz$i").mkString(" "))
+    val corpus = texts.toDF("doc_id", "text")
+    val batchPairs = graft.dedup.Dedup
+      .simhashNearDups(corpus.withColumn("src", lit("s")),
+        "doc_id", "text", "src", maxHamming = 6)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(batchPairs.nonEmpty, "fixture must contain batch near-dups")
+    val mem = MemoryStream[DocEv]
+    val q = Streams.streamingSimhashNearDups(mem.toDF(), corpus,
+        "doc_id", "text", "1 minute", maxHamming = 6)
+      .writeStream.format("memory").queryName("ssnd_out")
+      .outputMode("append").start()
+    mem.addData(texts.map { case (id, t) =>
+      DocEv(id, Timestamp.valueOf("2024-01-01 10:00:00"), t) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssnd_out")
+      .select(least(col("doc_id"), col("corpus_id")).as("a"),
+        greatest(col("doc_id"), col("corpus_id")).as("b"), col("hamming"))
+      .distinct()
+      .as[(Long, Long, Int)].collect().toSet
+    assert(streamed == batchPairs, s"stream=$streamed batch=$batchPairs")
+  }
+
   test("incrementalLatest keeps one state row per key and emits only changed keys") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.EventRow
