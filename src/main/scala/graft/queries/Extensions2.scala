@@ -95,7 +95,11 @@ object Extensions2 {
       val docs = Tables.documents(s, dir)
       val toks = docs.select(col("doc_id"),
         explode(Text.tokens(col("text"))).as("term"))
+      // tf feeds BOTH the document-frequency aggregate and the scoring
+      // join — persist so the token explode + count runs once, not per
+      // consumer (same lifecycle note as the Dedup posting-list caches)
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("__n"))
       val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
