@@ -63,4 +63,33 @@ object Graft {
                    k: Int = 7): DataFrame =
     TopK.withPercentOfTotal(TopK.topKPlusOther(df, bucketCol, valueCol, k),
       valueCol)
+
+  // ---- corpus curation (the training-data extension surface) ----------
+
+  /** Verified near-dup pairs over a document frame: MinHash signatures →
+    * LSH band candidates → exact-Jaccard threshold. The one-call batch
+    * dedup entry point; defaults match the oracle-checked q_dedup_minhash. */
+  def nearDupPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text",
+                   threshold: Double = 0.8): DataFrame =
+    graft.dedup.Dedup.minhashNearDups(docs, idCol, textCol,
+      shingleLen = 3, numHashes = 12, bands = 4, threshold = threshold)
+
+  /** Keep-one-per-cluster dedup decision: every document annotated with
+    * its duplicate-cluster id and whether it is the cluster's canonical
+    * keeper (the min id). Feed `pairs` from `nearDupPairs` (or any
+    * (id_a, id_b) frame). */
+  def dedupKeepList(docs: DataFrame, pairs: DataFrame,
+                    idCol: String = "doc_id"): DataFrame =
+    graft.dedup.Dedup.clusterIds(docs.select(col(idCol)), pairs, idCol)
+      .withColumn("keep", col("cluster_id") === col(idCol))
+
+  /** Streaming near-dup screen: live documents (needs an event-time `ts`
+    * column) checked against the batch corpus index — see
+    * graft.streaming.Streams.streamingMinhashNearDups. */
+  def liveNearDupScreen(live: DataFrame, corpus: DataFrame, delay: String,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        threshold: Double = 0.8): DataFrame =
+    graft.streaming.Streams.streamingMinhashNearDups(live, corpus,
+      idCol, textCol, delay, threshold = threshold)
 }

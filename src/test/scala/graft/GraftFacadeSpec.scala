@@ -46,4 +46,22 @@ class GraftFacadeSpec extends SparkSpec {
       .select("bucket", "rev")
     assert(rows(got) == rows(want))
   }
+
+  test("Graft.nearDupPairs + dedupKeepList: keepers = one per cluster, " +
+    "non-keepers are exactly the dup-cluster members") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val pairs = Graft.nearDupPairs(docs)
+    val keep = Graft.dedupKeepList(docs, pairs)
+    assert(keep.count() == docs.count(), "every doc gets a decision")
+    // keepers are exactly the distinct cluster ids
+    val clusters = keep.select("cluster_id").distinct().count()
+    assert(keep.filter(col("keep")).count() == clusters)
+    // non-keepers match the oracle-checked cluster-members query
+    val nonKeepers = keep.filter(!col("keep"))
+      .select("doc_id").as[Long].collect().toSet
+    val want = SparkEntry.queries("q_dedup_clusters")(spark, sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    assert(nonKeepers == want)
+  }
 }
