@@ -49,6 +49,39 @@ object Breadth5 {
         .orderBy(col("event_id").asc)
     }),
 
+    // Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL over per-event
+    // (user, day) multisets — multiplicity preserved, which the DISTINCT
+    // set ops of q_set_ops deliberately discard. Catalyst plans both as
+    // aggregates over a replicated count column, not a row-by-row scan.
+    "q_set_ops_all" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      def side(t: String) = e.filter(col("event_type") === t)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+      val rows = Seq(
+        ("intersect_all", side("purchase").intersectAll(side("click"))),
+        ("except_all", side("purchase").exceptAll(side("click"))))
+      rows.map { case (op, df) =>
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      }.reduce(_ unionByName _).orderBy(col("op").asc)
+    }),
+
+    // LATERAL correlated subquery through the SQL frontend: each
+    // customer's top-2 orders by price. Catalyst DECORRELATES the lateral
+    // into a ranked window join — the plan to check; a per-row re-scan of
+    // orders would be quadratic at scale.
+    "q_lateral_topn" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("customer_lv")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_lv")
+      s.sql(
+        """SELECT c_custkey, o_orderkey, o_totalprice
+          |FROM customer_lv,
+          |LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders_lv
+          |  WHERE o_custkey = c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2)
+          |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+    }),
+
     // Recursive CTE (Spark 4 UnionLoop): generate a contiguous day spine
     // and gap-fill daily event counts — the time-series continuity fix
     // for dashboards that must show zero-activity days. The recursion
@@ -189,6 +222,27 @@ object Breadth5 {
         |  round(list_dot_product(CAST(embedding AS DOUBLE[]),
         |    CAST(embedding AS DOUBLE[])), 4) AS sum_sq
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_set_ops_all" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        |  WHERE event_type = 'click')
+        |SELECT 'except_all' AS op, count(*) AS n
+        |  FROM (SELECT * FROM p EXCEPT ALL SELECT * FROM c)
+        |UNION ALL
+        |SELECT 'intersect_all', count(*)
+        |  FROM (SELECT * FROM p INTERSECT ALL SELECT * FROM c)
+        |ORDER BY op""".stripMargin,
+
+    "q_lateral_topn" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "q_recursive_days" ->
       """WITH RECURSIVE days(d) AS (

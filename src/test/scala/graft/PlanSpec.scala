@@ -170,6 +170,17 @@ class PlanSpec extends SparkSpec {
       s"expected <= 16 pruned store partitions, scanned $scanned")
   }
 
+  test("q_lateral_topn decorrelates to a rank-limited window join, not a " +
+    "per-row re-scan") {
+    val p = plan(SparkEntry.queries("q_lateral_topn")(spark, sf0001))
+    // WindowGroupLimit = the partial per-group top-k pushed below the
+    // shuffle; a correlated re-scan would plan a CartesianProduct or a
+    // nested-loop join
+    assert(p.contains("WindowGroupLimit"), p.take(600))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("whole-stage codegen covers the q1_agg pipeline") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = SparkEntry.queries("q1_agg")(spark, sf0001)
