@@ -49,6 +49,21 @@ object Breadth5 {
         .orderBy(col("event_id").asc)
     }),
 
+    // Salted two-phase aggregation — the hot-key mitigation, in the
+    // oracle-checked set: phase 1 shards each key across salt buckets so
+    // a dominant key spreads over 8 tasks instead of one straggler,
+    // phase 2 merges the algebraic partials. The oracle states the plain
+    // single-phase aggregate: identical results IS the contract (sums
+    // here are 2-dp inputs rounded after the merge, per the parity
+    // rules).
+    "q_salted_agg" -> ((s, dir) => {
+      graft.ops.Skew.saltedSumCount(Tables.events(s, dir),
+          "event_type", "value", "event_id", saltBuckets = 8)
+        .select(col("event_type"), col("n"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("event_type").asc)
+    }),
+
     // Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL over per-event
     // (user, day) multisets — multiplicity preserved, which the DISTINCT
     // set ops of q_set_ops deliberately discard. Catalyst plans both as
@@ -222,6 +237,10 @@ object Breadth5 {
         |  round(list_dot_product(CAST(embedding AS DOUBLE[]),
         |    CAST(embedding AS DOUBLE[])), 4) AS sum_sq
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_set_ops_all" ->
       """WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events
