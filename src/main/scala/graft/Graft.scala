@@ -75,13 +75,16 @@ object Graft {
     graft.dedup.Dedup.minhashNearDups(docs, idCol, textCol,
       shingleLen = 3, numHashes = 12, bands = 4, threshold = threshold)
 
-  /** Keep-one-per-cluster dedup decision: every document annotated with
-    * its duplicate-cluster id and whether it is the cluster's canonical
-    * keeper (the min id). Feed `pairs` from `nearDupPairs` (or any
-    * (id_a, id_b) frame). */
+  /** Keep-one-per-cluster dedup decision: every document row — ALL its
+    * columns — annotated with its duplicate-cluster id and whether it is
+    * the cluster's canonical keeper (the min id), so
+    * `.filter(col("keep"))` IS the deduplicated corpus. Feed `pairs`
+    * from `nearDupPairs` (or any (id_a, id_b) frame). */
   def dedupKeepList(docs: DataFrame, pairs: DataFrame,
                     idCol: String = "doc_id"): DataFrame =
-    graft.dedup.Dedup.clusterIds(docs.select(col(idCol)), pairs, idCol)
+    docs.join(
+      graft.dedup.Dedup.clusterIds(docs.select(col(idCol)), pairs, idCol),
+      idCol)
       .withColumn("keep", col("cluster_id") === col(idCol))
 
   /** Streaming near-dup screen: live documents (needs an event-time `ts`

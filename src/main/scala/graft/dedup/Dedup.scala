@@ -391,7 +391,11 @@ object Dedup {
           when(shiftright(hv, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
       when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    staged.withColumn("simhash", sim).drop("__hv")
+    // null text → NULL simhash (each bit's otherwise(0) would otherwise
+    // collapse null to hash 0, pairing all null-text docs at hamming 0;
+    // the grouped form drops such rows via explode, and a null band_val
+    // equi-joins nothing, so null-sim rows produce no pairs here either)
+    staged.withColumn("simhash", when(col("__hv").isNotNull, sim)).drop("__hv")
   }
 
   /** Band decomposition of a 32-bit simhash for pigeonhole blocking:

@@ -150,10 +150,11 @@ object Streams {
     import graft.dedup.Dedup
     require(maxHamming < 32, "use a batch all-pairs job for degenerate bounds")
     val k = maxHamming + 1
+    // not persisted: read exactly once to build corpusBands (which IS
+    // the per-micro-batch cache)
     val corpusSims = Dedup.withRowwiseSimhash32(
         corpus.select(col(idCol), col(textCol)), textCol)
       .select(col(idCol).as("corpus_id"), col("simhash").as("sim_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusBands = corpusSims
       .select(col("corpus_id"), col("sim_b"),
         explode(Dedup.simhashBandStructs(col("sim_b"), k)).as("__b"))

@@ -67,6 +67,20 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("null-text docs get NULL simhash and never pair (parity with the " +
+    "grouped form, which drops them at the explode)") {
+    import org.apache.spark.sql.functions.lit
+    val fixture = Seq((1L, "one two three"), (2L, null), (3L, null))
+      .toDF("doc_id", "text").withColumn("src", lit("s"))
+    val sims = Dedup.withRowwiseSimhash32(fixture, "text")
+      .select("doc_id", "simhash").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(sims(2L).isEmpty && sims(3L).isEmpty && sims(1L).nonEmpty)
+    // two null-text docs in one block must NOT emit a hamming-0 pair
+    val pairs = Dedup.simhashNearDups(fixture, "doc_id", "text", "src", 6)
+    assert(pairs.count() == 0)
+  }
+
   test("row-wise simhash equals the exploded+grouped form") {
     val base = (1 to 50).map(i => s"tok$i repeat$i").mkString(" ")
     val fixture = docs((1L, base),
