@@ -56,6 +56,34 @@ object Extensions3 {
         .orderBy(col("doc_id").asc)
     }),
 
+    // Data-quality assertion sweep — the pre-publish gate a pipeline runs
+    // on every batch: each row is one named check with its measured count
+    // and pass flag (contract columns non-null, id uniqueness,
+    // referential integrity across tables, value-domain bounds). Shapes:
+    // null/domain checks are map-side count aggregates; uniqueness is a
+    // count-distinct; the FK check is a left-anti count — each the
+    // minimal-shuffle form of its assertion.
+    "q_dq_checks" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      def check(name: String, violations: org.apache.spark.sql.DataFrame) =
+        violations.agg(count(lit(1)).as("violations"))
+          .select(lit(name).as("check"), col("violations"),
+            (col("violations") === 0L).as("ok"))
+      Seq(
+        check("events_key_not_null", e.filter(col("event_id").isNull ||
+          col("user_id").isNull || col("ts").isNull)),
+        check("events_id_unique", e.groupBy(col("event_id"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)),
+        check("events_value_domain", e.filter(col("value") < 0.0 ||
+          col("value").isNull)),
+        check("orders_custkey_fk", o.join(c,
+          o("o_custkey") === c("c_custkey"), "left_anti")))
+        .reduce(_ unionByName _)
+        .orderBy(col("check").asc)
+    }),
+
     // Sequence PACKING: the step after chunking — chunks fill fixed-L
     // context bins by a running token count, bin = floor(tokens-before/L)
     // (greedy offset packing: deterministic, one window pass; exact
@@ -182,6 +210,23 @@ object Extensions3 {
         |  CAST(max(CASE WHEN rn = 1 THEN n END) AS DOUBLE)
         |    / CAST(sum(n) AS DOUBLE) AS top_ratio
         |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dq_checks" ->
+      """SELECT * FROM (
+        |  SELECT 'events_key_not_null' AS "check", count(*) AS violations,
+        |    count(*) = 0 AS ok
+        |  FROM events
+        |  WHERE event_id IS NULL OR user_id IS NULL OR ts IS NULL
+        |  UNION ALL
+        |  SELECT 'events_id_unique', count(*), count(*) = 0 FROM (
+        |    SELECT event_id FROM events GROUP BY event_id HAVING count(*) > 1)
+        |  UNION ALL
+        |  SELECT 'events_value_domain', count(*), count(*) = 0
+        |  FROM events WHERE value < 0.0 OR value IS NULL
+        |  UNION ALL
+        |  SELECT 'orders_custkey_fk', count(*), count(*) = 0
+        |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |ORDER BY "check"""".stripMargin,
 
     "q_packing" ->
       s"""WITH t AS (
