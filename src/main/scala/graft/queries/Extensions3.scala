@@ -56,6 +56,28 @@ object Extensions3 {
         .orderBy(col("doc_id").asc)
     }),
 
+    // OHLC candlestick bars — the reference dashboard's chart aggregation
+    // (downsampling tick data to open/high/low/close per key per day).
+    // Open/close come from explicit-full-frame first/last over the
+    // totally-ordered (ts, event_id) window — the tie-safe formulation —
+    // then one partial+final aggregate per (key, day) bar. The window
+    // partitions by (key, day): distributed, never a global sort.
+    "q_ohlc" -> ((s, dir) => {
+      val day = col("ts").cast("date")
+      val w = Window.partitionBy(col("user_id"), col("__day"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .withColumn("__day", day)
+        .withColumn("__open", first(col("value")).over(w))
+        .withColumn("__close", last(col("value")).over(w))
+        .groupBy(col("user_id"), col("__day").as("day"))
+        .agg(max("__open").as("open"), max("value").as("high"),
+          min("value").as("low"), max("__close").as("close"),
+          count(lit(1)).as("n_ticks"))
+        .orderBy(col("user_id").asc, col("day").asc)
+    }),
+
     // Data-quality assertion sweep — the pre-publish gate a pipeline runs
     // on every batch: each row is one named check with its measured count
     // and pass flag (contract columns non-null, id uniqueness,
@@ -210,6 +232,19 @@ object Extensions3 {
         |  CAST(max(CASE WHEN rn = 1 THEN n END) AS DOUBLE)
         |    / CAST(sum(n) AS DOUBLE) AS top_ratio
         |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_ohlc" ->
+      """WITH w AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, value,
+        |    first_value(value) OVER bar AS open,
+        |    last_value(value) OVER bar AS close
+        |  FROM events
+        |  WINDOW bar AS (PARTITION BY user_id, CAST(ts AS DATE)
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day, max(open) AS open, max(value) AS high,
+        |  min(value) AS low, max(close) AS close, count(*) AS n_ticks
+        |FROM w GROUP BY user_id, day ORDER BY user_id, day""".stripMargin,
 
     "q_dq_checks" ->
       """SELECT * FROM (
