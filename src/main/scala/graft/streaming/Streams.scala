@@ -62,6 +62,26 @@ object Streams {
         col("n"), col("sum_value"))
   }
 
+  /** Streaming OHLC bars — the live feed of the dashboard's candlestick
+    * aggregation (batch twin: q_ohlc): per (event-time window, key),
+    * open/close via min_by/max_by on the totally-ordering (ts, event_id)
+    * struct — tie-safe, and an ALGEBRAIC aggregate (partial-merges
+    * map-side and in state), unlike a sort-based first/last. Watermark
+    * closes bars for append emission; on a batch frame the same
+    * expression just aggregates. */
+  def streamingOhlc(df: DataFrame, width: String, delay: String): DataFrame = {
+    val withWm = if (df.isStreaming) df.withWatermark("ts", delay) else df
+    val orderKey = struct(col("ts"), col("event_id"))
+    withWm
+      .groupBy(window(col("ts"), width), col("user_id"))
+      .agg(min_by(col("value"), orderKey).as("open"),
+        max("value").as("high"), min("value").as("low"),
+        max_by(col("value"), orderKey).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .select(col("window.start").as("bar_start"), col("user_id"),
+        col("open"), col("high"), col("low"), col("close"), col("n_ticks"))
+  }
+
   /** Streaming dedup-by-key with bounded state — the D1 Map-dedup analog.
     * Keeps the FIRST arrival per (user_id, event_id) within the watermark. */
   def dedupWithinWatermark(df: DataFrame, delay: String): DataFrame =

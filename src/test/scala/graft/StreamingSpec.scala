@@ -46,6 +46,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.subsetOf(batchTwin), s"stream=$streamed batch=$batchTwin")
   }
 
+  test("streamingOhlc: closed stream bars == batch bars on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val batch1 = Seq(ev(3, 2, 1, "click", 5.0), ev(1, 0, 1, "click", 2.0),
+      ev(2, 4, 1, "click", 1.0), ev(4, 3, 2, "view", 7.0))
+    val batch2 = Seq(ev(9, 50, 1, "click", 9.0)) // pushes watermark past bar 1
+    val q = Streams.streamingOhlc(mem.toDF(), "5 minutes", "1 minute")
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("append").start()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ohlc_out")
+      .select("bar_start", "user_id", "open", "high", "low", "close", "n_ticks")
+      .as[(Timestamp, Long, Double, Double, Double, Double, Long)]
+      .collect().toSet
+    val batchTwin = Streams.streamingOhlc(
+        (batch1 ++ batch2).toDF()
+          .withColumn("ts", col("ts").cast("timestamp_ntz")), "5 minutes", "1 minute")
+      .as[(Timestamp, Long, Double, Double, Double, Double, Long)]
+      .collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batchTwin), s"stream=$streamed batch=$batchTwin")
+    // the user-1 first bar is closed and must carry the tie-safe
+    // open (earliest ts) and close (latest ts), not min/max of value
+    val bar1 = streamed.find(b => b._2 == 1L && b._7 == 3L)
+    assert(bar1.exists(b => b._3 == 2.0 && b._4 == 5.0 && b._5 == 1.0 && b._6 == 1.0),
+      s"bar1=$bar1")
+  }
+
   test("streamingSessions closes gap-separated sessions once the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
