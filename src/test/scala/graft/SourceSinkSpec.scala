@@ -127,4 +127,27 @@ class SourceSinkSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("a torn derived-store build (missing marker) is wiped and rebuilt — " +
+    "never appended into, never served stale") {
+    import graft.queries.Stores
+    val dir = sf0001
+    val path = Stores.eventsByDate(spark, dir)
+    val want = Tables.events(spark, dir).count()
+    assert(spark.read.parquet(path).count() == want)
+    // simulate a torn build: kill the commit marker and corrupt the store
+    val root = new java.io.File(path).getParentFile
+    val marker = root.listFiles().find(_.getName.startsWith("_OK_events_by_date")).get
+    assert(marker.delete())
+    val bogus = new java.io.File(path, "event_date=1999-01-01")
+    bogus.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(bogus, "part-bogus.parquet").toPath, "junk")
+    // next access must rebuild from scratch: bogus partition gone, row
+    // count exactly the source's (an append-into-torn-dir would double it)
+    val rebuilt = Stores.eventsByDate(spark, dir)
+    assert(rebuilt == path)
+    assert(!bogus.exists(), "torn remnant must be wiped")
+    assert(spark.read.parquet(rebuilt).count() == want)
+  }
 }
