@@ -303,6 +303,35 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("an_out").count() == 12)
   }
 
+  test("near-dup screen drains a file backlog under Trigger.AvailableNow " +
+    "and finds the batch pairs — the catch-up mode after screen downtime") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val texts = Seq(
+      1L -> base,
+      2L -> (1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i").mkString(" "),
+      3L -> (100 to 140).map(i => s"zzz$i").mkString(" "))
+    val corpus = texts.toDF("doc_id", "text")
+    val srcDir = Files.createTempDirectory("graft_nd_src").toString
+    val ckpt = Files.createTempDirectory("graft_nd_ck").toString
+    texts.map { case (id, t) =>
+      (id, Timestamp.valueOf("2024-01-01 10:00:00"), t)
+    }.toDF("doc_id", "ts", "text").write.mode("append").parquet(srcDir)
+    val live = spark.readStream
+      .schema("doc_id LONG, ts TIMESTAMP, text STRING").parquet(srcDir)
+    val q = Streams.streamingMinhashNearDups(live, corpus,
+        "doc_id", "text", "1 minute", threshold = 0.5)
+      .writeStream.format("memory").queryName("ndan_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow screen must self-terminate")
+    val pairs = spark.table("ndan_out")
+      .select(least(col("doc_id"), col("corpus_id")),
+        greatest(col("doc_id"), col("corpus_id")))
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("snapshot stream: incremental latest-per-key snapshot per tick, " +
     "batch-id-idempotent store writes, broadcast seam invoked") {
     implicit val sqlCtx = spark.sqlContext
