@@ -29,4 +29,22 @@ object Skew {
       .agg(count(lit(1)).as("__n"), sum(col(valueCol)).as("__s"))
       .groupBy(col(keyCol))
       .agg(sum("__n").as("n"), sum("__s").as("sum_value"))
+
+  /** Manually salted equi-join: `dim` replicates across `saltBuckets`
+    * shards (explode — dim is the small side, the blow-up is bounded),
+    * `fact` picks a deterministic shard from `shardCol`, and the join key
+    * widens to (key, salt) — a hot key's probe rows spread over
+    * `saltBuckets` tasks. Replication × disjoint fact shards partition
+    * the matched pairs, so the result equals the plain equi-join row for
+    * row. Prefer AQE skew-join splitting where available; this is the
+    * explicit form for when it is not (or the skew is known a priori). */
+  def saltedEquiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+                     dimKey: String, shardCol: String, saltBuckets: Int): DataFrame = {
+    val f = fact.withColumn("__salt",
+      pmod(crc32(col(shardCol).cast("string")), lit(saltBuckets)).cast("int"))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    f.join(d, f(factKey) === d(dimKey) && f("__salt") === d("__salt"))
+      .drop("__salt")
+  }
 }

@@ -74,6 +74,21 @@ object Stores {
         .write.mode("overwrite").json(p)
     }
 
+  /** The events log as headered CSV — the interchange format the
+    * reference's ETL would emit for spreadsheet/export consumers. The
+    * timestamp serializes through an EXPLICIT format (engine-controlled
+    * on both sides of the trip, never writer-default), and `props` (raw
+    * JSON — embedded quotes and commas) rides along to exercise the
+    * quoting/escaping path. */
+  def eventsCsv(s: SparkSession, dir: String): String =
+    materialized(dir, "events_csv") { p =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("event_type"), col("value"), col("props"))
+        .write.mode("overwrite").option("header", "true").csv(p)
+    }
+
   val defs: Map[String, Q] = Map(
     // Same semantics (and oracle) as q_history, but served from the
     // date-partitioned store: the day-range lands on the PARTITION column
@@ -113,6 +128,31 @@ object Stores {
         .agg(count(lit(1)).as("n"), count(col("ts")).as("n_ts"),
           round(sum("value"), 2).as("sum_value"))
         .orderBy(col("event_type").asc)
+    }),
+
+    // CSV source with schema-on-read, round-tripped through the store:
+    // same explicit-schema discipline as JSONL, plus the CSV-specific
+    // hazards pinned by the aggregate — the timestamp parses back through
+    // the SAME explicit format it was written with (n_ts = n or the
+    // format regressed), and props_chars sums the length of the raw-JSON
+    // column (embedded quotes/commas/braces): one mis-escaped quote
+    // shifts the total and the oracle (computed over the ORIGINAL table)
+    // hash-mismatches.
+    "q_csv_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", StringType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType)))
+      s.read.schema(schema).option("header", "true").csv(eventsCsv(s, dir))
+        .withColumn("ts", to_timestamp_ntz(col("ts"), lit("yyyy-MM-dd HH:mm:ss.SSSSSS")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), count(col("ts")).as("n_ts"),
+          sum(length(col("props"))).as("props_chars"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy(col("event_type").asc)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -128,6 +168,12 @@ object Stores {
 
     "q_jsonl_roundtrip" ->
       """SELECT event_type, count(*) AS n, count(ts) AS n_ts,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_csv_roundtrip" ->
+      """SELECT event_type, count(*) AS n, count(ts) AS n_ts,
+        |  CAST(sum(length(props)) AS BIGINT) AS props_chars,
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
