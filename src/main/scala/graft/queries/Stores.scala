@@ -41,9 +41,10 @@ object Stores {
     * exactly the duplication hazard the marker exists to prevent).
     * Serialized on a JVM-wide lock; the driver runs verify/bench
     * single-threaded per JVM, and cross-JVM runs are separated in time. */
-  private def materialized(dir: String, name: String)
+  private def materialized(dir: String, name: String,
+                           srcTable: String = "events")
                           (build: String => Unit): String = lock.synchronized {
-    val src = new java.io.File(dir, "events.parquet")
+    val src = new java.io.File(dir, s"$srcTable.parquet")
     val root = new java.io.File(
       sys.props("java.io.tmpdir"),
       f"graft_store_${fingerprint(src)}%016x")
@@ -57,6 +58,54 @@ object Stores {
     }
     out.getPath
   }
+
+  /** A BUCKETED store, registered in the session catalog (bucket layout
+    * lives in table metadata, not the files alone — `spark.read.parquet`
+    * on the same directory would see plain files and shuffle anyway).
+    * The table name carries the source fingerprint, so a session that
+    * outlives a testdata regeneration registers a fresh table instead of
+    * serving the stale store. A store directory left by an EARLIER JVM
+    * (files on disk, catalog empty — the in-memory catalog dies with its
+    * session) is re-registered via `CREATE TABLE ... CLUSTERED BY ...
+    * LOCATION`: Spark recovers each file's bucket id from the bucketed
+    * file-name scheme, so the layout survives the JVM boundary without a
+    * rewrite. At 100 TB this IS the point of bucketing: pay the shuffle
+    * once at write time, then every custkey join for months reads
+    * co-located buckets.
+    */
+  private def bucketedTable(s: SparkSession, dir: String, srcTable: String,
+                            bucketCol: String, buckets: Int): String =
+    lock.synchronized {
+      val src = new java.io.File(dir, s"$srcTable.parquet")
+      val fp = f"${fingerprint(src)}%016x"
+      val tbl = s"g_${srcTable}_b$fp"
+      if (!s.catalog.tableExists(tbl)) {
+        val df = Tables.load(s, dir, srcTable)
+        val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_store_$fp")
+        val out = new java.io.File(root, s"${srcTable}_bucketed")
+        val ok = new java.io.File(root, s"_OK_${srcTable}_bucketed")
+        if (ok.exists()) {
+          s.sql(s"""CREATE TABLE $tbl (${df.schema.toDDL}) USING PARQUET
+                   |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
+                   |INTO $buckets BUCKETS LOCATION '${out.getPath}'""".stripMargin)
+        } else {
+          if (out.exists()) graft.Fs.deleteRecursively(out)
+          root.mkdirs()
+          df.write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
+            .option("path", out.getPath).mode("overwrite").saveAsTable(tbl)
+          ok.createNewFile(): Unit
+        }
+      }
+      tbl
+    }
+
+  /** Orders bucketed on o_custkey — one side of the co-located join. */
+  def bucketedOrders(s: SparkSession, dir: String): String =
+    bucketedTable(s, dir, "orders", "o_custkey", buckets = 8)
+
+  /** Customer bucketed on c_custkey — the matching layout. */
+  def bucketedCustomer(s: SparkSession, dir: String): String =
+    bucketedTable(s, dir, "customer", "c_custkey", buckets = 8)
 
   /** The date-partitioned events store for `dir` (see `materialized`). */
   def eventsByDate(s: SparkSession, dir: String): String =
@@ -89,7 +138,31 @@ object Stores {
         .write.mode("overwrite").option("header", "true").csv(p)
     }
 
+  /** The events log as ORC — the other columnar format a warehouse
+    * actually serves (Hive estates, Trino federations). TIMESTAMP_NTZ
+    * survives the trip natively in Spark 4's ORC support — no string
+    * re-parse, unlike the CSV path. */
+  def eventsOrc(s: SparkSession, dir: String): String =
+    materialized(dir, "events_orc") { p =>
+      Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").orc(p)
+    }
+
   val defs: Map[String, Q] = Map(
+    // ORC source round-trip: same aggregate contract as the JSONL
+    // round-trip (n_ts = n pins that the NTZ timestamp survived the
+    // format natively), so a value/timestamp regression in either
+    // format's writer or reader shows up as a hash mismatch against the
+    // SAME oracle over the original parquet.
+    "q_orc_roundtrip" -> ((s, dir) => {
+      s.read.orc(eventsOrc(s, dir))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), count(col("ts")).as("n_ts"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy(col("event_type").asc)
+    }),
+
     // Same semantics (and oracle) as q_history, but served from the
     // date-partitioned store: the day-range lands on the PARTITION column
     // (directory pruning — non-selected days are never listed, let alone
@@ -156,6 +229,11 @@ object Stores {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_orc_roundtrip" ->
+      """SELECT event_type, count(*) AS n, count(ts) AS n_ts,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // The store holds exactly the events rows (+ the derived partition
     // column, projected away), so the oracle reads the ORIGINAL events
     // table — which doubles as a round-trip check on the store write.

@@ -138,6 +138,25 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("q_bucketed_join reads co-located buckets: SMJ with NO exchange on " +
+    "either join input") {
+    val df = SparkEntry.queries("q_bucketed_join")(spark, sf0001)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.take(600))
+    // both scans must carry the bucket layout (8 of 8 selected)
+    assert("Bucketed: true".r.findAllIn(p).size == 2,
+      s"join inputs not bucketed scans:\n${p.take(1200)}")
+    // everything BELOW the join (printed after it) must be shuffle-free:
+    // the bucket layout replaces the exchange on both inputs; the only
+    // exchanges allowed in the whole plan are the post-join re-key for
+    // the segment aggregate and the final order-by
+    val below = p.split("SortMergeJoin", 2)(1)
+    assert(!below.contains("Exchange"),
+      s"join input shuffled despite bucketing:\n${p.take(1600)}")
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(1600))
+  }
+
   test("q_history_partitioned prunes store partitions by event_date and " +
     "pushes the key filter") {
     val df = SparkEntry.queries("q_history_partitioned")(spark, sf0001)
