@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, LshSignatures, WordShingles}
+import graft.functions.{CosineSimilarity, LshSignatures, WordShingles, ZValue}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       (args: Seq[Expression]) => WordShingles(args(0),
         intArg(args(1), "n"), args.length > 2 && boolArg(args(2), "distinct"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_zvalue"),
+      new ExpressionInfo(classOf[ZValue].getName, "graft_zvalue"),
+      (args: Seq[Expression]) => ZValue(args(0), args(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_lsh_signatures"),
       new ExpressionInfo(classOf[LshSignatures].getName, "graft_lsh_signatures"),

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+
+/** Z-order (Morton) value: interleaves the low 32 bits of two
+  * non-negative keys — x on even bit positions, y on odd — so sorting or
+  * range-clustering by the z-value co-locates rows that are close in
+  * BOTH dimensions. That is the multi-column data-skipping layout: a
+  * file range-clustered on `z(x, y)` has tight min/max bounds on x AND
+  * y simultaneously, so a predicate on either column prunes files —
+  * where clustering on x alone leaves y's bounds spanning the domain.
+  * Codegen'd bit-spreading (the standard mask cascade), no UDF, no
+  * allocation — safe in the write path of a 100 TB re-cluster job.
+  *
+  * Negative inputs are rejected as null (sign bits would interleave into
+  * garbage ordering); inputs wider than 32 bits contribute their low 32.
+  */
+case class ZValue(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt == LongType || dt == IntegerType
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_zvalue expects int/bigint keys, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  private def asLong(e: Expression, v: Any): Long = e.dataType match {
+    case IntegerType => v.asInstanceOf[Int].toLong
+    case _ => v.asInstanceOf[Long]
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = asLong(left, a); val y = asLong(right, b)
+    if (x < 0 || y < 0) null
+    else ZValue.interleave(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val zx = ctx.freshName("zx"); val zy = ctx.freshName("zy")
+      def spread(v: String, out: String) =
+        s"""long $out = $v & 0xFFFFFFFFL;
+           |$out = ($out | ($out << 16)) & 0x0000FFFF0000FFFFL;
+           |$out = ($out | ($out << 8))  & 0x00FF00FF00FF00FFL;
+           |$out = ($out | ($out << 4))  & 0x0F0F0F0F0F0F0F0FL;
+           |$out = ($out | ($out << 2))  & 0x3333333333333333L;
+           |$out = ($out | ($out << 1))  & 0x5555555555555555L;""".stripMargin
+      s"""
+         |if ($x < 0L || $y < 0L) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${spread(x, zx)}
+         |  ${spread(y, zy)}
+         |  ${ev.value} = $zx | ($zy << 1);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+object ZValue {
+
+  /** Interpreted twin of the generated code (and the spec oracle). */
+  def interleave(x: Long, y: Long): Long = {
+    def spread(v0: Long): Long = {
+      var v = v0 & 0xFFFFFFFFL
+      v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+      v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+      v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+      v = (v | (v << 2)) & 0x3333333333333333L
+      v = (v | (v << 1)) & 0x5555555555555555L
+      v
+    }
+    spread(x) | (spread(y) << 1)
+  }
+}

@@ -91,6 +91,31 @@ object Breadth7 {
     // post-join re-key for the segment aggregate). The `merge` hints pin
     // SMJ so the plan exercises the bucket layout rather than
     // broadcasting the small test-scale dim.
+    // Z-order clustering ledger: rows map to the Morton interleave of
+    // two key dimensions (native codegen expression `graft_zvalue`),
+    // bucket by z-range — exactly what a re-cluster job sorts on — and
+    // report each bucket's min/max of BOTH dimensions. The point the
+    // output makes: every z-bucket bounds x AND y simultaneously, so
+    // file-level min/max statistics prune on EITHER column's predicate
+    // (clustering on one column alone leaves the other's bounds spanning
+    // the domain). The oracle recomputes the interleave arithmetically
+    // (bit-sum form), pinning the expression's bit layout.
+    "q_zorder" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.Bridge
+      val z = Bridge.column(graft.functions.ZValue(
+        Bridge.expression(col("x")), Bridge.expression(col("y"))))
+      Tables.part(s, dir)
+        .select(col("p_size").cast("long").as("x"),
+          pmod(col("p_partkey"), lit(256L)).as("y"))
+        .withColumn("z", z)
+        .withColumn("z_bucket", expr("z div 4096"))
+        .groupBy(col("z_bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("z_bucket").asc)
+    }),
+
     "q_bucketed_join" -> ((s, dir) => {
       val o = s.table(Stores.bucketedOrders(s, dir))
       val c = s.table(Stores.bucketedCustomer(s, dir))
@@ -155,6 +180,24 @@ object Breadth7 {
         |  count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n_view_click,
         |  count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS n_full_funnel
         |FROM s3""".stripMargin,
+
+    // The interleave restated as arithmetic: bit i of x lands on z bit
+    // 2i, bit i of y on 2i+1 (8 bits each suffice: x = p_size <= 50,
+    // y < 256 by construction).
+    "q_zorder" -> {
+      val zSum = (0 until 8).map(i =>
+        s"((x // ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+          s"((y // ${1L << i}) % 2) * ${1L << (2 * i + 1)}").mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT CAST(p_size AS BIGINT) AS x,
+         |    CAST(p_partkey % 256 AS BIGINT) AS y
+         |  FROM part),
+         |z AS (SELECT x, y, $zSum AS z FROM b)
+         |SELECT CAST(z // 4096 AS BIGINT) AS z_bucket, count(*) AS n,
+         |  min(x) AS min_x, max(x) AS max_x,
+         |  min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // The oracle is the plain logical join — the bucket layout must be
     // invisible in the result.

@@ -137,6 +137,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ZValue interleave: bit i of x → z bit 2i, bit i of y → z bit 2i+1 " +
+    "(random 32-bit inputs, interpreted + codegen paths agree)") {
+    import graft.functions.ZValue
+    val pairs = samples(for {
+      x <- Gen.choose(0L, 0xFFFFFFFFL)
+      y <- Gen.choose(0L, 0xFFFFFFFFL)
+    } yield (x, y), 200)
+    // independent bit-by-bit reconstruction against the mask cascade
+    pairs.foreach { case (x, y) =>
+      val z = ZValue.interleave(x, y)
+      val expected = (0 until 32).map { i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }.reduce(_ | _)
+      assert(z == expected, s"interleave($x, $y)")
+    }
+    // codegen path (via the registered SQL function) matches interpreted
+    val df = pairs.toDF("x", "y")
+      .selectExpr("x", "y", "graft_zvalue(x, y) AS z").collect()
+    df.foreach(r => assert(r.getLong(2) ==
+      ZValue.interleave(r.getLong(0), r.getLong(1))))
+    // negative input → null, never a garbage ordering
+    val neg = Seq((-1L, 3L), (3L, -1L)).toDF("x", "y")
+      .selectExpr("graft_zvalue(x, y) AS z").collect()
+    assert(neg.forall(_.isNullAt(0)))
+  }
+
   test("inclusiveDayRange ≡ [start 00:00, end+1day 00:00)") {
     val base = 1704067200L // 2024-01-01 00:00:00 UTC
     samples(Gen.listOfN(40, Gen.choose(0L, 40L * 86400)), 8).foreach { secs =>
