@@ -379,6 +379,60 @@ object Streams {
         onSnapshot(ss.read.parquet(snapDir).drop("batch_id"), batchId)
       }
       .start()
+
+  /** Streaming CDC apply: a change-row stream (tombstones flagged in
+    * `deleteCol`) folded into a keyed snapshot store, one MERGE per
+    * micro-batch — the streaming twin of `ops.Merge.mergeInto` and the
+    * continuous form of the reference ETL's upsert loop. Per batch:
+    * last-wins dedup WITHIN the batch (by `ordCols` descending), then
+    * one full-outer merge against the newest committed snapshot
+    * generation strictly below this batch id (same generation /
+    * `_SUCCESS` / retention discipline as `startSnapshotStream`, so a
+    * replayed batch folds onto its original base — a fixpoint — and a
+    * checkpoint reset inherits the surviving state). ACROSS batches the
+    * LOG ORDER is the authority (standard CDC semantics: a later batch's
+    * change supersedes, whatever its event time); within a batch,
+    * `ordCols` decide. Per-tick cost ∝ |keys| + |batch|, never
+    * |history|.
+    */
+  def startMergeStream(spark: SparkSession, changes: DataFrame, key: String,
+                       ordCols: Seq[String], deleteCol: String,
+                       snapshotPath: String, checkpoint: String,
+                       trigger: Trigger = Trigger.ProcessingTime("5 minutes"))
+                      (onSnapshot: (DataFrame, Long) => Unit): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key)).orderBy(ordCols.map(col(_).desc): _*)
+        val lastWins = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val dataCols = batch.columns.filterNot(c => c == key || c == deleteCol)
+        val gens = listBatchDirs(ss, snapshotPath)
+        def newestCommitted(c: Seq[(Long, org.apache.hadoop.fs.Path)]) =
+          c.sortBy(-_._1).find(g => isCommitted(ss, g._2))
+        val prevGen = newestCommitted(gens.filter(_._1 < batchId))
+          .orElse(newestCommitted(gens.filter(_._1 > batchId)))
+        val prev = prevGen match {
+          case Some(g) => ss.read.parquet(g._2.toString)
+            .select((col(key) +: dataCols.map(col(_))).toSeq: _*)
+          case None => lastWins.select(
+            (col(key) +: dataCols.map(col(_))).toSeq: _*).limit(0)
+        }
+        val merged = graft.ops.Merge
+          .mergeInto(prev, lastWins, key, deleteCol).drop("status")
+        val snapDir = s"$snapshotPath/batch_id=$batchId"
+        merged.write.mode("overwrite").parquet(snapDir)
+        val keep = Set(batchId) ++ prevGen.map(_._1)
+        gens.filterNot(g => keep.contains(g._1)).foreach { case (_, dir) =>
+          dir.getFileSystem(ss.sessionState.newHadoopConf())
+            .delete(dir, true): Unit
+        }
+        onSnapshot(ss.read.parquet(snapDir), batchId)
+      }
+      .start()
 }
 
 /** Multi-client fan-out of snapshot pushes — the reference broadcasts to

@@ -12,6 +12,8 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 
 case class DocEv(doc_id: Long, ts: Timestamp, text: String)
 
+case class Ch(user_id: Long, ts: Timestamp, value: Double, del: Boolean)
+
 /** Streaming semantics (SURVEY.md §2.9): batch/stream parity of the
   * shared transforms, watermark-bounded windowed aggs, snapshot
   * maintenance via foreachBatch — the reference's tick formalized. */
@@ -412,5 +414,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set("a", "c"), "healthy clients still receive the push")
     fan.unregister("boom")
     assert(fan.broadcast(snap, 1L) == Map("a" -> true, "c" -> true))
+  }
+
+  test("merge stream applies CDC semantics: insert, within-batch " +
+    "last-wins, update, tombstone, re-insert, absent-key delete no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val snapDir = Files.createTempDirectory("graft_merge_snap").toString + "/snap"
+    val ckpt = Files.createTempDirectory("graft_merge_ckpt").toString
+    val mem = MemoryStream[Ch]
+    val ch = (user: Long, sec: Int, v: Double, del: Boolean) =>
+      Ch(user, Timestamp.valueOf(f"2024-01-01 10:00:$sec%02d"), v, del)
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Double]]
+    val q = Streams.startMergeStream(spark, mem.toDF(), "user_id",
+        ordCols = Seq("ts"), deleteCol = "del", snapDir, ckpt,
+        Trigger.ProcessingTime(0)) { (snap, _) =>
+      snaps += snap.select("user_id", "value").as[(Long, Double)].collect().toMap
+    }
+    // b1: u1 insert; u2 insert then same-batch update (last-wins by ts)
+    mem.addData(ch(1, 0, 1.0, false), ch(2, 1, 2.0, false), ch(2, 2, 3.0, false))
+    q.processAllAvailable()
+    // b2: u1 update, u3 insert, u2 tombstone
+    mem.addData(ch(1, 3, 10.0, false), ch(3, 4, 5.0, false), ch(2, 5, 0.0, true))
+    q.processAllAvailable()
+    // b3: u2 re-insert after delete, u4 tombstone for an absent key
+    mem.addData(ch(2, 6, 7.0, false), ch(4, 7, 0.0, true))
+    q.processAllAvailable()
+    q.stop()
+    assert(snaps.toSeq == Seq(
+      Map(1L -> 1.0, 2L -> 3.0),
+      Map(1L -> 10.0, 3L -> 5.0),
+      Map(1L -> 10.0, 2L -> 7.0, 3L -> 5.0)))
+    // the persisted snapshot equals the last callback state
+    val persisted = spark.read.parquet(s"$snapDir/batch_id=2")
+      .select("user_id", "value").as[(Long, Double)].collect().toMap
+    assert(persisted == snaps.last)
   }
 }
