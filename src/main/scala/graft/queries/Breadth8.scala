@@ -1,0 +1,186 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Eighth relational wave — the remaining time-series/maintenance
+  * idioms a warehouse serves daily:
+  *
+  *  - gaps-and-islands (per-user consecutive-day activity streaks) via
+  *    the day-minus-row-number grouping constant — ONE shuffle on the
+  *    user key, no self-join against shifted copies;
+  *  - 2D Pareto frontier (skyline) computed on the AGGREGATE, not the
+  *    corpus: group to |distinct sizes| rows first, then a cumulative
+  *    window pass over that reduced set — the all-pairs dominance
+  *    self-join (O(n²) over parts) never happens;
+  *  - snapshot time travel: two committed generations of a keyed store
+  *    (the layout `Streams.startSnapshotStream` maintains) read back
+  *    side by side — "what changed since the snapshot" is a join of two
+  *    generation scans, not an event-log replay;
+  *  - robust outlier screen (median absolute deviation): the
+  *    two-aggregate-pass robust twin of the stddev z-score, immune to
+  *    the outliers it hunts (a z-score screen inflates its own
+  *    threshold — one 1000× spike widens stddev enough to hide itself).
+  */
+object Breadth8 {
+
+  val defs: Map[String, Q] = Map(
+    // Gaps & islands: distinct (user, day), then day-number minus
+    // row-number is CONSTANT within a consecutive run — the whole
+    // streak detection is one window over the user partition (the
+    // shuffle) plus two aggregates. All date math in the integer day
+    // domain (datediff vs a fixed epoch), so both engines bucket
+    // identically by construction.
+    "q_gaps_islands" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct()
+        .withColumn("grp",
+          expr("datediff(day, DATE'1970-01-01')") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_streaks"),
+          max(col("len")).as("max_streak"),
+          sum(col("len")).as("n_active_days"))
+        .orderBy(col("user_id").asc)
+    }),
+
+    // Skyline: parts Pareto-optimal in (small size, low price). The
+    // frontier is computed on the per-size aggregate (min price + part
+    // count), so the expensive step is one groupBy shuffle of the
+    // corpus; the cumulative-min window then runs over at most
+    // |distinct sizes| rows — the single-partition window is a
+    // deliberate choice on that reduced set, never on raw data. A row
+    // survives iff no strictly smaller size achieved an equal-or-lower
+    // price (the oracle states this as the NOT EXISTS dominance
+    // definition — an independent formulation, not a mirror of the
+    // window arithmetic).
+    "q_skyline" -> ((s, dir) => {
+      val g = Tables.part(s, dir)
+        .groupBy(col("p_size"))
+        .agg(min(col("p_retailprice")).as("best_price"),
+          count(lit(1)).as("n_parts"))
+      val prev = Window.orderBy(col("p_size").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("prev_best", min(col("best_price")).over(prev))
+        .filter(col("prev_best").isNull ||
+          col("best_price") < col("prev_best"))
+        .select(col("p_size"), col("best_price"), col("n_parts"))
+        .orderBy(col("p_size").asc)
+    }),
+
+    // Time travel: generation 0 of the store is the per-user state
+    // folded from events BEFORE the cutoff, generation 1 the current
+    // state; the query answers "what changed since the snapshot" by
+    // joining the two generation scans (each ∝ |keys|). Restating the
+    // answer from the raw log — what the oracle does — costs a full
+    // event-log window pass; the store answers it from two key-sized
+    // scans, which is the entire point of keeping committed generations
+    // at 100 TB. Users first seen after the cutoff surface with a null
+    // value_asof (insert-shaped change); null-safe equality classifies
+    // them as changed.
+    "q_time_travel" -> ((s, dir) => {
+      val root = Stores.userStateGens(s, dir)
+      val asof = s.read.parquet(s"$root/batch_id=0")
+        .select(col("user_id"), col("value").as("value_asof"))
+      val now = s.read.parquet(s"$root/batch_id=1")
+        .select(col("user_id"), col("value").as("value_now"))
+      asof.join(now, Seq("user_id"), "full_outer")
+        .select(col("user_id"), col("value_asof"), col("value_now"),
+          (!(col("value_asof") <=> col("value_now"))).as("changed"))
+        .orderBy(col("user_id").asc)
+    }),
+
+    // MAD outliers: median absolute deviation per event type. Two exact
+    // percentile passes (median of values, then median of absolute
+    // deviations) and a count of rows beyond 3 MADs. Med and MAD are
+    // rounded to 4 dp in BOTH engines before the threshold compare, so
+    // the emitted stats and the boundary are the same literal doubles
+    // on each side; the deviation itself is identical-operand
+    // arithmetic (never rounded).
+    "q_mad_outliers" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"), col("value"))
+      val med = e.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+      val dev = e.join(med, Seq("event_type"))
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(adev, 0.5)"), 4).as("mad"))
+      dev.join(mad, Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("med")).as("med"),
+          max(col("mad")).as("mad"),
+          sum(when(col("adev") > col("mad") * lit(3.0), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("event_type").asc)
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q_gaps_islands" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |i AS (
+        |  SELECT user_id,
+        |    (day - DATE '1970-01-01')
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM d),
+        |st AS (SELECT user_id, grp, count(*) AS len FROM i GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_streaks,
+        |  CAST(max(len) AS BIGINT) AS max_streak,
+        |  CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Independent dominance formulation: a size survives iff no
+    // strictly smaller size reached an equal-or-lower minimum price.
+    "q_skyline" ->
+      """WITH g AS (
+        |  SELECT p_size, min(p_retailprice) AS best_price,
+        |    count(*) AS n_parts
+        |  FROM part GROUP BY p_size)
+        |SELECT p_size, best_price, n_parts FROM g a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM g b
+        |  WHERE b.p_size < a.p_size AND b.best_price <= a.best_price)
+        |ORDER BY p_size""".stripMargin,
+
+    // The oracle restates both generations from the raw log (full
+    // window pass) — the store must reproduce it from two key-sized
+    // generation scans.
+    "q_time_travel" ->
+      s"""WITH r0 AS (
+         |  SELECT user_id, value, row_number() OVER (
+         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events WHERE ts < TIMESTAMP '${Stores.TimeTravelCutoff}'),
+         |snap AS (SELECT user_id, value AS value_asof FROM r0 WHERE rn = 1),
+         |r1 AS (
+         |  SELECT user_id, value, row_number() OVER (
+         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events),
+         |nw AS (SELECT user_id, value AS value_now FROM r1 WHERE rn = 1)
+         |SELECT coalesce(a.user_id, n.user_id) AS user_id,
+         |  a.value_asof, n.value_now,
+         |  a.value_asof IS DISTINCT FROM n.value_now AS changed
+         |FROM snap a FULL OUTER JOIN nw n ON a.user_id = n.user_id
+         |ORDER BY 1""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+        |  FROM events GROUP BY event_type),
+        |d AS (
+        |  SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+        |  FROM events e JOIN med m USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, round(quantile_cont(adev, 0.5), 4) AS mad
+        |  FROM d GROUP BY event_type)
+        |SELECT d.event_type, count(*) AS n, max(d.med) AS med,
+        |  max(mad.mad) AS mad,
+        |  CAST(sum(CASE WHEN d.adev > mad.mad * 3.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin)
+}

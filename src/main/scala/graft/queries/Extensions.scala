@@ -411,7 +411,7 @@ object Extensions {
     * SQL twin of `verifiedPairs`, shared by the q_dedup_minhash oracle
     * and the recursive-closure q_dedup_clusters oracle so the parameter
     * sets cannot drift. */
-  private val minhashPairsSql: String =
+  private[queries] val minhashPairsSql: String =
     s"""WITH sh AS (
        |  SELECT DISTINCT doc_id, unnest(${sqlShingleSet("text", ShingleLen)}) AS sh
        |  FROM documents),

@@ -113,6 +113,31 @@ object Stores {
       Sinks.appendDatePartitioned(Tables.events(s, dir), p, "ts")
     }
 
+  /** Generation boundary for the time-travel store: generation 0 folds
+    * events strictly before this instant, generation 1 the full log. */
+  val TimeTravelCutoff = "2024-01-15 00:00:00"
+
+  /** A two-generation keyed snapshot store (the `batch_id=N` committed-
+    * generation layout `Streams.startSnapshotStream` maintains): per-user
+    * last-wins state as of `TimeTravelCutoff` (generation 0) and current
+    * (generation 1). Each generation is |keys|-sized — reading "the state
+    * as of the snapshot" is a key-sized scan, not an event-log replay. */
+  def userStateGens(s: SparkSession, dir: String): String =
+    materialized(dir, "user_state_gens") { p =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("value"), col("ts"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      def latest(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("user_id"), col("value"), col("ts"))
+      latest(e.filter(col("ts") < to_timestamp_ntz(lit(TimeTravelCutoff))))
+        .write.parquet(s"$p/batch_id=0")
+      latest(e).write.parquet(s"$p/batch_id=1")
+    }
+
   /** The events log as JSONL (one JSON object per line) — the staging
     * format the reference's ETL would hand off if it spooled fetched
     * payloads to disk instead of straight to PG. */

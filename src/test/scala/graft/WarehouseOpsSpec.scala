@@ -1,0 +1,107 @@
+package graft
+
+import graft.queries.{Breadth8, Stores}
+import org.apache.spark.sql.functions._
+
+/** Edge-case semantics for the eighth relational wave — the properties
+  * the DuckDB differential can't isolate: skyline dominance as a
+  * property (not a mirrored formulation), island splitting on exact gap
+  * shapes, time-travel generation commitment, and MAD's robustness to
+  * the outliers it screens (the property that justifies it over a
+  * stddev z-score).
+  */
+class WarehouseOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q_skyline: kept rows are mutually non-dominated and every " +
+    "dropped size is dominated by some kept row") {
+    val agg = graft.Tables.part(spark, sf0001)
+      .groupBy(col("p_size"))
+      .agg(min(col("p_retailprice")).as("best_price"))
+      .as[(Int, Double)].collect().toSeq
+    val kept = Breadth8.defs("q_skyline")(spark, sf0001)
+      .select("p_size", "best_price").as[(Int, Double)].collect().toSeq
+    def dominates(a: (Int, Double), b: (Int, Double)) =
+      a._1 <= b._1 && a._2 <= b._2 && (a._1 < b._1 || a._2 < b._2)
+    for (a <- kept; b <- kept if a != b)
+      assert(!dominates(a, b), s"$a dominates kept $b")
+    val keptSet = kept.toSet
+    for (d <- agg if !keptSet.contains(d))
+      assert(kept.exists(k => dominates(k, d)), s"dropped $d undominated")
+    assert(kept.nonEmpty)
+  }
+
+  test("gaps-islands splits on a single missing day and counts " +
+    "singleton streaks") {
+    // user 1: days 1-3, then 5 (gap at 4) -> streaks [3, 1];
+    // user 2: one day -> one singleton streak.
+    val df = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-02"), (1L, "2024-01-03"),
+      (1L, "2024-01-05"), (2L, "2024-03-01"))
+      .toDF("user_id", "d")
+      .select(col("user_id"),
+        to_timestamp_ntz(concat(col("d"), lit(" 12:00:00"))).as("ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day").asc)
+    val out = df.select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct()
+      .withColumn("grp",
+        expr("datediff(day, DATE'1970-01-01')") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("max_streak"))
+      .as[(Long, Long, Long)].collect().toMap2
+    assert(out(1L) == ((2L, 3L)))
+    assert(out(2L) == ((1L, 1L)))
+  }
+
+  test("time-travel store: both generations committed, asof differs " +
+    "from now for at least one user, insert-shaped changes flagged") {
+    val root = Stores.userStateGens(spark, sf0001)
+    for (g <- Seq(0, 1))
+      assert(new java.io.File(s"$root/batch_id=$g/_SUCCESS").exists(),
+        s"generation $g not committed")
+    val out = Breadth8.defs("q_time_travel")(spark, sf0001).collect()
+    // every user with a differing (or missing) asof value is changed
+    out.foreach { r =>
+      val asof = Option(r.getAs[java.lang.Double]("value_asof"))
+      val now = Option(r.getAs[java.lang.Double]("value_now"))
+      assert(r.getAs[Boolean]("changed") == (asof != now))
+    }
+    assert(out.exists(_.getAs[Boolean]("changed")),
+      "no user changed across the cutoff — degenerate fixture")
+  }
+
+  test("MAD screen is robust to the outlier it hunts: one 1000x spike " +
+    "flags only itself, while the stddev z-score threshold inflates") {
+    val vals = (1 to 99).map(i => 10.0 + (i % 7) * 0.5) :+ 10000.0
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, "t", v) }
+      .toDF("id", "event_type", "value")
+    val med = df.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val dev = df.join(med, Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(adev, 0.5)").as("mad"))
+    val flagged = dev.join(mad, Seq("event_type"))
+      .filter(col("adev") > col("mad") * lit(3.0))
+      .select("value").as[Double].collect().toSeq
+    assert(flagged == Seq(10000.0))
+    // the z-score screen misses it less cleanly: the spike inflates
+    // stddev so much that 3 sigma still catches ONLY the spike, but the
+    // threshold it implies (mean + 3 sigma) is ~100x MAD's — one more
+    // spike of half the size would hide. Pin the threshold gap.
+    val (mean, std) = df.agg(avg(col("value")), stddev_pop(col("value")))
+      .as[(Double, Double)].collect().head
+    val madV = mad.select("mad").as[Double].collect().head
+    val medV = med.select("med").as[Double].collect().head
+    assert(mean + 3 * std > medV + 100 * madV,
+      "z-score threshold did not inflate — fixture lost its point")
+  }
+
+  private implicit class Tupled[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = rows.map(r => r._1 -> (r._2, r._3)).toMap
+  }
+}
