@@ -192,6 +192,32 @@ object Extensions {
       verifiedPairs(s, dir).orderBy(col("id_a").asc, col("id_b").asc)
     }),
 
+    // Sketch-error audit: the signature-ESTIMATED Jaccard (matching
+    // signature components / K — what a signatures-only pipeline would
+    // act on) against the exact verified Jaccard, per near-dup pair.
+    // This is the measurement that decides whether K is big enough to
+    // skip the exact-verify pass at scale; with K=12 the estimate is
+    // coarse (granularity 1/12), which is exactly what the err column
+    // shows. All arithmetic is identical-operand (integer match count /
+    // constant; difference of the two doubles) — bit-exact unrounded.
+    "q_minhash_est" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(
+        Tables.documents(s, dir), "doc_id", "text", ShingleLen, NumHashes)
+      val sa = sigs.select(col("doc_id").as("id_a") +:
+        (0 until NumHashes).map(i => col(s"h$i").as(s"a$i")): _*)
+      val sb = sigs.select(col("doc_id").as("id_b") +:
+        (0 until NumHashes).map(i => col(s"h$i").as(s"b$i")): _*)
+      val matches = (0 until NumHashes)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      verifiedPairs(s, dir)
+        .join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("jaccard").as("exact_j"),
+          (matches.cast("double") / lit(NumHashes.toDouble)).as("est_j"))
+        .withColumn("err", col("est_j") - col("exact_j"))
+        .orderBy(col("id_a").asc, col("id_b").asc)
+    }),
+
     // Pairwise near-dups → duplicate CLUSTERS (connected components via
     // min-label propagation). The query keeps only members of nontrivial
     // clusters, so it reads the graph-nodes-only clusterMembers frame —
@@ -407,12 +433,14 @@ object Extensions {
       |FROM ranked WHERE rank <= 5
       |GROUP BY probe_id ORDER BY probe_id""".stripMargin
 
-  /** Verified MinHash near-dup pairs as one (nestable) WITH-chain — the
-    * SQL twin of `verifiedPairs`, shared by the q_dedup_minhash oracle
-    * and the recursive-closure q_dedup_clusters oracle so the parameter
-    * sets cannot drift. */
-  private[queries] val minhashPairsSql: String =
-    s"""WITH sh AS (
+  /** The MinHash CTE chain (shingles → hashes → signatures → bands →
+    * candidates → exact-Jaccard `verified`) WITHOUT the leading WITH or
+    * a final SELECT, so consumers can append their own CTEs over `sigs`
+    * / `verified` (q_minhash_est) while `minhashPairsSql` below stays
+    * the canonical pairs query. One definition — the parameter sets
+    * cannot drift between consumers. */
+  private[queries] val minhashCtes: String =
+    s"""sh AS (
        |  SELECT DISTINCT doc_id, unnest(${sqlShingleSet("text", ShingleLen)}) AS sh
        |  FROM documents),
        |hm AS (SELECT doc_id, md5(sh) AS m FROM sh),
@@ -437,7 +465,13 @@ object Extensions {
        |    round(len(list_filter(sa.s, x -> list_contains(sb.s, x)))::DOUBLE
        |      / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))), 4) AS jaccard
        |  FROM cands JOIN sets sa ON sa.doc_id = id_a
-       |             JOIN sets sb ON sb.doc_id = id_b)
+       |             JOIN sets sb ON sb.doc_id = id_b)""".stripMargin
+
+  /** Verified MinHash near-dup pairs as one (nestable) WITH-chain — the
+    * SQL twin of `verifiedPairs`, shared by the q_dedup_minhash oracle
+    * and the recursive-closure q_dedup_clusters oracle. */
+  private[queries] val minhashPairsSql: String =
+    s"""WITH $minhashCtes
        |SELECT id_a, id_b, jaccard FROM verified
        |WHERE jaccard >= $JaccThreshold""".stripMargin
 
@@ -524,6 +558,22 @@ object Extensions {
          |FROM fp f JOIN canon c USING (fp) ORDER BY f.doc_id""".stripMargin,
 
     "q_dedup_minhash" -> (minhashPairsSql + " ORDER BY id_a, id_b"),
+
+    "q_minhash_est" -> {
+      val matchSum = (0 until NumHashes)
+        .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $minhashCtes,
+         |vp AS (
+         |  SELECT id_a, id_b, jaccard FROM verified
+         |  WHERE jaccard >= $JaccThreshold)
+         |SELECT vp.id_a, vp.id_b, vp.jaccard AS exact_j,
+         |  CAST($matchSum AS DOUBLE) / ${NumHashes.toDouble} AS est_j,
+         |  CAST($matchSum AS DOUBLE) / ${NumHashes.toDouble} - vp.jaccard AS err
+         |FROM vp JOIN sigs sa ON sa.doc_id = vp.id_a
+         |        JOIN sigs sb ON sb.doc_id = vp.id_b
+         |ORDER BY vp.id_a, vp.id_b""".stripMargin
+    },
 
     // dup clusters = transitive closure of the verified pairs, stated as
     // a recursive CTE over the SAME pairs chain — the oracle computes the

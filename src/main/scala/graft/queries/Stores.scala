@@ -174,7 +174,54 @@ object Stores {
         .write.mode("overwrite").orc(p)
     }
 
+  /** Document text as line-oriented files (one doc per line — corpus
+    * text is single-line by construction, spec-pinned). The raw-text
+    * interchange surface: what a tokenizer-training or grep-style
+    * consumer reads. */
+  def docsText(s: SparkSession, dir: String): String =
+    materialized(dir, "docs_text", srcTable = "documents") { p =>
+      Tables.documents(s, dir).select(col("text"))
+        .write.mode("overwrite").text(p)
+    }
+
   val defs: Map[String, Q] = Map(
+    // Partition health report over the date-partitioned store: per-day
+    // row counts, each day's share of the largest partition, and a skew
+    // flag against 2x the mean — the monitoring query a compaction /
+    // re-partition job is driven by. Reads the STORE (the partition
+    // column is free — no ts cast on the scan path); the oracle
+    // recomputes from the raw log, doubling as a store-integrity check.
+    // Share and mean are identical-operand divisions — bit-exact, no
+    // rounding.
+    "q_partition_stats" -> ((s, dir) => {
+      val perDay = s.read.parquet(eventsByDate(s, dir))
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as("n_rows"))
+      val totals = perDay.agg(
+        max(col("n_rows")).as("max_rows"),
+        sum(col("n_rows")).as("total_rows"),
+        count(lit(1)).as("n_days"))
+      perDay.crossJoin(broadcast(totals))
+        .select(col("event_date"), col("n_rows"),
+          (col("n_rows").cast("double") / col("max_rows").cast("double"))
+            .as("share_of_max"),
+          (col("n_rows").cast("double") >
+            lit(2.0) * (col("total_rows").cast("double")
+              / col("n_days").cast("double"))).as("is_skewed"))
+        .orderBy(col("event_date").asc)
+    }),
+
+    // Raw-text source round-trip: documents written as one-line-per-doc
+    // text files and read back with the line-oriented reader. Line and
+    // char conservation against the ORIGINAL table pins both directions
+    // of the trip (a dropped/split/mangled line shifts either count).
+    "q_text_roundtrip" -> ((s, dir) => {
+      s.read.text(docsText(s, dir))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(length(col("value"))).as("total_chars"),
+          min(length(col("value"))).as("min_chars"),
+          max(length(col("value"))).as("max_chars"))
+    }),
     // ORC source round-trip: same aggregate contract as the JSONL
     // round-trip (n_ts = n pins that the NTZ timestamp survived the
     // format natively), so a value/timestamp regression in either
@@ -254,6 +301,27 @@ object Stores {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q_partition_stats" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS event_date, count(*) AS n_rows
+        |  FROM events GROUP BY 1),
+        |t AS (
+        |  SELECT max(n_rows) AS max_rows, sum(n_rows) AS total_rows,
+        |    count(*) AS n_days
+        |  FROM d)
+        |SELECT event_date, n_rows,
+        |  CAST(n_rows AS DOUBLE) / CAST(max_rows AS DOUBLE) AS share_of_max,
+        |  CAST(n_rows AS DOUBLE)
+        |    > 2.0 * (CAST(total_rows AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |    AS is_skewed
+        |FROM d, t ORDER BY event_date""".stripMargin,
+
+    "q_text_roundtrip" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(min(length(text)) AS INTEGER) AS min_chars,
+        |  CAST(max(length(text)) AS INTEGER) AS max_chars
+        |FROM documents""".stripMargin,
     "q_orc_roundtrip" ->
       """SELECT event_type, count(*) AS n, count(ts) AS n_ts,
         |  round(sum(value), 2) AS sum_value

@@ -42,6 +42,19 @@ class CorpusProfileSpec extends SparkSpec {
     assert(rows.last._2 <= 1.0 && rows.head._2 > 0.0)
   }
 
+  test("minhash estimate is a multiple of 1/K and lands within the " +
+    "coarse-sketch band of the exact jaccard on every verified pair") {
+    val rows = Extensions.defs("q_minhash_est")(spark, sf0001)
+      .select("est_j", "err").as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (est, err) =>
+      val scaled = est * 12.0
+      assert(math.abs(scaled - math.round(scaled)) < 1e-12,
+        s"est $est is not a multiple of 1/12")
+      assert(math.abs(err) <= 0.5, s"err $err beyond the K=12 band")
+    }
+  }
+
   test("embedding QC conserves the corpus and flags an injected " +
     "zero vector and NaN component") {
     val n = Tables.embeddings(spark, sf0001).count()

@@ -73,6 +73,16 @@ class WarehouseOpsSpec extends SparkSpec {
       "no user changed across the cutoff — degenerate fixture")
   }
 
+  test("partition stats: shares bounded by 1 with the max day at " +
+    "exactly 1.0, and row counts conserve the event log") {
+    val out = queries.Stores.defs("q_partition_stats")(spark, sf0001)
+      .select("n_rows", "share_of_max").as[(Long, Double)].collect()
+    assert(out.map(_._2).max == 1.0)
+    assert(out.forall { case (_, s) => s > 0.0 && s <= 1.0 })
+    val total = Tables.events(spark, sf0001).count()
+    assert(out.map(_._1).sum == total)
+  }
+
   test("MAD screen is robust to the outlier it hunts: one 1000x spike " +
     "flags only itself, while the stddev z-score threshold inflates") {
     val vals = (1 to 99).map(i => 10.0 + (i % 7) * 0.5) :+ 10000.0
