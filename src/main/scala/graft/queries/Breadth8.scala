@@ -34,8 +34,14 @@ object Breadth8 {
     // identically by construction.
     "q_gaps_islands" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+      // Repartition by user alone BEFORE the distinct: hash(user_id)
+      // satisfies the (user_id, day) clustering the distinct needs AND
+      // the window/aggregate partitioning after it, so the whole
+      // pipeline runs on ONE exchange (PlanSpec-pinned) instead of
+      // hash(user_id, day) + hash(user_id) back to back.
       Tables.events(s, dir)
         .select(col("user_id"), col("ts").cast("date").as("day"))
+        .repartition(col("user_id"))
         .distinct()
         .withColumn("grp",
           expr("datediff(day, DATE'1970-01-01')") - row_number().over(w))

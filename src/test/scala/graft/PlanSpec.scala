@@ -200,6 +200,54 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_gaps_islands shares ONE hash exchange across distinct, window, " +
+    "and both aggregates") {
+    val p = plan(SparkEntry.queries("q_gaps_islands")(spark, sf0001))
+    // hash(user_id) satisfies the (user_id, day) distinct clustering AND
+    // the window/aggregate requirements downstream; only the final
+    // presentation sort adds a range exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(800))
+    assert(p.contains("Window"))
+  }
+
+  test("q_bigram_merges plans TakeOrderedAndProject over a partial+final " +
+    "hash aggregate — no global sort of the pair counts") {
+    val p = plan(SparkEntry.queries("q_bigram_merges")(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject(limit=20"), p.take(600))
+    assert(p.contains("partial_count"), "pair counts not map-side partial")
+  }
+
+  test("q_fuzzy_match joins on the blocking keys — never a cartesian " +
+    "all-pairs distance matrix") {
+    val p = plan(SparkEntry.queries("q_fuzzy_match")(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(p.contains("p_brand") && p.contains("p_size"))
+  }
+
+  test("q_partition_stats reads ONLY the partition column — zero data " +
+    "columns leave the store scan") {
+    val p = plan(SparkEntry.queries("q_partition_stats")(spark, sf0001))
+    val storeScans = p.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("event_date"))
+      .toSeq
+    assert(storeScans.nonEmpty, p.take(800))
+    // the per-day count needs no data column: the scan's projected
+    // schema is exactly [event_date] (a directory-listing-shaped read)
+    assert(storeScans.exists(_.contains("FileScan parquet [event_date#")),
+      storeScans.mkString("\n"))
+    assert(!p.contains("ts#"), "store read should never touch ts")
+  }
+
+  test("q_time_travel never replays the event log: generation scans " +
+    "join with no window over events") {
+    val p = plan(SparkEntry.queries("q_time_travel")(spark, sf0001))
+    assert(!p.contains("Window"), "time travel re-derived state with a " +
+      "window — the generations should be read, not recomputed")
+    assert("FileScan parquet \\[user_id".r.findAllIn(p).size == 2,
+      "expected exactly the two generation scans")
+  }
+
   test("whole-stage codegen covers the q1_agg pipeline") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = SparkEntry.queries("q1_agg")(spark, sf0001)
