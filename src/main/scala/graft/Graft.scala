@@ -95,4 +95,43 @@ object Graft {
                         threshold: Double = 0.8): DataFrame =
     graft.streaming.Streams.streamingMinhashNearDups(live, corpus,
       idCol, textCol, delay, threshold = threshold)
+
+  // ---- warehouse time-series / maintenance (round-4 surface) ----------
+
+  /** Per-key consecutive-day activity streaks (gaps and islands):
+    * n_streaks, max_streak, n_active_days per key. One hash exchange
+    * end to end — see ops.Streaks. */
+  def activityStreaks(events: DataFrame, keyCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame =
+    ops.Streaks.streakSummary(events, keyCol, tsCol)
+
+  /** 2D Pareto frontier, both dimensions minimized; computed on the
+    * per-x aggregate, never an all-pairs dominance join — see
+    * ops.Skyline. */
+  def skyline(df: DataFrame, xCol: String, yCol: String,
+              bestCol: String = "best_y", nCol: String = "n_rows"): DataFrame =
+    ops.Skyline.frontier2d(df, xCol, yCol, bestCol, nCol)
+
+  /** "What changed since the snapshot": full-outer diff of two keyed
+    * state generations (e.g. two committed `batch_id=N` dirs of a
+    * snapshot store). Each side is a |keys|-sized scan; `changed` uses
+    * null-safe equality so insert- and delete-shaped differences are
+    * flagged too. */
+  def snapshotDiff(oldGen: DataFrame, newGen: DataFrame,
+                   keyCol: String, valueCol: String): DataFrame =
+    oldGen.select(col(keyCol), col(valueCol).as("value_old"))
+      .join(newGen.select(col(keyCol), col(valueCol).as("value_new")),
+        Seq(keyCol), "full_outer")
+      .withColumn("changed", !(col("value_old") <=> col("value_new")))
+
+  // ---- crawl cleaning (column expressions, re-exported) ---------------
+
+  /** Remove every '<...>' tag run — see text.Web.stripTags. */
+  def stripTags(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    text.Web.stripTags(c)
+
+  /** Canonical page identity (lower host, no www/query/fragment) — see
+    * text.Web.canonicalUrl. */
+  def canonicalUrl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    text.Web.canonicalUrl(c)
 }

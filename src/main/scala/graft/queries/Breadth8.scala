@@ -1,7 +1,6 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Eighth relational wave — the remaining time-series/maintenance
@@ -32,27 +31,9 @@ object Breadth8 {
     // shuffle) plus two aggregates. All date math in the integer day
     // domain (datediff vs a fixed epoch), so both engines bucket
     // identically by construction.
-    "q_gaps_islands" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
-      // Repartition by user alone BEFORE the distinct: hash(user_id)
-      // satisfies the (user_id, day) clustering the distinct needs AND
-      // the window/aggregate partitioning after it, so the whole
-      // pipeline runs on ONE exchange (PlanSpec-pinned) instead of
-      // hash(user_id, day) + hash(user_id) back to back.
-      Tables.events(s, dir)
-        .select(col("user_id"), col("ts").cast("date").as("day"))
-        .repartition(col("user_id"))
-        .distinct()
-        .withColumn("grp",
-          expr("datediff(day, DATE'1970-01-01')") - row_number().over(w))
-        .groupBy(col("user_id"), col("grp"))
-        .agg(count(lit(1)).as("len"))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_streaks"),
-          max(col("len")).as("max_streak"),
-          sum(col("len")).as("n_active_days"))
-        .orderBy(col("user_id").asc)
-    }),
+    "q_gaps_islands" -> ((s, dir) =>
+      graft.ops.Streaks.streakSummary(Tables.events(s, dir), "user_id", "ts")
+        .orderBy(col("user_id").asc)),
 
     // Skyline: parts Pareto-optimal in (small size, low price). The
     // frontier is computed on the per-size aggregate (min price + part
@@ -64,19 +45,10 @@ object Breadth8 {
     // price (the oracle states this as the NOT EXISTS dominance
     // definition — an independent formulation, not a mirror of the
     // window arithmetic).
-    "q_skyline" -> ((s, dir) => {
-      val g = Tables.part(s, dir)
-        .groupBy(col("p_size"))
-        .agg(min(col("p_retailprice")).as("best_price"),
-          count(lit(1)).as("n_parts"))
-      val prev = Window.orderBy(col("p_size").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      g.withColumn("prev_best", min(col("best_price")).over(prev))
-        .filter(col("prev_best").isNull ||
-          col("best_price") < col("prev_best"))
-        .select(col("p_size"), col("best_price"), col("n_parts"))
-        .orderBy(col("p_size").asc)
-    }),
+    "q_skyline" -> ((s, dir) =>
+      graft.ops.Skyline.frontier2d(Tables.part(s, dir),
+          "p_size", "p_retailprice", bestCol = "best_price", nCol = "n_parts")
+        .orderBy(col("p_size").asc)),
 
     // Time travel: generation 0 of the store is the per-user state
     // folded from events BEFORE the cutoff, generation 1 the current

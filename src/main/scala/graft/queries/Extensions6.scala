@@ -28,11 +28,6 @@ import org.apache.spark.sql.functions._
   */
 object Extensions6 {
 
-  /** Tag-strip pattern: any '<...>' run. Document text is tag-free by
-    * construction (spec-pinned), so stripping recovers exactly the
-    * injected payload boundaries. */
-  private val TagRx = "<[^>]+>"
-
   /** Chars of pure markup injected around a wrapped doc (the tags of
     * `<html><body><h1>T</h1><p>text</p><div class="x">ad</div></body>
     * </html>` — everything except the visible "T", "ad", and the text
@@ -56,7 +51,7 @@ object Extensions6 {
         .otherwise(col("text"))
       Tables.documents(s, dir)
         .withColumn("raw", wrapped)
-        .withColumn("stripped", regexp_replace(col("raw"), TagRx, ""))
+        .withColumn("stripped", graft.text.Web.stripTags(col("raw")))
         .select(col("doc_id"),
           (pmod(col("doc_id"), lit(4)) === 0).as("had_markup"),
           (length(col("raw")) - length(col("stripped"))).as("markup_chars"),
@@ -83,10 +78,7 @@ object Extensions6 {
         when(pmod(col("doc_id"), lit(5)) === 0, lit("#top")).otherwise(lit("")))
       Tables.documents(s, dir)
         .select(col("doc_id"), url.as("url"))
-        .withColumn("canonical", concat(lit("https://"),
-          regexp_replace(lower(parse_url(col("url"), lit("HOST"))),
-            "^www\\.", ""),
-          parse_url(col("url"), lit("PATH"))))
+        .withColumn("canonical", graft.text.Web.canonicalUrl(col("url")))
         .groupBy(col("canonical"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("url")).as("n_variants"),

@@ -48,10 +48,7 @@ class CrawlCleanSpec extends SparkSpec {
       "https://www.EXAMPLE.com/p/7",
       "https://example.com/p/8?sess=3")
     val canon = urls.toDF("url")
-      .select(concat(lit("https://"),
-        regexp_replace(lower(parse_url(col("url"), lit("HOST"))),
-          "^www\\.", ""),
-        parse_url(col("url"), lit("PATH"))).as("c"))
+      .select(graft.text.Web.canonicalUrl(col("url")).as("c"))
       .as[String].collect().toSeq
     assert(canon.take(3).toSet == Set("https://example.com/p/7"))
     assert(canon(3) == "https://example.com/p/8")

@@ -64,4 +64,31 @@ class GraftFacadeSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(nonKeepers == want)
   }
+
+  test("Graft.activityStreaks matches the oracle-checked islands query") {
+    val got = Graft.activityStreaks(Tables.events(spark, sf0001))
+      .orderBy(col("user_id").asc)
+    val want = SparkEntry.queries("q_gaps_islands")(spark, sf0001)
+    assert(rows(got) == rows(want))
+  }
+
+  test("Graft.skyline names its derived columns as asked and matches " +
+    "the oracle-checked frontier") {
+    val got = Graft.skyline(Tables.part(spark, sf0001),
+      "p_size", "p_retailprice", bestCol = "best_price", nCol = "n_parts")
+      .orderBy(col("p_size").asc)
+    val want = SparkEntry.queries("q_skyline")(spark, sf0001)
+    assert(got.columns.toSeq == Seq("p_size", "best_price", "n_parts"))
+    assert(rows(got) == rows(want))
+  }
+
+  test("Graft.snapshotDiff flags change, insert-shape, delete-shape, " +
+    "and leaves identical keys unchanged") {
+    import spark.implicits._
+    val oldGen = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val newGen = Seq((1L, 10.0), (2L, 25.0), (4L, 40.0)).toDF("k", "v")
+    val out = Graft.snapshotDiff(oldGen, newGen, "k", "v")
+      .select("k", "changed").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
+  }
 }
