@@ -116,13 +116,12 @@ object Graft {
     * state generations (e.g. two committed `batch_id=N` dirs of a
     * snapshot store). Each side is a |keys|-sized scan; `changed` uses
     * null-safe equality so insert- and delete-shaped differences are
-    * flagged too. */
+    * flagged too — see ops.Merge.generationDiff (shared with the
+    * oracle-checked q_time_travel). */
   def snapshotDiff(oldGen: DataFrame, newGen: DataFrame,
                    keyCol: String, valueCol: String): DataFrame =
-    oldGen.select(col(keyCol), col(valueCol).as("value_old"))
-      .join(newGen.select(col(keyCol), col(valueCol).as("value_new")),
-        Seq(keyCol), "full_outer")
-      .withColumn("changed", !(col("value_old") <=> col("value_new")))
+    ops.Merge.generationDiff(oldGen, newGen, keyCol, valueCol,
+      oldName = "value_old", newName = "value_new")
 
   // ---- crawl cleaning (column expressions, re-exported) ---------------
 

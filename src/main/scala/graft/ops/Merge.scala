@@ -23,6 +23,21 @@ object Merge {
     * snapshot plus a `status` column (`kept` / `updated` / `inserted`) —
     * deleted keys are absent.
     */
+  /** "What changed between two keyed state generations": full-outer
+    * diff with null-safe equality, so insert-shaped (key only in new)
+    * and delete-shaped (key only in old) differences are flagged too.
+    * Each side is a |keys|-sized scan — reading committed snapshot
+    * generations, never replaying the log. Shared by the q_time_travel
+    * query and the Graft.snapshotDiff facade (one implementation, so
+    * the equality semantics cannot drift). */
+  def generationDiff(oldGen: DataFrame, newGen: DataFrame, key: String,
+                     valueCol: String, oldName: String,
+                     newName: String): DataFrame =
+    oldGen.select(col(key), col(valueCol).as(oldName))
+      .join(newGen.select(col(key), col(valueCol).as(newName)),
+        Seq(key), "full_outer")
+      .withColumn("changed", !(col(oldName) <=> col(newName)))
+
   def mergeInto(base: DataFrame, changes: DataFrame, key: String,
                 deleteCol: String): DataFrame = {
     val dataCols = base.columns.filter(_ != key).toSeq

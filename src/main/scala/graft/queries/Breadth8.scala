@@ -62,13 +62,10 @@ object Breadth8 {
     // them as changed.
     "q_time_travel" -> ((s, dir) => {
       val root = Stores.userStateGens(s, dir)
-      val asof = s.read.parquet(s"$root/batch_id=0")
-        .select(col("user_id"), col("value").as("value_asof"))
-      val now = s.read.parquet(s"$root/batch_id=1")
-        .select(col("user_id"), col("value").as("value_now"))
-      asof.join(now, Seq("user_id"), "full_outer")
-        .select(col("user_id"), col("value_asof"), col("value_now"),
-          (!(col("value_asof") <=> col("value_now"))).as("changed"))
+      graft.ops.Merge.generationDiff(
+          s.read.parquet(s"$root/batch_id=0"),
+          s.read.parquet(s"$root/batch_id=1"),
+          "user_id", "value", oldName = "value_asof", newName = "value_now")
         .orderBy(col("user_id").asc)
     }),
 

@@ -302,6 +302,37 @@ object Streams {
     dir.getFileSystem(spark.sessionState.newHadoopConf())
       .exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
 
+  /** Shared generation fold — the crash-recovery core of both
+    * snapshot-maintaining streams. Discovers the fold base (newest
+    * COMMITTED generation STRICTLY BELOW this batch id: a replay of
+    * batch N must land on its original base — a fixpoint — never read
+    * its own possibly-torn dir, and never trust a crash-interrupted
+    * write with no `_SUCCESS`; after a CHECKPOINT RESET — ids restart at
+    * 0 while older generations survive on disk — the newest committed
+    * one ABOVE is inherited instead of silently abandoned), hands it to
+    * `derive`, writes the result as this batch's generation
+    * (overwrite-idempotent), applies retention (only the new generation
+    * and its base stay — the base so a replay of THIS batch can still
+    * find it), and returns a fresh frame over the committed dir. */
+  private def foldGeneration(ss: SparkSession, snapshotPath: String,
+                             batchId: Long)
+                            (derive: Option[DataFrame] => DataFrame): DataFrame = {
+    val gens = listBatchDirs(ss, snapshotPath)
+    def newestCommitted(c: Seq[(Long, org.apache.hadoop.fs.Path)]) =
+      c.sortBy(-_._1).find(g => isCommitted(ss, g._2))
+    val prevGen = newestCommitted(gens.filter(_._1 < batchId))
+      .orElse(newestCommitted(gens.filter(_._1 > batchId)))
+    val snapDir = s"$snapshotPath/batch_id=$batchId"
+    derive(prevGen.map(g => ss.read.parquet(g._2.toString)))
+      .write.mode("overwrite").parquet(snapDir)
+    val keep = Set(batchId) ++ prevGen.map(_._1)
+    gens.filterNot(g => keep.contains(g._1)).foreach { case (_, dir) =>
+      dir.getFileSystem(ss.sessionState.newHadoopConf())
+        .delete(dir, true): Unit
+    }
+    ss.read.parquet(snapDir)
+  }
+
   /** The reference's full tick, as one streaming query. Per micro-batch:
     *
     *  1. the raw batch lands in `storePath/batch_id=N` with OVERWRITE —
@@ -338,45 +369,22 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ss = batch.sparkSession
         batch.write.mode("overwrite").parquet(s"$storePath/batch_id=$batchId")
-        // fold into the newest COMMITTED generation STRICTLY BELOW this
-        // batch id: a replay of batch N must land on snapshot N-1 (a
-        // fixpoint), never read its own possibly-torn batch_id=N dir,
-        // and never trust a crash-interrupted write (no _SUCCESS).
-        // CHECKPOINT RESET: a wiped checkpoint restarts batch ids at 0
-        // while older generations (ids ABOVE batchId) survive on disk —
-        // inherit the newest committed one instead of silently
-        // abandoning (and below, deleting) the accumulated state; a gen
-        // whose id EQUALS batchId is this batch's own earlier write
-        // (replay) and is correctly never a fold base. (Known marginal
-        // edge: resetting the checkpoint when the old stream ran EXACTLY
-        // one batch leaves only gen 0, indistinguishable from a replay
-        // of new batch 0 — that lone generation is not inherited; keys
-        // reappear as they re-tick, and snapshotRecompute over the store
-        // remains the full-recovery path.)
-        val gens = listBatchDirs(ss, snapshotPath)
-        def newestCommitted(c: Seq[(Long, org.apache.hadoop.fs.Path)]) =
-          c.sortBy(-_._1).find(g => isCommitted(ss, g._2))
-        val prevGen = newestCommitted(gens.filter(_._1 < batchId))
-          .orElse(newestCommitted(gens.filter(_._1 > batchId)))
-        val prev = prevGen.map(g => ss.read.parquet(g._2.toString))
+        // fold-base discovery, commit, retention, and checkpoint-reset
+        // inheritance live in foldGeneration (shared with the merge
+        // stream). Known marginal edge: resetting the checkpoint when
+        // the old stream ran EXACTLY one batch leaves only gen 0,
+        // indistinguishable from a replay of new batch 0 — that lone
+        // generation is not inherited; keys reappear as they re-tick,
+        // and snapshotRecompute over the store remains the
+        // full-recovery path.
         val batchCols = batch.drop("batch_id")
-        val base = prev match {
-          case Some(p) => p.select(batchCols.columns.map(col).toSeq: _*)
-            .unionByName(batchCols)
-          case None => batchCols
+        val snap = foldGeneration(ss, snapshotPath, batchId) {
+          case Some(p) => latestSnapshot(
+            p.select(batchCols.columns.map(col).toSeq: _*)
+              .unionByName(batchCols))
+          case None => latestSnapshot(batchCols)
         }
-        val snapDir = s"$snapshotPath/batch_id=$batchId"
-        latestSnapshot(base).write.mode("overwrite").parquet(snapDir)
-        // retention: only the generation just written and the one it was
-        // derived from are live (the latter so a replay of THIS batch can
-        // still find its fold base); everything older is dead weight that
-        // would otherwise grow storage and listing cost without bound
-        val keep = Set(batchId) ++ prevGen.map(_._1)
-        gens.filterNot(g => keep.contains(g._1)).foreach { case (_, dir) =>
-          dir.getFileSystem(ss.sessionState.newHadoopConf())
-            .delete(dir, true): Unit
-        }
-        onSnapshot(ss.read.parquet(snapDir).drop("batch_id"), batchId)
+        onSnapshot(snap.drop("batch_id"), batchId)
       }
       .start()
 
@@ -392,8 +400,13 @@ object Streams {
     * checkpoint reset inherits the surviving state). ACROSS batches the
     * LOG ORDER is the authority (standard CDC semantics: a later batch's
     * change supersedes, whatever its event time); within a batch,
-    * `ordCols` decide. Per-tick cost ∝ |keys| + |batch|, never
-    * |history|.
+    * `ordCols` decide, and TIES on `ordCols` resolve deterministically —
+    * tombstone first (a same-instant delete+upsert deletes), then
+    * descending on the remaining data columns — so the per-batch winner
+    * is a pure function of the batch contents and a replayed batch
+    * rewrites an IDENTICAL generation (the fixpoint the recovery story
+    * depends on; an arbitrary tie pick would break it). Per-tick cost ∝
+    * |keys| + |batch|, never |history|.
     */
   def startMergeStream(spark: SparkSession, changes: DataFrame, key: String,
                        ordCols: Seq[String], deleteCol: String,
@@ -405,32 +418,25 @@ object Streams {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ss = batch.sparkSession
+        val dataCols = batch.columns.filterNot(c => c == key || c == deleteCol)
+        val tieBreak = col(deleteCol).desc +:
+          dataCols.filterNot(ordCols.contains).map(col(_).desc)
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(key)).orderBy(ordCols.map(col(_).desc): _*)
+          .partitionBy(col(key))
+          .orderBy(ordCols.map(col(_).desc) ++ tieBreak: _*)
         val lastWins = batch.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-        val dataCols = batch.columns.filterNot(c => c == key || c == deleteCol)
-        val gens = listBatchDirs(ss, snapshotPath)
-        def newestCommitted(c: Seq[(Long, org.apache.hadoop.fs.Path)]) =
-          c.sortBy(-_._1).find(g => isCommitted(ss, g._2))
-        val prevGen = newestCommitted(gens.filter(_._1 < batchId))
-          .orElse(newestCommitted(gens.filter(_._1 > batchId)))
-        val prev = prevGen match {
-          case Some(g) => ss.read.parquet(g._2.toString)
-            .select((col(key) +: dataCols.map(col(_))).toSeq: _*)
-          case None => lastWins.select(
-            (col(key) +: dataCols.map(col(_))).toSeq: _*).limit(0)
+        val snap = foldGeneration(ss, snapshotPath, batchId) { prevOpt =>
+          val prev = prevOpt match {
+            case Some(p) => p.select(
+              (col(key) +: dataCols.map(col(_))).toSeq: _*)
+            case None => lastWins.select(
+              (col(key) +: dataCols.map(col(_))).toSeq: _*).limit(0)
+          }
+          graft.ops.Merge.mergeInto(prev, lastWins, key, deleteCol)
+            .drop("status")
         }
-        val merged = graft.ops.Merge
-          .mergeInto(prev, lastWins, key, deleteCol).drop("status")
-        val snapDir = s"$snapshotPath/batch_id=$batchId"
-        merged.write.mode("overwrite").parquet(snapDir)
-        val keep = Set(batchId) ++ prevGen.map(_._1)
-        gens.filterNot(g => keep.contains(g._1)).foreach { case (_, dir) =>
-          dir.getFileSystem(ss.sessionState.newHadoopConf())
-            .delete(dir, true): Unit
-        }
-        onSnapshot(ss.read.parquet(snapDir), batchId)
+        onSnapshot(snap, batchId)
       }
       .start()
 }

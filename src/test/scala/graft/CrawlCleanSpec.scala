@@ -34,7 +34,7 @@ class CrawlCleanSpec extends SparkSpec {
           concat(lit("<html><body><h1>T</h1><p>"), col("text"),
             lit("</p><div class=\"x\">ad</div></body></html>")))
           .otherwise(col("text")))
-      .withColumn("stripped", regexp_replace(col("raw"), "<[^>]+>", ""))
+      .withColumn("stripped", graft.text.Web.stripTags(col("raw")))
       .filter(col("stripped").contains("<") || col("stripped").contains(">"))
       .count()
     assert(out == 0)

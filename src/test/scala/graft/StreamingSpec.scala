@@ -449,4 +449,27 @@ class StreamingSpec extends SparkSpec {
       .select("user_id", "value").as[(Long, Double)].collect().toMap
     assert(persisted == snaps.last)
   }
+
+  test("merge stream resolves ordCols ties deterministically: a " +
+    "same-instant delete+upsert deletes (tombstone-first)") {
+    implicit val sqlCtx = spark.sqlContext
+    val snapDir = Files.createTempDirectory("graft_mtie_snap").toString + "/snap"
+    val ckpt = Files.createTempDirectory("graft_mtie_ckpt").toString
+    val mem = MemoryStream[Ch]
+    val t = Timestamp.valueOf("2024-01-01 10:00:00")
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Double]]
+    val q = Streams.startMergeStream(spark, mem.toDF(), "user_id",
+        ordCols = Seq("ts"), deleteCol = "del", snapDir, ckpt,
+        Trigger.ProcessingTime(0)) { (snap, _) =>
+      snaps += snap.select("user_id", "value").as[(Long, Double)].collect().toMap
+    }
+    // u1: tombstone and upsert at the SAME ts in one batch -> the
+    // tombstone wins the tie and the key is absent; u2 anchors the
+    // batch so the snapshot is non-degenerate
+    mem.addData(Ch(1L, t, 5.0, false), Ch(1L, t, 0.0, true),
+      Ch(2L, t, 2.0, false))
+    q.processAllAvailable()
+    q.stop()
+    assert(snaps.last == Map(2L -> 2.0))
+  }
 }

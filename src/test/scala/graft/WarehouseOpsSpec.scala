@@ -41,16 +41,9 @@ class WarehouseOpsSpec extends SparkSpec {
       .toDF("user_id", "d")
       .select(col("user_id"),
         to_timestamp_ntz(concat(col("d"), lit(" 12:00:00"))).as("ts"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("day").asc)
-    val out = df.select(col("user_id"), col("ts").cast("date").as("day"))
-      .distinct()
-      .withColumn("grp",
-        expr("datediff(day, DATE'1970-01-01')") - row_number().over(w))
-      .groupBy(col("user_id"), col("grp"))
-      .agg(count(lit(1)).as("len"))
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("max_streak"))
+    // drive the PRODUCTION operator, not a re-typed copy of it
+    val out = graft.ops.Streaks.streakSummary(df, "user_id", "ts")
+      .select("user_id", "n_streaks", "max_streak")
       .as[(Long, Long, Long)].collect().toMap2
     assert(out(1L) == ((2L, 3L)))
     assert(out(2L) == ((1L, 1L)))
