@@ -450,6 +450,37 @@ class StreamingSpec extends SparkSpec {
     assert(persisted == snaps.last)
   }
 
+  test("merge stream survives a checkpoint reset: folded state is " +
+    "inherited and a post-reset tombstone still deletes") {
+    implicit val sqlCtx = spark.sqlContext
+    val snapDir = Files.createTempDirectory("graft_mcr_snap").toString + "/snap"
+    val ch = (user: Long, sec: Int, v: Double, del: Boolean) =>
+      Ch(user, Timestamp.valueOf(f"2024-01-01 10:00:$sec%02d"), v, del)
+    def run(ckpt: String, batches: Seq[Seq[Ch]]): Seq[Map[Long, Double]] = {
+      val mem = MemoryStream[Ch]
+      val snaps = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Double]]
+      val q = Streams.startMergeStream(spark, mem.toDF(), "user_id",
+          ordCols = Seq("ts"), deleteCol = "del", snapDir, ckpt,
+          Trigger.ProcessingTime(0)) { (snap, _) =>
+        snaps += snap.select("user_id", "value")
+          .as[(Long, Double)].collect().toMap
+      }
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      snaps.toSeq
+    }
+    // first life: TWO batches (the lone-gen-0 reset edge is documented
+    // as not inherited, so the surviving generation must have id >= 1)
+    run(Files.createTempDirectory("graft_mcr_ck1").toString, Seq(
+      Seq(ch(1, 0, 1.0, false)), Seq(ch(2, 1, 2.0, false))))
+    // checkpoint WIPED: ids restart at 0; u2's tombstone must find the
+    // inherited state to have anything to delete
+    val snaps2 = run(Files.createTempDirectory("graft_mcr_ck2").toString, Seq(
+      Seq(ch(2, 2, 0.0, true), ch(3, 3, 3.0, false))))
+    assert(snaps2.last == Map(1L -> 1.0, 3L -> 3.0),
+      s"inherited state wrong after reset: ${snaps2.last}")
+  }
+
   test("merge stream resolves ordCols ties deterministically: a " +
     "same-instant delete+upsert deletes (tombstone-first)") {
     implicit val sqlCtx = spark.sqlContext
