@@ -76,6 +76,46 @@ object Breadth8 {
     // the emitted stats and the boundary are the same literal doubles
     // on each side; the deviation itself is identical-operand
     // arithmetic (never rounded).
+    // 7-day rolling distinct actives per observed day: each distinct
+    // (user, day) projects onto the 7 window days it contributes to
+    // (explode of a CONSTANT 7-element sequence — work is 7×|user-days|,
+    // linear, never a per-day self-join or a sliding re-scan), then one
+    // distinct count per day, reported only for days present in the
+    // log. The sliding-distinct metric every activity dashboard wants
+    // and plain window frames cannot express (COUNT(DISTINCT) OVER
+    // RANGE is unsupported in both engines).
+    "q_rolling_active" -> ((s, dir) => {
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+        .distinct()
+      ud.select(col("user_id"), col("day").as("d0"),
+          explode(expr("sequence(0, 6)")).as("off"))
+        .select(col("user_id"), date_add(col("d0"), col("off")).as("day"))
+        .join(ud.select(col("day")).distinct(), Seq("day"), "left_semi")
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("active_7d"))
+        .orderBy(col("day").asc)
+    }),
+
+    // Keyset pagination: the page-N query an API serves at scale —
+    // resume strictly after a (value, key) cursor under the
+    // (value DESC, key ASC) total order. OFFSET pagination scans and
+    // discards every earlier page (O(page·N) and drifts under
+    // concurrent writes); the keyset predicate pushes into the scan and
+    // the page is a TakeOrderedAndProject — cost is one filtered
+    // top-25, whatever the page number.
+    "q_keyset_page" -> ((s, dir) => {
+      val cursorPrice = 100000.0
+      val cursorKey = 0L
+      Tables.orders(s, dir)
+        .filter(col("o_totalprice") < lit(cursorPrice) ||
+          (col("o_totalprice") === lit(cursorPrice) &&
+            col("o_orderkey") > lit(cursorKey)))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(25)
+    }),
+
     "q_mad_outliers" -> ((s, dir) => {
       val e = Tables.events(s, dir).select(col("event_type"), col("value"))
       val med = e.groupBy(col("event_type"))
@@ -141,6 +181,23 @@ object Breadth8 {
          |  a.value_asof IS DISTINCT FROM n.value_now AS changed
          |FROM snap a FULL OUTER JOIN nw n ON a.user_id = n.user_id
          |ORDER BY 1""".stripMargin,
+
+    "q_rolling_active" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |ex AS (
+        |  SELECT user_id, day + CAST(o AS INTEGER) AS day
+        |  FROM ud, range(0, 7) t(o)),
+        |days AS (SELECT DISTINCT day FROM ud)
+        |SELECT d.day, count(DISTINCT e.user_id) AS active_7d
+        |FROM days d JOIN ex e ON e.day = d.day
+        |GROUP BY d.day ORDER BY d.day""".stripMargin,
+
+    "q_keyset_page" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice < 100000.0
+        |   OR (o_totalprice = 100000.0 AND o_orderkey > 0)
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
 
     "q_mad_outliers" ->
       """WITH med AS (

@@ -95,6 +95,34 @@ object Extensions7 {
         .orderBy(col("k").asc)
     }),
 
+    // Hapax profile: per doc, how many of its token occurrences are
+    // corpus hapax legomena (tokens whose TOTAL corpus count is exactly
+    // 1 — each contributes exactly one occurrence, to exactly one doc).
+    // High hapax ratio marks OCR garbage / codes / mojibake; near-zero
+    // marks boilerplate. One corpus-sized explode shared by both
+    // aggregates, a vocab-sized hapax set, a semi join back — work ∝
+    // corpus tokens + vocab, never corpus². The ratio is an
+    // identical-operand integer division (bit-exact, unrounded).
+    "q_hapax" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("token"))
+      val hapax = tok.groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") === 1)
+        .select(col("token"))
+      val perDoc = tok.join(hapax, Seq("token"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hapax"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(Text.tokens(col("text"))).as("n_tokens"))
+        .join(perDoc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_hapax"), lit(0L)).as("n_hapax"))
+        .withColumn("hapax_ratio",
+          col("n_hapax").cast("double") / col("n_tokens").cast("double"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // Embedding norm QC: per quarter-unit norm bucket, vector count and
     // exact norm extrema, plus degenerate-vector flags (zero norm, any
     // non-finite component). dot(v,v) is the sequential double fold
@@ -154,6 +182,24 @@ object Extensions7 {
          |  CAST(cum_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS share
          |FROM r, tot WHERE rank IN (${CoverageKs.mkString(", ")})
          |ORDER BY k""".stripMargin,
+
+    "q_hapax" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${Extensions.sqlTokens("text")}) AS token
+         |  FROM documents),
+         |hapax AS (
+         |  SELECT token FROM tok GROUP BY token HAVING count(*) = 1),
+         |per_doc AS (
+         |  SELECT doc_id, count(*) AS n_hapax FROM tok
+         |  WHERE token IN (SELECT token FROM hapax) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(len(${Extensions.sqlTokens("text")}) AS INTEGER) AS n_tokens,
+         |  CAST(coalesce(p.n_hapax, 0) AS BIGINT) AS n_hapax,
+         |  CAST(coalesce(p.n_hapax, 0) AS DOUBLE)
+         |    / CAST(len(${Extensions.sqlTokens("text")}) AS INTEGER)
+         |    AS hapax_ratio
+         |FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_embed_qc" ->
       """WITH e AS (

@@ -42,6 +42,17 @@ class CorpusProfileSpec extends SparkSpec {
     assert(rows.last._2 <= 1.0 && rows.head._2 > 0.0)
   }
 
+  test("hapax counts conserve: per-doc occurrences sum to the number " +
+    "of count-1 vocabulary tokens") {
+    val vocabHapax = Tables.documents(spark, sf0001)
+      .select(explode(graft.text.Text.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") === 1).count()
+    val perDocSum = Extensions7.defs("q_hapax")(spark, sf0001)
+      .agg(sum("n_hapax")).as[Long].collect().head
+    assert(perDocSum == vocabHapax)
+  }
+
   test("minhash estimate is a multiple of 1/K and lands within the " +
     "coarse-sketch band of the exact jaccard on every verified pair") {
     val rows = Extensions.defs("q_minhash_est")(spark, sf0001)

@@ -66,6 +66,38 @@ class WarehouseOpsSpec extends SparkSpec {
       "no user changed across the cutoff — degenerate fixture")
   }
 
+  test("rolling 7-day actives dominate the daily actives and never " +
+    "exceed the total user population") {
+    val daily = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+      .groupBy("day").agg(countDistinct("user_id").as("d1"))
+    val rolling = Breadth8.defs("q_rolling_active")(spark, sf0001)
+    val joined = rolling.join(daily, Seq("day"))
+      .select("active_7d", "d1").as[(Long, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (r, d) => assert(r >= d) }
+    val users = Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    assert(rolling.agg(max("active_7d")).as[Long].collect().head <= users)
+  }
+
+  test("keyset page: every row satisfies the cursor predicate and the " +
+    "page is a pushed-filter TakeOrderedAndProject") {
+    val df = Breadth8.defs("q_keyset_page")(spark, sf0001)
+    val rows = df.select("o_totalprice", "o_orderkey")
+      .as[(Double, Long)].collect()
+    assert(rows.length <= 25 && rows.nonEmpty)
+    rows.foreach { case (p, k) =>
+      assert(p < 100000.0 || (p == 100000.0 && k > 0L))
+    }
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject(limit=25"), plan.take(400))
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("LessThan(o_totalprice,100000.0)"),
+      "cursor predicate not pushed to the scan")
+  }
+
   test("partition stats: shares bounded by 1 with the max day at " +
     "exactly 1.0, and row counts conserve the event log") {
     val out = queries.Stores.defs("q_partition_stats")(spark, sf0001)
