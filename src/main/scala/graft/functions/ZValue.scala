@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
 
-/** Z-order (Morton) value: interleaves the low 32 bits of two
-  * non-negative keys — x on even bit positions, y on odd — so sorting or
+/** Z-order (Morton) value: interleaves the bits of two keys in
+  * [0, 2³¹) — x on even bit positions, y on odd — so sorting or
   * range-clustering by the z-value co-locates rows that are close in
   * BOTH dimensions. That is the multi-column data-skipping layout: a
   * file range-clustered on `z(x, y)` has tight min/max bounds on x AND
@@ -15,8 +15,12 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
   * Codegen'd bit-spreading (the standard mask cascade), no UDF, no
   * allocation — safe in the write path of a 100 TB re-cluster job.
   *
-  * Negative inputs are rejected as null (sign bits would interleave into
-  * garbage ordering); inputs wider than 32 bits contribute their low 32.
+  * Inputs outside [0, 2³¹) are rejected as null, never truncated: a
+  * negative key's sign bit — or y's bit 31, which lands on the LONG's
+  * sign bit (position 63) — would flip z negative and break the SIGNED
+  * ordering that every downstream sort/range-cluster of the z column
+  * uses. 31 bits per key is the exact domain where signed z order ≡
+  * Morton order; wider keys must be bucketed/offset into it first.
   */
 case class ZValue(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -39,7 +43,7 @@ case class ZValue(left: Expression, right: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = asLong(left, a); val y = asLong(right, b)
-    if (x < 0 || y < 0) null
+    if (x < 0 || y < 0 || x > ZValue.MaxKey || y > ZValue.MaxKey) null
     else ZValue.interleave(x, y)
   }
 
@@ -54,7 +58,7 @@ case class ZValue(left: Expression, right: Expression)
            |$out = ($out | ($out << 2))  & 0x3333333333333333L;
            |$out = ($out | ($out << 1))  & 0x5555555555555555L;""".stripMargin
       s"""
-         |if ($x < 0L || $y < 0L) {
+         |if ($x < 0L || $y < 0L || $x > ${ZValue.MaxKey}L || $y > ${ZValue.MaxKey}L) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${spread(x, zx)}
@@ -69,6 +73,9 @@ case class ZValue(left: Expression, right: Expression)
 }
 
 object ZValue {
+
+  /** Largest admissible key: 2³¹ − 1. */
+  val MaxKey: Long = 0x7FFFFFFFL
 
   /** Interpreted twin of the generated code (and the spec oracle). */
   def interleave(x: Long, y: Long): Long = {

@@ -16,10 +16,21 @@ import org.apache.spark.sql.functions._
 object Funnel {
 
   /** Annotate `df` with `t1..tN` step times (null where the key never
-    * reached the step). `steps` are values of `typeCol` in funnel order. */
+    * reached the step). `steps` are values of `typeCol` in funnel order.
+    *
+    * The output names are part of the contract, so a caller frame that
+    * ALREADY has a `t1..tN` column is rejected loudly: `withColumn`
+    * would otherwise silently replace the caller's data, and — worse —
+    * a pre-existing `t2` on a 3-step funnel would be read by step 3's
+    * "strictly after t2" condition before step 2 computes it, yielding
+    * step times that are wrong, not just renamed. */
   def stepTimes(df: DataFrame, keyCol: String, typeCol: String,
                 tsCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    val clash = steps.indices.map(i => s"t${i + 1}").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"funnel step-time columns ${clash.mkString(", ")} already exist on " +
+        "the input — rename them first (stepTimes writes t1..tN)")
     val w = Window.partitionBy(col(keyCol))
     steps.zipWithIndex.foldLeft(df) { case (acc, (step, i)) =>
       val reached =

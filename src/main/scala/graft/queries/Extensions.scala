@@ -48,7 +48,7 @@ object Extensions {
   // spark.catalog.clearCache() alone is NOT enough to refresh these.
   private val memoCache = scala.collection.mutable.HashMap.empty[
     (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
-  private def memoized(s: org.apache.spark.sql.SparkSession, key: String)
+  private[queries] def memoized(s: org.apache.spark.sql.SparkSession, key: String)
                       (build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     memoCache.synchronized {
       if (memoCache.size > 8) {

@@ -402,11 +402,20 @@ object Streams {
     * change supersedes, whatever its event time); within a batch,
     * `ordCols` decide, and TIES on `ordCols` resolve deterministically —
     * tombstone first (a same-instant delete+upsert deletes), then
-    * descending on the remaining data columns — so the per-batch winner
-    * is a pure function of the batch contents and a replayed batch
-    * rewrites an IDENTICAL generation (the fixpoint the recovery story
-    * depends on; an arbitrary tie pick would break it). Per-tick cost ∝
-    * |keys| + |batch|, never |history|.
+    * descending on the remaining ORDERABLE data columns — so the
+    * per-batch winner is a pure function of the batch contents and a
+    * replayed batch rewrites an IDENTICAL generation (the fixpoint the
+    * recovery story depends on; an arbitrary tie pick would break it).
+    * Non-orderable data columns (maps, or structs containing them) are
+    * carried through the merge but excluded from the tie-break — a
+    * window ORDER BY on a map type throws, which previously made an
+    * otherwise-valid CDC schema unusable. The fixpoint guarantee is
+    * therefore exact up to rows that tie on `ordCols` AND every
+    * orderable data column while differing only in non-orderable ones;
+    * a caller who needs those distinguished must supply `ordCols`
+    * forming a total order (e.g. a change-sequence id — which real CDC
+    * feeds carry anyway). Per-tick cost ∝ |keys| + |batch|, never
+    * |history|.
     */
   def startMergeStream(spark: SparkSession, changes: DataFrame, key: String,
                        ordCols: Seq[String], deleteCol: String,
@@ -419,8 +428,13 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ss = batch.sparkSession
         val dataCols = batch.columns.filterNot(c => c == key || c == deleteCol)
+        val orderableData = batch.schema.fields.collect {
+          case f if dataCols.contains(f.name) &&
+            org.apache.spark.sql.catalyst.expressions.RowOrdering
+              .isOrderable(f.dataType) => f.name
+        }.toSeq
         val tieBreak = col(deleteCol).desc +:
-          dataCols.filterNot(ordCols.contains).map(col(_).desc)
+          orderableData.filterNot(ordCols.contains).map(col(_).desc)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(key))
           .orderBy(ordCols.map(col(_).desc) ++ tieBreak: _*)

@@ -67,6 +67,21 @@ class MergeFunnelSpec extends SparkSpec {
     assert(r.getAs[Long]("s3") == 1)     // only u2 purchased after clicking
   }
 
+  test("funnel: input already carrying a t1..tN column is rejected loudly " +
+    "(silent withColumn overwrite would corrupt both caller data and step times)") {
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:01")
+    val df = Seq((1L, "view", t, 99L), (1L, "click", t, 99L))
+      .toDF("user_id", "event_type", "ts", "t1")
+    val e = intercept[IllegalArgumentException] {
+      Funnel.stepTimes(df, "user_id", "event_type", "ts", Seq("view", "click"))
+    }
+    assert(e.getMessage.contains("t1"))
+    // ...and a non-clashing name on the same frame still works
+    val ok = Funnel.stepTimes(df.withColumnRenamed("t1", "prior"),
+      "user_id", "event_type", "ts", Seq("view", "click"))
+    assert(ok.columns.contains("t1") && ok.columns.contains("t2"))
+  }
+
   test("funnel: ties do not convert (strictly-after semantics)") {
     val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:01")
     val df = Seq((1L, "view", t), (1L, "click", t))

@@ -138,29 +138,40 @@ class PropertySpec extends SparkSpec {
   }
 
   test("ZValue interleave: bit i of x → z bit 2i, bit i of y → z bit 2i+1 " +
-    "(random 32-bit inputs, interpreted + codegen paths agree)") {
+    "(random 31-bit inputs, interpreted + codegen paths agree)") {
     import graft.functions.ZValue
     val pairs = samples(for {
-      x <- Gen.choose(0L, 0xFFFFFFFFL)
-      y <- Gen.choose(0L, 0xFFFFFFFFL)
+      x <- Gen.choose(0L, ZValue.MaxKey)
+      y <- Gen.choose(0L, ZValue.MaxKey)
     } yield (x, y), 200)
     // independent bit-by-bit reconstruction against the mask cascade
     pairs.foreach { case (x, y) =>
       val z = ZValue.interleave(x, y)
-      val expected = (0 until 32).map { i =>
+      val expected = (0 until 31).map { i =>
         (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
       }.reduce(_ | _)
       assert(z == expected, s"interleave($x, $y)")
+      assert(z >= 0L, s"z must stay in the signed-positive range: ($x, $y)")
     }
     // codegen path (via the registered SQL function) matches interpreted
     val df = pairs.toDF("x", "y")
       .selectExpr("x", "y", "graft_zvalue(x, y) AS z").collect()
     df.foreach(r => assert(r.getLong(2) ==
       ZValue.interleave(r.getLong(0), r.getLong(1))))
-    // negative input → null, never a garbage ordering
-    val neg = Seq((-1L, 3L), (3L, -1L)).toDF("x", "y")
+    // out-of-domain input → null, never a garbage ordering: negatives
+    // (sign bit) and keys ≥ 2³¹ (y's bit 31 would land on the long's
+    // sign bit, flipping z negative and breaking signed z order — the
+    // range-clustering write path sorts SIGNED)
+    val bad = Seq((-1L, 3L), (3L, -1L),
+      (ZValue.MaxKey + 1, 3L), (3L, ZValue.MaxKey + 1)).toDF("x", "y")
       .selectExpr("graft_zvalue(x, y) AS z").collect()
-    assert(neg.forall(_.isNullAt(0)))
+    assert(bad.forall(_.isNullAt(0)))
+    // ...while the full 31-bit corner is admitted and ordered correctly:
+    // (MaxKey, MaxKey) is the largest z and still non-negative
+    val corner = Seq((ZValue.MaxKey, ZValue.MaxKey)).toDF("x", "y")
+      .selectExpr("graft_zvalue(x, y) AS z").collect()
+    assert(corner.head.getLong(0) == ZValue.interleave(ZValue.MaxKey, ZValue.MaxKey))
+    assert(corner.head.getLong(0) == 0x3FFFFFFFFFFFFFFFL)
   }
 
   test("inclusiveDayRange ≡ [start 00:00, end+1day 00:00)") {

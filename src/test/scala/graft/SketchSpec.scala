@@ -28,4 +28,45 @@ class SketchSpec extends SparkSpec {
         s"approx=$approx exact=$exact")
     }
   }
+
+  test("quantile-sketch rank band holds at adversarially small n " +
+    "(discreteness: n=11 forces le50 >= 6 > 11*0.51 without additive slack)") {
+    import spark.implicits._
+    // distinct values, no duplicate mass — a CORRECT sketch on n=11
+    // returns the 6th value, so le50 = 6; the band must admit it.
+    // Groups at n=1..3 cover the degenerate corners.
+    val rows =
+      (1 to 11).map(i => ("g11", i.toDouble)) ++
+        Seq(("g1", 1.0)) ++ (1 to 2).map(i => ("g2", i.toDouble)) ++
+        (1 to 3).map(i => ("g3", i.toDouble))
+    val out = graft.queries.Extensions5
+      .quantileSketchReport(rows.toDF("event_type", "value"))
+      .collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("p50_ok"), s"p50 band failed at n=${r.getAs[Long]("n")}")
+      assert(r.getAs[Boolean]("p90_ok"), s"p90 band failed at n=${r.getAs[Long]("n")}")
+    }
+    // the band is still a band: a group whose 'sketch' answer is wildly
+    // off would fail — pinned indirectly by the large-n driver oracle,
+    // and directly here via the le-count arithmetic at n=1000
+    val big = (1 to 1000).map(i => ("gbig", i.toDouble))
+    val r = graft.queries.Extensions5
+      .quantileSketchReport(big.toDF("event_type", "value")).collect().head
+    assert(r.getAs[Boolean]("p50_ok") && r.getAs[Boolean]("p90_ok"))
+  }
+
+  test("q_heavy_hitters token counts are memoized: repeat builds reuse " +
+    "ONE cached frame instead of leaking a persist per invocation") {
+    val a = graft.queries.Extensions4.tokenCounts(spark, sf0001)
+    val b = graft.queries.Extensions4.tokenCounts(spark, sf0001)
+    assert(a eq b, "tokenCounts must return the memoized frame")
+    // and the query builder itself goes through the memo: building the
+    // query twice adds no second cached plan for the counts frame
+    val q1 = SparkEntry.queries("q_heavy_hitters")(spark, sf0001)
+    val q2 = SparkEntry.queries("q_heavy_hitters")(spark, sf0001)
+    assert(q1.collect().toSeq == q2.collect().toSeq)
+    assert(graft.queries.Extensions4.tokenCounts(spark, sf0001) eq a,
+      "query build must not displace or duplicate the memo entry")
+  }
 }

@@ -14,6 +14,9 @@ case class DocEv(doc_id: Long, ts: Timestamp, text: String)
 
 case class Ch(user_id: Long, ts: Timestamp, value: Double, del: Boolean)
 
+case class ChMap(user_id: Long, ts: Timestamp, value: Double,
+                 props: Map[String, String], del: Boolean)
+
 /** Streaming semantics (SURVEY.md §2.9): batch/stream parity of the
   * shared transforms, watermark-bounded windowed aggs, snapshot
   * maintenance via foreachBatch — the reference's tick formalized. */
@@ -479,6 +482,37 @@ class StreamingSpec extends SparkSpec {
       Seq(ch(2, 2, 0.0, true), ch(3, 3, 3.0, false))))
     assert(snaps2.last == Map(1L -> 1.0, 3L -> 3.0),
       s"inherited state wrong after reset: ${snaps2.last}")
+  }
+
+  test("merge stream accepts a MAP-typed data column: excluded from the " +
+    "tie-break (window ORDER BY on a map throws), carried through the merge") {
+    implicit val sqlCtx = spark.sqlContext
+    val snapDir = Files.createTempDirectory("graft_mmap_snap").toString + "/snap"
+    val ckpt = Files.createTempDirectory("graft_mmap_ckpt").toString
+    val mem = MemoryStream[ChMap]
+    val ts = (s: Int) => Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+    val snaps = scala.collection.mutable.ArrayBuffer
+      .empty[Map[Long, (Double, Map[String, String])]]
+    val q = Streams.startMergeStream(spark, mem.toDF(), "user_id",
+        ordCols = Seq("ts"), deleteCol = "del", snapDir, ckpt,
+        Trigger.ProcessingTime(0)) { (snap, _) =>
+      snaps += snap.select("user_id", "value", "props")
+        .as[(Long, Double, Map[String, String])].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    }
+    // insert with props, same-batch last-wins by ts, then an update
+    // whose winning row's map must survive into the snapshot
+    mem.addData(
+      ChMap(1L, ts(0), 1.0, Map("src" -> "a"), del = false),
+      ChMap(1L, ts(1), 2.0, Map("src" -> "b"), del = false),
+      ChMap(2L, ts(0), 5.0, Map.empty, del = false))
+    q.processAllAvailable()
+    mem.addData(ChMap(2L, ts(2), 0.0, Map.empty, del = true))
+    q.processAllAvailable()
+    q.stop()
+    assert(snaps.toSeq == Seq(
+      Map(1L -> (2.0, Map("src" -> "b")), 2L -> (5.0, Map.empty[String, String])),
+      Map(1L -> (2.0, Map("src" -> "b")))))
   }
 
   test("merge stream resolves ordCols ties deterministically: a " +
