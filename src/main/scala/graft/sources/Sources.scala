@@ -91,4 +91,40 @@ object Sources {
         System.err.println(s"[graft.Sources.pollTick] tick skipped: ${e.getMessage}")
         -1L
     }
+
+  /** One poll of the upstream API staged into the tick log the
+    * `graft-ticks` DataSourceV2 source ([[QuoteTicks]]) streams from:
+    * fetch the payload, validate it is a JSON array (the same
+    * non-array/error-body rejection `pollTick` does — with the SAME
+    * parser the source's reader uses, so "staged" implies "readable"),
+    * and write the RAW bytes as one immutable `tick-<ms>.json` file via
+    * tmp-file + atomic rename — a reader can never observe a torn
+    * payload, and a re-run of the same tick overwrites idempotently.
+    *
+    * Returns the payload's element count (0 = healthy empty tick,
+    * staged so the stream's offset still advances), or -1 for a SKIPPED
+    * tick (fetch/parse failure — logged, nothing staged, the
+    * reference's log-and-sleep semantics, `etl/crypto_etl.py:47-52`). */
+  def stageTickPayload(spark: SparkSession, fetch: () => String,
+                       stagingDir: String, tickTime: java.sql.Timestamp): Long =
+    try {
+      val payload = fetch()
+      val n = QuoteTicks.parsePayload(payload, tickTime.getTime).size.toLong
+      val dir = new org.apache.hadoop.fs.Path(stagingDir)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.mkdirs(dir)
+      val fin = new org.apache.hadoop.fs.Path(dir, s"tick-${tickTime.getTime}.json")
+      val tmp = new org.apache.hadoop.fs.Path(dir, s".tick-${tickTime.getTime}.json.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.exists(fin)) fs.delete(fin, false)
+      if (!fs.rename(tmp, fin))
+        throw new java.io.IOException(s"rename $tmp -> $fin failed")
+      n
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft.Sources.stageTickPayload] tick skipped: ${e.getMessage}")
+        -1L
+    }
 }
