@@ -203,6 +203,71 @@ class StreamingSpec extends SparkSpec {
     assert(afterBatch3.contains((1L, 5L, 2.5)))
   }
 
+  test("keyedStateLatest (transformWithState): state survives a checkpoint " +
+    "restart and the folded deltas equal the generation-fold snapshot on the same input") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = Files.createTempDirectory("graft_tws_ckpt").toString
+      def er(id: Long, minute: Int, user: Long, v: Double) =
+        EventRow(id, java.time.LocalDateTime.parse(f"2024-01-01T10:$minute%02d:00"),
+          user, "click", v, "{}")
+      // the same batch sequence drives BOTH snapshot forms
+      val batches = Seq(
+        Seq(er(1, 5, 1, 1.0), er(2, 3, 1, 0.5), er(3, 1, 2, 7.0)),
+        Seq(er(4, 2, 1, 9.9)),                  // stale: must not change state
+        Seq(er(5, 4, 1, 8.8)),                  // post-restart stale probe
+        Seq(er(6, 30, 1, 2.5), er(7, 2, 3, 4.0))) // newer + a new key
+      // -- keyed-state form, with a stop/restart between batches 2 and 3
+      val mem = MemoryStream[EventRow]
+      val folded = scala.collection.mutable.Map.empty[Long, (Long, Double)]
+      def run(): org.apache.spark.sql.streaming.StreamingQuery =
+        Streams.keyedStateLatest(mem.toDS()).toDF("user_id", "event_id", "value")
+          .writeStream.option("checkpointLocation", ckpt)
+          .outputMode("update")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.collect().foreach(r =>
+              folded(r.getLong(0)) = (r.getLong(1), r.getDouble(2))): Unit
+          }.start()
+      val q1 = run()
+      batches.take(2).foreach { b => mem.addData(b: _*); q1.processAllAvailable() }
+      assert(folded.toMap == Map(1L -> (1L, 1.0), 2L -> (3L, 7.0)),
+        "within-batch last-wins + stale-event no-op before the restart")
+      q1.stop()
+      // RESTART from the same checkpoint: the RocksDB state store must
+      // still hold user 1's latest (minute 5) — er(5, minute 4) would
+      // wrongly win if state had been lost
+      val q2 = run()
+      batches.drop(2).foreach { b => mem.addData(b: _*); q2.processAllAvailable() }
+      q2.stop()
+      // -- generation-fold form over the SAME batch sequence
+      val storeDir = Files.createTempDirectory("graft_tws_store").toString + "/store"
+      val snapDir = Files.createTempDirectory("graft_tws_snap").toString + "/snap"
+      val mem2 = MemoryStream[EventRow]
+      var genSnap = Map.empty[Long, (Long, Double)]
+      val q3 = Streams.startSnapshotStream(spark, mem2.toDF(), storeDir,
+          Files.createTempDirectory("graft_tws_ck2").toString, snapDir,
+          Trigger.ProcessingTime(0)) { (snap, _) =>
+        genSnap = snap.select("user_id", "event_id", "value").collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      }
+      batches.foreach { b => mem2.addData(b: _*); q3.processAllAvailable() }
+      q3.stop()
+      assert(folded.toMap == genSnap,
+        s"keyed-state and generation-fold snapshots diverged: $folded vs $genSnap")
+      assert(folded.toMap ==
+        Map(1L -> (6L, 2.5), 2L -> (3L, 7.0), 3L -> (7L, 4.0)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dedupWithinWatermark drops re-deliveries of the same (user,event)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
