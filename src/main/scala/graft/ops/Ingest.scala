@@ -46,13 +46,31 @@ object Ingest {
 
   /** P1–P5 + P4 batch stamp (SURVEY.md §2.2) over a raw quote batch. */
   def shapeBatch(raw: DataFrame, batchTs: Timestamp): DataFrame =
+    shapeCore(raw).withColumn("timestamp", lit(batchTs))
+
+  /** The same P1–P5 shaping over a `graft-ticks` DSv2 batch: the stamp
+    * is each row's TICK time (`timestamp_millis(tick_ms)`) rather than
+    * one caller-supplied literal — TICK-constant, not batch-constant.
+    * That is the correct generalization of P4 once a micro-batch can
+    * span several ticks (catch-up after downtime): every tick keeps its
+    * own poll timestamp, so the max-ts tie semantics the latest-per-key
+    * join form depends on hold PER TICK, exactly as they did when one
+    * poll was one batch. */
+  def shapeTicks(raw: DataFrame): DataFrame =
+    shapeCore(raw.withColumn("timestamp", timestamp_millis(col("tick_ms"))))
+      .select("symbol", "name", "current_price", "market_cap",
+        "total_volume", "timestamp")
+
+  /** Shared projection/validation/normalization (P1–P3, P5) — one body
+    * so the batch-stamped and tick-stamped shapes cannot drift. */
+  private def shapeCore(raw: DataFrame): DataFrame =
     raw
-      .select("symbol", "name", "current_price", "market_cap", "total_volume")
+      .select((Seq("symbol", "name", "current_price", "market_cap",
+        "total_volume") ++ raw.columns.filter(_ == "timestamp")).map(col): _*)
       .filter(col("symbol").isNotNull && col("name").isNotNull &&
         col("current_price").isNotNull)
       .withColumn("symbol", lower(col("symbol")))
       .withColumn("current_price", col("current_price").cast(DoubleType))
       .withColumn("market_cap", col("market_cap").cast(DoubleType))
       .withColumn("total_volume", col("total_volume").cast(DoubleType))
-      .withColumn("timestamp", lit(batchTs))
 }

@@ -426,6 +426,55 @@ object Streams {
       }
       .start()
 
+  /** The reference's ENTIRE ETL tick as ONE streaming query on the real
+    * DataSourceV2 source: the poll loop stages payloads into the tick
+    * log (`Sources.stageTickPayload`), and this query does the rest —
+    * `format("graft-ticks")` ⇒ shape (P1–P5, tick-constant stamp,
+    * `Ingest.shapeTicks`) ⇒ idempotent store generation ⇒ incremental
+    * latest-per-SYMBOL snapshot ⇒ `onSnapshot` (the S4/S5 push seam,
+    * fan out via [[SnapshotFanout]]). Store and snapshot follow the
+    * same overwrite/`_SUCCESS`/retention discipline as
+    * `startSnapshotStream` (shared `foldGeneration`): replayed batches
+    * are fixpoints, checkpoint resets inherit the surviving
+    * generation — and the SOURCE side of a restart re-reads no payload
+    * it already processed, because offsets are committed tick ids.
+    * Per-tick cost ∝ |symbols| + |batch|, never |history|. */
+  def startQuoteStream(spark: SparkSession, stagingDir: String,
+                       storePath: String, checkpoint: String,
+                       snapshotPath: String,
+                       trigger: Trigger = Trigger.ProcessingTime("5 minutes"))
+                      (onSnapshot: (DataFrame, Long) => Unit): StreamingQuery =
+    spark.readStream.format("graft-ticks").load(stagingDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        // store write + snapshot fold both consume the shaped batch —
+        // persist so shaping runs once, released before the tick ends
+        val shaped = graft.ops.Ingest.shapeTicks(batch)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          shaped.write.mode("overwrite").parquet(s"$storePath/batch_id=$batchId")
+          val snap = foldGeneration(ss, snapshotPath, batchId) {
+            case Some(p) => quoteSnapshot(p.unionByName(shaped))
+            case None => quoteSnapshot(shaped)
+          }
+          onSnapshot(snap, batchId)
+        } finally shaped.unpersist(blocking = false): Unit
+      }
+      .start()
+
+  /** Latest-per-symbol quote snapshot in the dashboard's order
+    * (market cap descending, `frontend/src/App.js:93-101`). The window
+    * order is totalized ((price, name) after the tick timestamp) so the
+    * fold is deterministic and replays are fixpoints even if a symbol
+    * ever carried two rows at one tick. */
+  def quoteSnapshot(accumulated: DataFrame): DataFrame =
+    Latest.latestPerKeyWindow(accumulated, Seq("symbol"),
+        col("timestamp").desc, col("current_price").desc, col("name").desc)
+      .orderBy(col("market_cap").desc_nulls_last, col("symbol").asc)
+
   /** Streaming CDC apply: a change-row stream (tombstones flagged in
     * `deleteCol`) folded into a keyed snapshot store, one MERGE per
     * micro-batch — the streaming twin of `ops.Merge.mergeInto` and the

@@ -549,6 +549,50 @@ class StreamingSpec extends SparkSpec {
       s"inherited state wrong after reset: ${snaps2.last}")
   }
 
+  test("startQuoteStream runs the whole reference tick on the DSv2 source: " +
+    "stage → shape → store → latest-per-symbol snapshot, restart resumes from the committed tick") {
+    import graft.sources.Sources
+    val staging = Files.createTempDirectory("graft_qs").toString + "/ticks"
+    val store = Files.createTempDirectory("graft_qs_store").toString + "/store"
+    val snapDir = Files.createTempDirectory("graft_qs_snap").toString + "/snap"
+    val ckpt = Files.createTempDirectory("graft_qs_ckpt").toString
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 00:00:0$s")
+    var snap = Map.empty[String, (Double, java.sql.Timestamp)]
+    def run(): Unit = {
+      val q = Streams.startQuoteStream(spark, staging, store, ckpt, snapDir,
+          Trigger.ProcessingTime(0)) { (s, _) =>
+        snap = s.select("symbol", "current_price", "timestamp").collect()
+          .map(r => r.getString(0) ->
+            (r.getDouble(1), r.getTimestamp(2))).toMap
+      }
+      q.processAllAvailable(); q.stop()
+    }
+    // tick 1: two symbols; tick 2: BTC price moves
+    Sources.stageTickPayload(spark,
+      () => """[{"symbol":"BTC","name":"Bitcoin","current_price":1.0,"market_cap":9.0},
+              |{"symbol":"ETH","name":"Ether","current_price":2.0,"market_cap":5.0}]""".stripMargin,
+      staging, ts(1))
+    Sources.stageTickPayload(spark,
+      () => """[{"symbol":"BTC","name":"Bitcoin","current_price":3.0,"market_cap":9.5}]""",
+      staging, ts(2))
+    run()
+    // latest per symbol (lowercased), stamped with each row's TICK time
+    assert(snap == Map("btc" -> (3.0, ts(2)), "eth" -> (2.0, ts(1))), s"$snap")
+    // restart: a new tick updates ETH; an invalid row (no name) is
+    // validated out by the shape step; the two old ticks are NOT re-read
+    Sources.stageTickPayload(spark,
+      () => """[{"symbol":"ETH","name":"Ether","current_price":9.0,"market_cap":6.0},
+              |{"symbol":"XXX","current_price":1.0}]""".stripMargin,
+      staging, ts(3))
+    run()
+    assert(snap == Map("btc" -> (3.0, ts(2)), "eth" -> (9.0, ts(3))),
+      s"each symbol must carry its own tick time: $snap")
+    // the history store holds every shaped row across both lives
+    val stored = spark.read.parquet(store)
+      .select("symbol", "current_price").as[(String, Double)].collect().toSet
+    assert(stored == Set(("btc", 1.0), ("eth", 2.0), ("btc", 3.0), ("eth", 9.0)))
+  }
+
   test("merge stream accepts a MAP-typed data column: excluded from the " +
     "tie-break (window ORDER BY on a map throws), carried through the merge") {
     implicit val sqlCtx = spark.sqlContext
