@@ -123,6 +123,37 @@ object Graft {
     ops.Merge.generationDiff(oldGen, newGen, keyCol, valueCol,
       oldName = "value_old", newName = "value_new")
 
+  // ---- live quote pipeline (the reference ETL, end to end) ------------
+
+  /** One poll of the upstream quote API staged into the tick log the
+    * `graft-ticks` source streams from — the fetch seam a deployment
+    * points at the real REST endpoint. See sources.Sources. */
+  def stageTick(spark: SparkSession, fetch: () => String, stagingDir: String,
+                tickTime: java.sql.Timestamp): Long =
+    sources.Sources.stageTickPayload(spark, fetch, stagingDir, tickTime)
+
+  /** The staged tick log as a streaming frame (`format("graft-ticks")`:
+    * offsets are tick ids, restart resumes from the committed tick). */
+  def tickStream(spark: SparkSession, stagingDir: String): DataFrame =
+    spark.readStream.format("graft-ticks").load(stagingDir)
+
+  /** The staged tick log as a batch frame (the backfill read). */
+  def tickBacklog(spark: SparkSession, stagingDir: String): DataFrame =
+    spark.read.format("graft-ticks").load(stagingDir)
+
+  /** The reference's whole ETL tick as one resident streaming query:
+    * tick log → shape → history store → latest-per-symbol snapshot →
+    * `onSnapshot` push (fan out via streaming.SnapshotFanout). See
+    * streaming.Streams.startQuoteStream. */
+  def startQuoteStream(spark: SparkSession, stagingDir: String,
+                       storePath: String, checkpoint: String,
+                       snapshotPath: String,
+                       trigger: org.apache.spark.sql.streaming.Trigger =
+                         org.apache.spark.sql.streaming.Trigger.ProcessingTime("5 minutes"))
+                      (onSnapshot: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.Streams.startQuoteStream(spark, stagingDir, storePath,
+      checkpoint, snapshotPath, trigger)(onSnapshot)
+
   // ---- crawl cleaning (column expressions, re-exported) ---------------
 
   /** Remove every '<...>' tag run — see text.Web.stripTags. */

@@ -155,6 +155,25 @@ object Parity {
         .orderBy(col("k").asc)
     }),
 
+    // The same single-key JSON aggregation through Spark 4's VARIANT
+    // path: `parse_json` once into the binary variant encoding, then a
+    // typed `variant_get` probe. At 100 TB this is the semi-structured
+    // plan that wins as soon as a query touches MORE than one path —
+    // the string parses once and every extraction is a binary-offset
+    // probe, where stacked `get_json_object` calls re-parse the string
+    // per path. Kept alongside q_json_extract with the IDENTICAL
+    // oracle: the two engine paths must agree value-for-value, so a
+    // user can migrate `get_json_object` → variant without a semantic
+    // audit (this pair IS that audit, re-run per round).
+    "q_variant_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .selectExpr("CAST(variant_get(parse_json(props), '$.k') AS INT) AS k",
+          "value")
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy(col("k").asc)
+    }),
+
     // Event-time tumbling window (batch twin of the streaming agg;
     // SURVEY.md §2.9): 1-day windows × event_type.
     "q_time_window" -> ((s, dir) => {
@@ -267,6 +286,13 @@ object Parity {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    // deliberately byte-identical to q_json_extract's oracle: the
+    // variant path must reproduce the string-path results exactly
+    "q_variant_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,

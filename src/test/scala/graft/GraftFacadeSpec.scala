@@ -82,6 +82,35 @@ class GraftFacadeSpec extends SparkSpec {
     assert(rows(got) == rows(want))
   }
 
+  test("Graft.stageTick/tickBacklog/startQuoteStream wire the live quote " +
+    "pipeline: staged ticks equal the batch parse, one tick drives a snapshot") {
+    import java.nio.file.Files
+    val staging = Files.createTempDirectory("graft_fac_ticks").toString + "/ticks"
+    val p1 = """[{"symbol":"BTC","name":"Bitcoin","current_price":1.0,"market_cap":2.0}]"""
+    val p2 = """[{"symbol":"ETH","name":"Ether","current_price":4.0,"market_cap":1.0}]"""
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-04-01 00:00:0$s")
+    assert(Graft.stageTick(spark, () => p1, staging, ts(1)) == 1L)
+    assert(Graft.stageTick(spark, () => p2, staging, ts(2)) == 1L)
+    // backlog read == the batch parse of both payloads, tick-stamped
+    val backlog = Graft.tickBacklog(spark, staging)
+      .select("symbol", "current_price", "tick_ms").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(backlog == Set(("BTC", 1.0, ts(1).getTime), ("ETH", 4.0, ts(2).getTime)))
+    // one resident query: snapshot arrives latest-per-symbol, cap-ordered
+    var snap = Seq.empty[(String, Double)]
+    val q = Graft.startQuoteStream(spark, staging,
+        Files.createTempDirectory("graft_fac_store").toString + "/store",
+        Files.createTempDirectory("graft_fac_ckpt").toString,
+        Files.createTempDirectory("graft_fac_snap").toString + "/snap",
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)) { (s, _) =>
+      snap = s.select("symbol", "current_price").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    }
+    q.processAllAvailable(); q.stop()
+    // dashboard order: market_cap DESC (btc 2.0 before eth 1.0)
+    assert(snap == Seq(("btc", 1.0), ("eth", 4.0)))
+  }
+
   test("Graft.snapshotDiff flags change, insert-shape, delete-shape, " +
     "and leaves identical keys unchanged") {
     import spark.implicits._
