@@ -123,6 +123,44 @@ object Graft {
     ops.Merge.generationDiff(oldGen, newGen, keyCol, valueCol,
       oldName = "value_old", newName = "value_new")
 
+  /** Markov transition matrix over each key's state sequence: counts and
+    * per-source probabilities for (prev, curr) state pairs. One lag
+    * window on the key partition + one |states|²-sized aggregate — see
+    * queries.Breadth9.transitions (oracle-checked as q_transitions). */
+  def transitionMatrix(df: DataFrame, keyCol: String, stateCol: String,
+                       ordCols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    queries.Breadth9.transitions(df, keyCol, stateCol, ordCols)
+
+  /** Trailing-window z-score anomaly screen: each row scored against the
+    * 6 rows strictly before it on its key's timeline (bounded ROWS
+    * frame — O(frame) per-key state, the form that lifts to a stream).
+    * Oracle-checked as q_rolling_zscore. */
+  def anomalyScreen(df: DataFrame, keyCol: String, valCol: String,
+                    ordCols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    queries.Breadth9.rollingZscore(df, keyCol, valCol, ordCols)
+
+  /** Greedy cumulative bin-packing of ordered per-bucket row counts into
+    * target-row compaction bins — table maintenance planned from
+    * |buckets|-sized metadata. Oracle-checked as q_compaction_plan. */
+  def compactionPlan(perBucket: DataFrame, bucketCol: String, nCol: String,
+                     targetRows: Long): DataFrame =
+    queries.Breadth9.compactionPlan(perBucket, bucketCol, nCol, targetRows)
+
+  /** Streaming twin of [[anomalyScreen]]: the trailing z-score fold on
+    * `transformWithState`, per-key state = the ≤6-deep value buffer in
+    * the (RocksDB) state store. Spec-pinned equal to the batch form on
+    * in-order delivery — see streaming.Streams.streamingZscore. */
+  def liveAnomalyScreen(events: org.apache.spark.sql.Dataset[streaming.EventRow])
+      : org.apache.spark.sql.Dataset[streaming.ZScored] =
+    streaming.Streams.streamingZscore(events)
+
+  /** Fixed-iteration PageRank over an undirected pair list
+    * (id_a, id_b) → (node, pr): which member of each near-dup cluster
+    * is its authority — a principled keeper choice next to
+    * dedupKeepList's min-id rule. Oracle-checked as q_pagerank. */
+  def clusterAuthority(pairs: DataFrame, iters: Int = 3): DataFrame =
+    queries.Extensions8.pagerank(pairs, iters)
+
   // ---- live quote pipeline (the reference ETL, end to end) ------------
 
   /** One poll of the upstream quote API staged into the tick log the

@@ -15,6 +15,17 @@ case class EventRow(event_id: Long, ts: java.time.LocalDateTime, user_id: Long,
 /** Per-key state of the incremental latest-snapshot operator. */
 case class LatestState(maxTsMicros: Long, eventId: Long, value: Double)
 
+/** Per-key state of the streaming z-score screen: the trailing ≤6 values
+  * in timeline order — O(frame) per key, the whole point of the bounded
+  * ROWS-frame design (q_rolling_zscore's batch form). */
+case class ZBuf(vals: Seq[Double])
+
+/** A scored event from the streaming z-score screen. `z` is None when
+  * the trailing window has zero variance (matches the batch form's
+  * null). */
+case class ZScored(user_id: Long, event_id: Long, value: Double,
+                   mean_prev: Double, z: Option[Double])
+
 /** Structured Streaming layer. The reference is a hand-rolled micro-batch
   * pipeline — fetch every 300 s, append one batch-stamped tick, notify,
   * re-query latest snapshot, broadcast (`etl/crypto_etl.py:150-157`,
@@ -282,6 +293,43 @@ object Streams {
     ds.groupByKey(_.user_id)
       .transformWithState(new LatestStateProcessor, TimeMode.None(),
         OutputMode.Update())
+  }
+
+  /** Streaming twin of the q_rolling_zscore anomaly screen
+    * (`queries.Breadth9.rollingZscore`): each event scored against the 6
+    * values before it on its key's timeline, per-key state = the ≤6-deep
+    * trailing buffer in the state store. Within a micro-batch rows fold
+    * in (ts, event_id) order; across batches the buffer advances in
+    * arrival order — identical to the batch form whenever arrival
+    * respects the timeline (the same in-order caveat as every trailing
+    * screen; late data would need a watermarked reorder buffer).
+    * Same RocksDB-provider requirement as [[keyedStateLatest]]. */
+  def streamingZscore(ds: Dataset[EventRow]): Dataset[ZScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new RollingZscoreProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** HALF_UP decimal rounding bit-matched to Spark's `round(col, 4)`
+    * (BigDecimal of the double's shortest representation). */
+  private[streaming] def round4(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** One keyed step of the trailing z-score fold, shared with the spec's
+    * reference fold: score (if a full 6-window exists), then push. Mean
+    * is summed oldest→newest — the same order the batch window frame
+    * accumulates — and stddev is the two-pass sample formula. */
+  private[streaming] def zscoreStep(vals: Seq[Double],
+                                    e: EventRow): (Seq[Double], Option[ZScored]) = {
+    val scored = if (vals.length == 6) {
+      val mu = vals.sum / 6
+      val sd = math.sqrt(vals.map(v => (v - mu) * (v - mu)).sum / 5)
+      Some(ZScored(e.user_id, e.event_id, e.value, round4(mu),
+        if (sd > 0) Some(round4((e.value - mu) / sd)) else None))
+    } else None
+    ((vals :+ e.value).takeRight(6), scored)
   }
 
   /** Stream-stream interval join: purchases matched to the same user's
@@ -564,6 +612,34 @@ class LatestStateProcessor
         Iterator((user, cand.eventId, cand.value))
       case None => Iterator.empty
     }
+  }
+}
+
+/** Keyed processor behind [[Streams.streamingZscore]]: ONE ≤6-deep value
+  * buffer per key. Batch rows fold in (ts, event_id) order so a
+  * multi-row micro-batch scores exactly like the batch window; the
+  * buffer is the ONLY state — O(frame) per key, never history. */
+class RollingZscoreProcessor
+    extends StatefulProcessor[Long, EventRow, ZScored] {
+  @transient private var buf: ValueState[ZBuf] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    buf = getHandle.getValueState[ZBuf]("zbuf",
+      org.apache.spark.sql.Encoders.product[ZBuf], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, events: Iterator[EventRow],
+                               timerValues: TimerValues): Iterator[ZScored] = {
+    var vals = if (buf.exists()) buf.get().vals else Seq.empty[Double]
+    val out = Seq.newBuilder[ZScored]
+    events.toSeq
+      .sortBy(e => (Streams.eventMicros(e.ts), e.event_id))
+      .foreach { e =>
+        val (next, scored) = Streams.zscoreStep(vals, e)
+        vals = next
+        scored.foreach(out += _)
+      }
+    buf.update(ZBuf(vals))
+    out.result().iterator
   }
 }
 

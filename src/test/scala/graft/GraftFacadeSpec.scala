@@ -82,6 +82,28 @@ class GraftFacadeSpec extends SparkSpec {
     assert(rows(got) == rows(want))
   }
 
+  test("Graft.transitionMatrix / anomalyScreen / compactionPlan / " +
+    "clusterAuthority match their oracle-checked queries") {
+    val ord = Seq(col("ts").asc, col("event_id").asc)
+    val e = Tables.events(spark, sf0001)
+    assert(rows(Graft.transitionMatrix(e, "user_id", "event_type", ord)
+        .orderBy(col("prev_type").asc, col("curr_type").asc)) ==
+      rows(SparkEntry.queries("q_transitions")(spark, sf0001)))
+    assert(rows(Graft.anomalyScreen(e, "user_id", "value", ord)
+        .orderBy(col("user_id").asc, col("event_id").asc)) ==
+      rows(SparkEntry.queries("q_rolling_zscore")(spark, sf0001)))
+    val perDay = e.groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    assert(rows(Graft.compactionPlan(perDay, "day", "n",
+        queries.Breadth9.CompactTargetRows)) ==
+      rows(SparkEntry.queries("q_compaction_plan")(spark, sf0001)))
+    assert(rows(Graft.clusterAuthority(
+        Graft.nearDupPairs(Tables.documents(spark, sf0001)))
+        .select(col("node").as("doc_id"), round(col("pr"), 6).as("pagerank"))
+        .orderBy(col("doc_id").asc)) ==
+      rows(SparkEntry.queries("q_pagerank")(spark, sf0001)))
+  }
+
   test("Graft.stageTick/tickBacklog/startQuoteStream wire the live quote " +
     "pipeline: staged ticks equal the batch parse, one tick drives a snapshot") {
     import java.nio.file.Files

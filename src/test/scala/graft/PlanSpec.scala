@@ -225,6 +225,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("p_brand") && p.contains("p_size"))
   }
 
+  test("q_interval_join pairs intervals through the day-bucket hash join — " +
+    "never an all-pairs nested loop") {
+    val p = plan(SparkEntry.queries("q_interval_join")(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
+  test("q_pmi_cooccur's top-20 is a TakeOrderedAndProject over the capped " +
+    "pair aggregate — no global sort of the pair space") {
+    val p = plan(SparkEntry.queries("q_pmi_cooccur")(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject(limit=20"), p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
+
   test("q_partition_stats reads ONLY the partition column — zero data " +
     "columns leave the store scan") {
     val p = plan(SparkEntry.queries("q_partition_stats")(spark, sf0001))

@@ -268,6 +268,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingZscore (transformWithState) == batch q_rolling_zscore fold " +
+    "on in-order delivery, including the zero-variance null") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def er(id: Long, minute: Int, user: Long, v: Double) =
+        EventRow(id, java.time.LocalDateTime.parse(f"2024-01-01T10:$minute%02d:00"),
+          user, "click", v, "{}")
+      // user 1: spike then recovery; user 2: constant -> sd=0 -> z null
+      val u1 = Seq(1.0, 2, 3, 4, 5, 6, 100, 7, 8).zipWithIndex
+        .map { case (v, i) => er(i + 1, i + 1, 1, v) }
+      val u2 = (1 to 7).map(i => er(100 + i, i, 2, 5.0))
+      val batches = Seq(
+        u1.take(4) ++ u2.take(3), u1.slice(4, 7) ++ u2.slice(3, 6),
+        u1.drop(7) ++ u2.drop(6))
+      val mem = MemoryStream[EventRow]
+      val q = Streams.streamingZscore(mem.toDS())
+        .writeStream.format("memory").queryName("zs_out")
+        .outputMode("append").start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))
+      val got = spark.table("zs_out")
+        .select("user_id", "event_id", "value", "mean_prev", "z")
+        .collect().map(key).toSet
+      val want = graft.queries.Breadth9.rollingZscore(
+          (u1 ++ u2).toDS().toDF(), "user_id", "value",
+          Seq(col("ts").asc, col("event_id").asc))
+        .collect().map(key).toSet
+      assert(got == want, s"stream vs batch: $got vs $want")
+      // the constant-window probe really exercised the null path
+      assert(got.exists { case (u, _, _, _, z) => u == 2L && z.isEmpty })
+      assert(got.exists { case (u, id, _, _, z) =>
+        u == 1L && id == 7L && z.exists(_ > 3) })
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dedupWithinWatermark drops re-deliveries of the same (user,event)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
