@@ -161,6 +161,72 @@ object Graft {
   def clusterAuthority(pairs: DataFrame, iters: Int = 3): DataFrame =
     queries.Extensions8.pagerank(pairs, iters)
 
+  // ---- price-series analytics (wave 10) -------------------------------
+
+  /** Maximum drawdown per series key: worst peak-to-trough loss over the
+    * totally-ordered tick series (running prefix max — O(1) state per
+    * key). Oracle-checked as q_drawdown. */
+  def maxDrawdown(df: DataFrame, keyCol: String, valCol: String,
+                  ordCols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    queries.Breadth10.drawdownRows(df, keyCol, valCol, ordCols)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_ticks"),
+        max(col(valCol)).as("peak"),
+        round(max(col("__dd")), 4).as("max_drawdown"))
+
+  /** Wilder-simplified RSI over the trailing `period` deltas per key —
+    * bounded ROWS frame, O(period) state. Oracle-checked as q_rsi. */
+  def rsi(df: DataFrame, keyCol: String, valCol: String,
+          ordCols: Seq[org.apache.spark.sql.Column], period: Int = 14): DataFrame =
+    queries.Breadth10.rsi(df, keyCol, valCol, ordCols, period)
+
+  /** Fast/slow SMA pair + golden-cross flags per row. Oracle-checked as
+    * q_sma_cross. */
+  def smaCross(df: DataFrame, keyCol: String, valCol: String,
+               ordCols: Seq[org.apache.spark.sql.Column],
+               fast: Int = 3, slow: Int = 7): DataFrame =
+    queries.Breadth10.withCross(
+      queries.Breadth10.smaSignal(df, keyCol, valCol, ordCols, fast, slow),
+      keyCol, ordCols)
+
+  /** Day-over-day gaps (prior close vs next open) per key from tick
+    * data. Oracle-checked as q_gap_days. */
+  def dayGaps(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    queries.Breadth10.dayGaps(df, keyCol, valCol)
+
+  // ---- statistical screens (wave 10) ----------------------------------
+
+  /** Benford first-digit screen over a positive monetary column —
+    * fabricated-feed detection. Oracle-checked as q_benford. */
+  def benfordScreen(df: DataFrame, valCol: String): DataFrame =
+    queries.Extensions9.benford(df, valCol)
+
+  /** Lag-1 autocorrelation per series key (momentum / mean-reversion /
+    * shuffled-feed tripwire). Oracle-checked as q_autocorr. */
+  def lag1Autocorr(df: DataFrame, keyCol: String, valCol: String,
+                   ordCols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    queries.Extensions9.lag1Autocorr(df, keyCol, valCol, ordCols)
+
+  /** Exponential time-decay trending scores per group ("hot now" beats
+    * "big last month"). Oracle-checked as q_decay_trend. */
+  def trendingScores(df: DataFrame, grpCol: String, valCol: String,
+                     dayCol: String, halfLifeDays: Double = 7.0): DataFrame =
+    queries.Extensions9.decayScores(df, grpCol, valCol, dayCol, halfLifeDays)
+
+  /** Flesch-style readability bands over (doc_id, text) — a corpus
+    * quality dimension orthogonal to stopword/punct scoring.
+    * Oracle-checked as q_readability. */
+  def readability(docs: DataFrame): DataFrame =
+    queries.Extensions9.readability(docs)
+
+  /** Streaming twin of [[maxDrawdown]]: running peak + worst drawdown as
+    * O(1) keyed state on `transformWithState`, one refreshed per-key row
+    * per micro-batch. Spec-pinned equal to the batch aggregate on
+    * in-order delivery — see streaming.Streams.streamingDrawdown. */
+  def liveDrawdown(events: org.apache.spark.sql.Dataset[streaming.EventRow])
+      : org.apache.spark.sql.Dataset[streaming.DrawdownSnap] =
+    streaming.Streams.streamingDrawdown(events)
+
   // ---- live quote pipeline (the reference ETL, end to end) ------------
 
   /** One poll of the upstream quote API staged into the tick log the

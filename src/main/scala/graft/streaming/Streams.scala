@@ -26,6 +26,17 @@ case class ZBuf(vals: Seq[Double])
 case class ZScored(user_id: Long, event_id: Long, value: Double,
                    mean_prev: Double, z: Option[Double])
 
+/** Per-key state of the streaming drawdown tracker: prefix peak, worst
+  * drawdown so far, tick count — O(1) per key (the running-max window of
+  * the batch form collapsed to scalar state). */
+case class DrawdownAcc(peak: Double, maxDd: Option[Double], nTicks: Long)
+
+/** Per-key drawdown snapshot emitted each micro-batch (update stream).
+  * `max_drawdown` is None until the key has seen a positive peak — the
+  * batch form's unscored-zero-peak null. */
+case class DrawdownSnap(user_id: Long, n_ticks: Long, peak: Double,
+                        max_drawdown: Option[Double])
+
 /** Structured Streaming layer. The reference is a hand-rolled micro-batch
   * pipeline — fetch every 300 s, append one batch-stamped tick, notify,
   * re-query latest snapshot, broadcast (`etl/crypto_etl.py:150-157`,
@@ -330,6 +341,35 @@ object Streams {
         if (sd > 0) Some(round4((e.value - mu) / sd)) else None))
     } else None
     ((vals :+ e.value).takeRight(6), scored)
+  }
+
+  /** Streaming twin of q_drawdown (`queries.Breadth10.drawdownRows` +
+    * its per-key aggregate): running prefix peak and worst peak-to-trough
+    * loss held as O(1) keyed state; one refreshed (key, n_ticks, peak,
+    * max_drawdown) row per touched key per micro-batch (update
+    * semantics, like [[keyedStateLatest]]). Same in-order caveat and
+    * RocksDB-provider requirement as [[streamingZscore]]. */
+  def streamingDrawdown(ds: Dataset[EventRow]): Dataset[DrawdownSnap] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new DrawdownProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** One keyed step of the drawdown fold, shared with the spec's
+    * reference fold: extend the prefix peak with the incoming value,
+    * score (peak−value)/peak when the peak is positive (identical
+    * operands to the batch window form), keep the running worst.
+    * Rounding happens at emit, never in state. */
+  private[streaming] def drawdownStep(st: Option[DrawdownAcc],
+                                      e: EventRow): DrawdownAcc = {
+    val peak = st.map(a => math.max(a.peak, e.value)).getOrElse(e.value)
+    val dd = if (peak > 0) Some((peak - e.value) / peak) else None
+    val maxDd: Option[Double] = (st.flatMap(_.maxDd), dd) match {
+      case (Some(a), Some(b)) => Some(math.max(a, b))
+      case (a, b) => a.orElse(b)
+    }
+    DrawdownAcc(peak, maxDd, st.map(_.nTicks).getOrElse(0L) + 1L)
   }
 
   /** Stream-stream interval join: purchases matched to the same user's
@@ -640,6 +680,32 @@ class RollingZscoreProcessor
       }
     buf.update(ZBuf(vals))
     out.result().iterator
+  }
+}
+
+/** Keyed processor behind [[Streams.streamingDrawdown]]: one DrawdownAcc
+  * per key — scalar state, so a 100 TB backfill holds |keys| accumulators
+  * in the store, never history. Batch rows fold in (ts, event_id) order;
+  * emits the key's refreshed aggregate once per touched batch. */
+class DrawdownProcessor
+    extends StatefulProcessor[Long, EventRow, DrawdownSnap] {
+  @transient private var acc: ValueState[DrawdownAcc] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState[DrawdownAcc]("dd",
+      org.apache.spark.sql.Encoders.product[DrawdownAcc], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, events: Iterator[EventRow],
+                               timerValues: TimerValues): Iterator[DrawdownSnap] = {
+    var st = if (acc.exists()) Some(acc.get()) else None
+    val sorted = events.toSeq.sortBy(e => (Streams.eventMicros(e.ts), e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      sorted.foreach { e => st = Some(Streams.drawdownStep(st, e)) }
+      val a = st.get
+      acc.update(a)
+      Iterator(DrawdownSnap(user, a.nTicks, a.peak, a.maxDd.map(Streams.round4)))
+    }
   }
 }
 

@@ -104,6 +104,43 @@ class GraftFacadeSpec extends SparkSpec {
       rows(SparkEntry.queries("q_pagerank")(spark, sf0001)))
   }
 
+  test("Graft wave-10 analytics (maxDrawdown / rsi / smaCross / dayGaps / " +
+    "benfordScreen / lag1Autocorr / trendingScores / readability) " +
+    "match their oracle-checked queries") {
+    val ord = Seq(col("ts").asc, col("event_id").asc)
+    val e = Tables.events(spark, sf0001)
+    assert(rows(Graft.maxDrawdown(e, "user_id", "value", ord)
+        .orderBy(col("user_id").asc)) ==
+      rows(SparkEntry.queries("q_drawdown")(spark, sf0001)))
+    assert(rows(Graft.rsi(e, "user_id", "value", ord)
+        .select("user_id", "event_id", "value", "rsi")
+        .orderBy(col("user_id").asc, col("event_id").asc)) ==
+      rows(SparkEntry.queries("q_rsi")(spark, sf0001)))
+    assert(rows(Graft.smaCross(e, "user_id", "value", ord)
+        .select("user_id", "event_id", "sma_fast", "sma_slow", "signal", "crossed")
+        .orderBy(col("user_id").asc, col("event_id").asc)) ==
+      rows(SparkEntry.queries("q_sma_cross")(spark, sf0001)))
+    assert(rows(Graft.dayGaps(e, "user_id", "value")
+        .select("user_id", "day", "open", "close", "prev_close", "gap_pct")
+        .orderBy(col("user_id").asc, col("day").asc)) ==
+      rows(SparkEntry.queries("q_gap_days")(spark, sf0001)))
+    assert(rows(Graft.benfordScreen(Tables.orders(spark, sf0001), "o_totalprice")
+        .orderBy(col("digit").asc)) ==
+      rows(SparkEntry.queries("q_benford")(spark, sf0001)))
+    assert(rows(Graft.lag1Autocorr(e, "user_id", "value", ord)
+        .orderBy(col("user_id").asc)) ==
+      rows(SparkEntry.queries("q_autocorr")(spark, sf0001)))
+    assert(rows(Graft.trendingScores(
+        e.withColumn("__day", col("ts").cast("date")),
+        "event_type", "value", "__day")
+        .orderBy(col("event_type").asc)) ==
+      rows(SparkEntry.queries("q_decay_trend")(spark, sf0001)))
+    assert(rows(Graft.readability(Tables.documents(spark, sf0001))
+        .select("doc_id", "n_words", "n_sents", "n_vowel_groups", "flesch", "band")
+        .orderBy(col("doc_id").asc)) ==
+      rows(SparkEntry.queries("q_readability")(spark, sf0001)))
+  }
+
   test("Graft.stageTick/tickBacklog/startQuoteStream wire the live quote " +
     "pipeline: staged ticks equal the batch parse, one tick drives a snapshot") {
     import java.nio.file.Files

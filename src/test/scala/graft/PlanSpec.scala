@@ -276,4 +276,24 @@ class PlanSpec extends SparkSpec {
     val spans = "\\*\\(\\d+\\)".r.findAllIn(finalPlan.toString).toSet
     assert(spans.size >= 2, finalPlan.toString.take(600))
   }
+
+  test("wave-10 window cascades (drawdown / rsi / sma_cross) shuffle the " +
+    "series key exactly once — every window reuses the same partitioning") {
+    for (q <- Seq("q_drawdown", "q_rsi", "q_sma_cross")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf0001))
+      val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+      assert(hashEx == 1, s"$q: expected 1 user_id hash exchange, got $hashEx\n${p.take(800)}")
+    }
+  }
+
+  test("q_benford prunes the orders scan to the price column and " +
+    "broadcasts the scalar denominator — no data-sized join or sort") {
+    val p = plan(SparkEntry.queries("q_benford")(spark, sf0001))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_totalprice") && !readSchema.contains("o_orderdate"),
+      s"scan not pruned to the price column: $readSchema")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(600))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(600))
+  }
 }

@@ -315,6 +315,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingDrawdown (transformWithState) == batch q_drawdown aggregate " +
+    "on in-order delivery, including the zero-peak null") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def er(id: Long, minute: Int, user: Long, v: Double) =
+        EventRow(id, java.time.LocalDateTime.parse(f"2024-01-01T10:$minute%02d:00"),
+          user, "tick", v, "{}")
+      // user 1: peak-trough-recovery; user 2: all-zero series -> null dd
+      val u1 = Seq(10.0, 12, 6, 9, 3, 15, 14).zipWithIndex
+        .map { case (v, i) => er(i + 1, i + 1, 1, v) }
+      val u2 = (1 to 4).map(i => er(100 + i, i, 2, 0.0))
+      val batches = Seq(u1.take(3) ++ u2.take(2), u1.slice(3, 5) ++ u2.drop(2),
+        u1.drop(5))
+      val mem = MemoryStream[EventRow]
+      val q = Streams.streamingDrawdown(mem.toDS())
+        .writeStream.format("memory").queryName("dd_snap")
+        .outputMode("update").start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      // final state per key = the row with that key's max n_ticks
+      val got = spark.table("dd_snap")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))
+        .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSet
+      val want = Graft.maxDrawdown((u1 ++ u2).toDS().toDF(),
+          "user_id", "value", Seq(col("ts").asc, col("event_id").asc))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+      assert(got == want, s"stream vs batch: $got vs $want")
+      // worst drawdown really is the 12 -> 3 trough; zero-peak key is null
+      assert(got.exists { case (u, _, _, dd) => u == 1L && dd.contains(0.75) })
+      assert(got.exists { case (u, _, _, dd) => u == 2L && dd.isEmpty })
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("dedupWithinWatermark drops re-deliveries of the same (user,event)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
