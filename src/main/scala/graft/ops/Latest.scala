@@ -76,4 +76,43 @@ object Latest {
       .filter(col("__is_probe") === 1)
       .select(col(key), col(probeTsCol), col("__asof").as(s"asof_$valueCol"))
   }
+
+  /** Native-operator form of [[asOfJoin]] — same contract, same output
+    * columns, executed by graft's whole-plan AsofJoinExec (a
+    * co-partitioned single-pass merge; see graft.plans.AsofJoin for the
+    * scale rationale). Prefer this form when probes carry many columns:
+    * the union form widens EVERY fact row to the probe schema before the
+    * shuffle, while the native exec ships each side as-is.
+    */
+  def asOfJoinNative(facts: DataFrame, probes: DataFrame, key: String,
+                     tsCol: String, probeTsCol: String, valueCol: String,
+                     tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.graft.Bridge
+    val tsType = facts.schema(tsCol).dataType
+    // Prune the fact side to what the join reads (a generic node gets no
+    // ColumnPruning from the optimizer) and RE-ALIAS it: fresh exprIds
+    // decouple the fact side from a probe side derived from the same
+    // scan — the self-as-of case a generic binary node cannot rely on
+    // the analyzer to deduplicate.
+    val factsPruned = facts.select(col(key), col(tsCol), col(tieBreak), col(valueCol))
+    val probesCast = probes.select(col(key), col(probeTsCol).cast(tsType).as(probeTsCol))
+    val leftPlan = Bridge.analyzed(probesCast)
+    val rightBase = Bridge.analyzed(factsPruned)
+    val rightAliases = rightBase.output.map(a => Alias(a, a.name)())
+    val rightPlan = Project(rightAliases, rightBase)
+    val Seq(rKey, rTs, rTb, rVal) = rightAliases.map(_.toAttribute)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String): Attribute = p.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"column $name not found"))
+    val lKey = attr(leftPlan, key); val lTs = attr(leftPlan, probeTsCol)
+    require(lKey.dataType == rKey.dataType,
+      s"as-of key types differ: ${lKey.dataType} vs ${rKey.dataType}")
+    val outVal = AttributeReference(s"asof_$valueCol", rVal.dataType,
+      nullable = true)()
+    val node = graft.plans.AsofJoin(leftPlan, rightPlan, lKey, rKey, lTs, rTs,
+      rTb, Seq(rVal), Seq(outVal))
+    Bridge.ofRows(facts.sparkSession, node)
+  }
 }

@@ -165,6 +165,20 @@ object Breadth {
           explode(array(probeTs.map(d => to_timestamp_ntz(lit(d))): _*)).as("probe_ts")))
       Latest.asOfJoin(e, probes, "user_id", "ts", "probe_ts", "value", "event_id")
         .orderBy(col("user_id").asc, col("probe_ts").asc)
+    }),
+
+    // The same as-of lookup through the native whole-plan operator
+    // (graft.plans.AsofJoinExec: co-partitioned single-pass merge) —
+    // same oracle, so the driver pins the custom exec to the union+window
+    // form row-for-row.
+    "q_asof_native" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val probeTs = Seq("2024-01-07", "2024-01-14", "2024-01-21", "2024-01-28")
+      val probes = e.select(col("user_id")).distinct()
+        .crossJoin(s.range(1).select(
+          explode(array(probeTs.map(d => to_timestamp_ntz(lit(d))): _*)).as("probe_ts")))
+      Latest.asOfJoinNative(e, probes, "user_id", "ts", "probe_ts", "value", "event_id")
+        .orderBy(col("user_id").asc, col("probe_ts").asc)
     }))
 
   val oracle: Map[String, String] = Map(
@@ -271,6 +285,18 @@ object Breadth {
         |ORDER BY o_orderpriority, rn_in_group""".stripMargin,
 
     "q_asof" ->
+      """WITH probes AS (
+        |  SELECT user_id, probe_ts
+        |  FROM (SELECT DISTINCT user_id FROM events)
+        |  CROSS JOIN (VALUES (TIMESTAMP '2024-01-07'), (TIMESTAMP '2024-01-14'),
+        |    (TIMESTAMP '2024-01-21'), (TIMESTAMP '2024-01-28')) p(probe_ts))
+        |SELECT u.user_id, u.probe_ts,
+        |  (SELECT e.value FROM events e
+        |   WHERE e.user_id = u.user_id AND e.ts <= u.probe_ts
+        |   ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) AS asof_value
+        |FROM probes u ORDER BY user_id, probe_ts""".stripMargin,
+
+    "q_asof_native" ->
       """WITH probes AS (
         |  SELECT user_id, probe_ts
         |  FROM (SELECT DISTINCT user_id FROM events)

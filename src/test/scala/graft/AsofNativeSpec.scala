@@ -1,0 +1,117 @@
+package graft
+
+import graft.ops.Latest
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The native as-of join (graft.plans.AsofJoin/AsofJoinExec) — semantics
+  * pinned row-for-row to the union+window form (Latest.asOfJoin), plus
+  * the edge cases a merge implementation can get wrong: iterator buffer
+  * reuse under string keys, self-derived probe sides (shared exprIds),
+  * null keys/times on both sides, and ties at equal fact ts. */
+class AsofNativeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def facts(rows: Seq[(String, Long, Long, Double)]): DataFrame =
+    rows.toDF("k", "ts", "tb", "v")
+
+  private def probes(rows: Seq[(String, Long)]): DataFrame =
+    rows.toDF("k", "pts")
+
+  private def run(f: DataFrame, p: DataFrame): Seq[(String, Long, Option[Double])] =
+    Latest.asOfJoinNative(f, p, "k", "ts", "pts", "v", "tb")
+      .select(col("k"), col("pts"), col("asof_v"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(t => (t._1, t._2))
+
+  test("merge semantics: latest fact at or before each probe, ties by max tiebreak") {
+    val f = facts(Seq(
+      ("a", 10L, 1L, 1.0), ("a", 20L, 2L, 2.0), ("a", 20L, 3L, 2.5),
+      ("a", 30L, 4L, 3.0),
+      ("b", 15L, 5L, 9.0)))
+    val p = probes(Seq(
+      ("a", 5L),   // before first fact -> null
+      ("a", 20L),  // inclusive, tie at ts=20 -> tb=3 wins -> 2.5
+      ("a", 25L),  // between -> 2.5
+      ("a", 99L),  // after last -> 3.0
+      ("b", 15L),  // exact hit
+      ("c", 50L))) // key with no facts -> null
+    assert(run(f, p) === Seq(
+      ("a", 5L, None), ("a", 20L, Some(2.5)), ("a", 25L, Some(2.5)),
+      ("a", 99L, Some(3.0)),
+      ("b", 15L, Some(9.0)),
+      ("c", 50L, None)))
+  }
+
+  test("null keys and null times match nothing, on either side") {
+    val f = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row("a", 10L, 1L, 1.0),
+        org.apache.spark.sql.Row(null, 5L, 2L, 7.0),  // null fact key
+        org.apache.spark.sql.Row("a", null, 3L, 8.0)  // null fact ts
+      )),
+      StructType(Seq(StructField("k", StringType), StructField("ts", LongType),
+        StructField("tb", LongType), StructField("v", DoubleType))))
+    val p = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row("a", 50L),
+        org.apache.spark.sql.Row(null, 50L),  // null probe key -> null
+        org.apache.spark.sql.Row("a", null)   // null probe ts -> null
+      )),
+      StructType(Seq(StructField("k", StringType), StructField("pts", LongType))))
+    val out = Latest.asOfJoinNative(f, p, "k", "ts", "pts", "v", "tb")
+      .collect().toSeq
+      .map(r => (Option(r.get(0)), Option(r.get(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.toSet === Set(
+      (Some("a"), Some(50L), Some(1.0)),
+      (None, Some(50L), None),
+      (Some("a"), None, None)))
+  }
+
+  test("parity with the union+window form on sf0.001 events (incl. self-derived probes)") {
+    val e = Tables.events(spark, sf0001)
+    val probeTs = Seq("2024-01-07", "2024-01-14", "2024-01-21", "2024-01-28")
+    // probes derive from the SAME scan as facts — the shared-exprId case
+    val p = e.select(col("user_id")).distinct()
+      .crossJoin(spark.range(1).select(
+        explode(array(probeTs.map(d => to_timestamp_ntz(lit(d))): _*)).as("probe_ts")))
+    val native = Latest.asOfJoinNative(e, p, "user_id", "ts", "probe_ts", "value", "event_id")
+      .orderBy(col("user_id").asc, col("probe_ts").asc).collect().toSeq
+    val window = Latest.asOfJoin(e, p, "user_id", "ts", "probe_ts", "value", "event_id")
+      .orderBy(col("user_id").asc, col("probe_ts").asc).collect().toSeq
+    assert(native.nonEmpty)
+    assert(native === window)
+  }
+
+  test("plan: AsofJoin exec node, one exchange per side, no join re-scan") {
+    val f = facts(Seq(("a", 10L, 1L, 1.0)))
+    val p = probes(Seq(("a", 20L)))
+    val df = Latest.asOfJoinNative(f, p, "k", "ts", "pts", "v", "tb")
+    df.count() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("AsofJoin"), plan)
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$plan")
+  }
+
+  test("string keys survive iterator buffer reuse across many keys/partitions") {
+    // enough distinct keys that per-partition merges cross many key
+    // boundaries; values chosen so a stale-buffer key comparison would
+    // misattribute facts between adjacent keys
+    val f = facts((0 until 500).flatMap(i =>
+      Seq((f"k$i%03d", 10L, i.toLong, i.toDouble),
+          (f"k$i%03d", 20L, 1000L + i, 100.0 + i))))
+    val p = probes((0 until 500).map(i => (f"k$i%03d", 15L)) ++
+      (0 until 500).map(i => (f"k$i%03d", 25L)))
+    val got = run(f, p)
+    (0 until 500).foreach { i =>
+      assert(got.contains((f"k$i%03d", 15L, Some(i.toDouble))))
+      assert(got.contains((f"k$i%03d", 25L, Some(100.0 + i))))
+    }
+  }
+}
