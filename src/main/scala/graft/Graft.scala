@@ -227,6 +227,47 @@ object Graft {
       : org.apache.spark.sql.Dataset[streaming.DrawdownSnap] =
     streaming.Streams.streamingDrawdown(events)
 
+  // ---- distribution screens & selection (wave 11) ---------------------
+
+  /** CUSUM change-point screen per series key: range of the
+    * mean-centered prefix-sum walk over cent-quantized values — a level
+    * shift mid-series scores far above stationary noise. Integer domain
+    * end to end. Oracle-checked as q_cusum. */
+  def changePointScreen(df: DataFrame, keyCol: String, valCol: String,
+                        ordCols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    queries.Breadth11.cusumRange(df, keyCol, valCol, ordCols)
+
+  /** One-row Gini concentration of integer volume across keys (0 =
+    * uniform, →1 = winner-take-all). Oracle-checked as q_gini. */
+  def volumeGini(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    queries.Breadth11.giniConcentration(df, keyCol, valCol)
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the rows
+    * where `groupFlag` is 0 and 1 — the distribution-level A/B tripwire.
+    * Oracle-checked as q_ks_drift. */
+  def ksDrift(df: DataFrame, valCol: String,
+              groupFlag: org.apache.spark.sql.Column): DataFrame =
+    queries.Breadth11.ksDrift(df, valCol, groupFlag)
+
+  /** Exactly-k-per-stratum deterministic sample (md5-ranked, no RNG) —
+    * the reproducible eval-set builder. Oracle-checked as q_hash_sample. */
+  def evalSample(df: DataFrame, strataCol: String, idCol: String,
+                 k: Int): DataFrame =
+    queries.Extensions10.hashSample(df, strataCol, idCol, k)
+
+  /** Rank-winsorized per-group statistics: clamp to the k-th
+    * smallest/largest before aggregating — robust to a few giant or
+    * empty rows. Oracle-checked as q_winsorize. */
+  def winsorizedStats(df: DataFrame, grpCol: String, valCol: String,
+                      idCol: String, k: Int = 2): DataFrame =
+    queries.Extensions10.winsorizedStats(df, grpCol, valCol, idCol, k)
+
+  /** Per-source accounting of what dedup keep-one removed (doc and char
+    * counts) from a (doc_id, cluster_id) assignment. Oracle-checked as
+    * q_dup_survivorship. */
+  def dedupSavings(clusters: DataFrame, docs: DataFrame): DataFrame =
+    queries.Extensions10.dedupSavings(clusters, docs)
+
   // ---- live quote pipeline (the reference ETL, end to end) ------------
 
   /** One poll of the upstream quote API staged into the tick log the
