@@ -268,6 +268,28 @@ object Graft {
   def dedupSavings(clusters: DataFrame, docs: DataFrame): DataFrame =
     queries.Extensions10.dedupSavings(clusters, docs)
 
+  // ---- market microstructure (wave 12) --------------------------------
+
+  /** Daily time-weighted average price per series key — dwell-weighted
+    * cents, robust to burst-then-silence tick spacing. Oracle-checked as
+    * q_twap. */
+  def twap(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+           tieBreak: String): DataFrame =
+    queries.Breadth12.twap(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Realized volatility per series key (root mean squared cent move, in
+    * price units). Oracle-checked as q_realized_vol. */
+  def realizedVol(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth12.realizedVol(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Per-key feed-health row: tick count, largest single-tick move,
+    * longest silent gap — the stuck-feed / fat-finger tripwire.
+    * Oracle-checked as q_tick_health. */
+  def tickHealth(df: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth12.tickHealth(df, keyCol, tsCol, valCol, tieBreak)
+
   // ---- live quote pipeline (the reference ETL, end to end) ------------
 
   /** One poll of the upstream quote API staged into the tick log the
