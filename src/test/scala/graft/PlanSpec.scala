@@ -296,4 +296,37 @@ class PlanSpec extends SparkSpec {
       p.take(600))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(600))
   }
+
+  test("wave-11/12 series screens (cusum / realized_vol / tick_health / twap) " +
+    "shuffle the series key exactly once") {
+    for (q <- Seq("q_cusum", "q_realized_vol", "q_tick_health")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf0001))
+      val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+      assert(hashEx == 1, s"$q: expected 1 user_id hash exchange, got $hashEx\n${p.take(800)}")
+    }
+    // twap partitions by (key, day) — still a single hash exchange
+    val p = plan(SparkEntry.queries("q_twap")(spark, sf0001))
+    val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(hashEx == 1, s"q_twap: expected 1 hash exchange, got $hashEx\n${p.take(800)}")
+  }
+
+  test("q_hash_sample's per-stratum top-k is a WindowGroupLimit — no full " +
+    "per-group materialization survives to the sort") {
+    val p = plan(SparkEntry.queries("q_hash_sample")(spark, sf0001))
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("q_gini and q_ks_drift run their single-partition ECDF/rank window " +
+    "over the aggregated frame, never over raw event rows") {
+    for (q <- Seq("q_gini", "q_ks_drift")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf0001))
+      // the SinglePartition exchange must consume a HashAggregate (the
+      // |keys|- or |distinct-values|-sized frame), not a file scan
+      val idx = p.indexOf("Exchange SinglePartition")
+      assert(idx >= 0, s"$q: no single-partition window stage\n${p.take(800)}")
+      val below = p.substring(idx)
+      assert(below.contains("HashAggregate"),
+        s"$q: single-partition window not fed by an aggregate\n${p.take(800)}")
+    }
+  }
 }
