@@ -290,6 +290,14 @@ object Graft {
                  valCol: String, tieBreak: String): DataFrame =
     queries.Breadth12.tickHealth(df, keyCol, tsCol, valCol, tieBreak)
 
+  /** Streaming twin of [[tickHealth]]: largest move + longest silence as
+    * O(1) keyed state on `transformWithState`, one refreshed per-key row
+    * per micro-batch. Spec-pinned equal to the batch window form on
+    * in-order delivery — see streaming.Streams.streamingTickHealth. */
+  def liveTickHealth(events: org.apache.spark.sql.Dataset[streaming.EventRow])
+      : org.apache.spark.sql.Dataset[streaming.TickHealthSnap] =
+    streaming.Streams.streamingTickHealth(events)
+
   // ---- live quote pipeline (the reference ETL, end to end) ------------
 
   /** One poll of the upstream quote API staged into the tick log the

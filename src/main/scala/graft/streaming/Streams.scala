@@ -37,6 +37,19 @@ case class DrawdownAcc(peak: Double, maxDd: Option[Double], nTicks: Long)
 case class DrawdownSnap(user_id: Long, n_ticks: Long, peak: Double,
                         max_drawdown: Option[Double])
 
+/** Per-key state of the streaming feed-health tripwire: last tick's
+  * integer cents and µs, worst move and longest silence so far — O(1)
+  * per key (the lag window of the batch form collapsed to one row). */
+case class TickHealthAcc(lastCents: Long, lastUs: Long,
+                         maxMove: Option[Long], maxGap: Option[Long],
+                         nTicks: Long)
+
+/** Per-key feed-health snapshot (update stream); fields mirror the batch
+  * q_tick_health row — None until the key has two ticks. */
+case class TickHealthSnap(user_id: Long, n_ticks: Long,
+                          max_move_cents: Option[Long],
+                          longest_gap_us: Option[Long])
+
 /** Structured Streaming layer. The reference is a hand-rolled micro-batch
   * pipeline — fetch every 300 s, append one batch-stamped tick, notify,
   * re-query latest snapshot, broadcast (`etl/crypto_etl.py:150-157`,
@@ -354,6 +367,36 @@ object Streams {
     ds.groupByKey(_.user_id)
       .transformWithState(new DrawdownProcessor, TimeMode.None(),
         OutputMode.Update())
+  }
+
+  /** Streaming twin of the batch q_tick_health screen: largest
+    * single-tick move and longest silent gap as O(1) keyed state on
+    * `transformWithState` — the live stuck-feed / fat-finger tripwire.
+    * Spec-pinned equal to the batch window form on in-order delivery. */
+  def streamingTickHealth(ds: Dataset[EventRow]): Dataset[TickHealthSnap] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new TickHealthProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** One keyed step of the feed-health fold: quantize to cents exactly as
+    * the batch Column form (`floor(v·100 + 0.5)` on the identical
+    * double), diff against the remembered last tick, extend the maxima. */
+  private[streaming] def tickHealthStep(st: Option[TickHealthAcc],
+                                        e: EventRow): TickHealthAcc = {
+    val c = math.floor(e.value * 100.0 + 0.5).toLong
+    val us = eventMicros(e.ts)
+    st match {
+      case None => TickHealthAcc(c, us, None, None, 1L)
+      case Some(a) =>
+        val move = math.abs(c - a.lastCents)
+        val gap = us - a.lastUs
+        TickHealthAcc(c, us,
+          Some(a.maxMove.fold(move)(math.max(_, move))),
+          Some(a.maxGap.fold(gap)(math.max(_, gap))),
+          a.nTicks + 1L)
+    }
   }
 
   /** One keyed step of the drawdown fold, shared with the spec's
@@ -705,6 +748,31 @@ class DrawdownProcessor
       val a = st.get
       acc.update(a)
       Iterator(DrawdownSnap(user, a.nTicks, a.peak, a.maxDd.map(Streams.round4)))
+    }
+  }
+}
+
+/** Keyed processor behind [[Streams.streamingTickHealth]]: one
+  * TickHealthAcc per key in the state store; rows inside a micro-batch
+  * fold in event order, mirroring the batch window's total order. */
+class TickHealthProcessor
+    extends StatefulProcessor[Long, EventRow, TickHealthSnap] {
+  @transient private var acc: ValueState[TickHealthAcc] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState[TickHealthAcc]("th",
+      org.apache.spark.sql.Encoders.product[TickHealthAcc], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, events: Iterator[EventRow],
+                               timerValues: TimerValues): Iterator[TickHealthSnap] = {
+    var st = if (acc.exists()) Some(acc.get()) else None
+    val sorted = events.toSeq.sortBy(e => (Streams.eventMicros(e.ts), e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      sorted.foreach { e => st = Some(Streams.tickHealthStep(st, e)) }
+      val a = st.get
+      acc.update(a)
+      Iterator(TickHealthSnap(user, a.nTicks, a.maxMove, a.maxGap))
     }
   }
 }

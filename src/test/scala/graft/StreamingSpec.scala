@@ -737,4 +737,51 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(snaps.last == Map(2L -> 2.0))
   }
+
+  test("streamingTickHealth (transformWithState) == batch q_tick_health " +
+    "window form on in-order delivery, across batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def er(id: Long, minute: Int, user: Long, v: Double) =
+        EventRow(id, java.time.LocalDateTime.parse(f"2024-01-01T10:$minute%02d:00"),
+          user, "tick", v, "{}")
+      // user 1's worst move (2.50) and longest gap (3 min) SPAN the
+      // batch boundary — the state carry is what's under test; user 2
+      // stays single-tick (both maxima None/null)
+      val u1 = Seq(er(1, 1, 1, 2.0), er(2, 2, 1, 3.0),
+        er(3, 5, 1, 0.5), er(4, 6, 1, 1.0))
+      val u2 = Seq(er(100, 1, 2, 9.0))
+      val batches = Seq(u1.take(2) ++ u2, u1.drop(2))
+      val mem = MemoryStream[EventRow]
+      val q = Streams.streamingTickHealth(mem.toDS())
+        .writeStream.format("memory").queryName("th_snap")
+        .outputMode("update").start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val got = spark.table("th_snap")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))
+        .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSet
+      val want = Graft.tickHealth((u1 ++ u2).toDS().toDF(),
+          "user_id", "ts", "value", "event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))).toSet
+      assert(got == want, s"stream vs batch: $got vs $want")
+      assert(got.exists { case (u, _, move, gap) =>
+        u == 1L && move.contains(250L) && gap.contains(180000000L) })
+      assert(got.exists { case (u, _, move, gap) =>
+        u == 2L && move.isEmpty && gap.isEmpty })
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
