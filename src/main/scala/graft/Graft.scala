@@ -268,6 +268,29 @@ object Graft {
   def dedupSavings(clusters: DataFrame, docs: DataFrame): DataFrame =
     queries.Extensions10.dedupSavings(clusters, docs)
 
+  // ---- as-of lookup ---------------------------------------------------
+
+  /** As-of lookup, union+window form: for each (key, probe_ts) the
+    * latest fact at or before the probe time (null when none; equal-ts
+    * ties resolve to the greatest tieBreak). One co-partitioned sort
+    * shuffle, no per-probe scan. Oracle-checked as q_asof. */
+  def asOfLookup(facts: DataFrame, probes: DataFrame, key: String,
+                 tsCol: String, probeTsCol: String, valueCol: String,
+                 tieBreak: String): DataFrame =
+    ops.Latest.asOfJoin(facts, probes, key, tsCol, probeTsCol, valueCol, tieBreak)
+
+  /** As-of lookup on the native whole-plan operator (AsofJoinExec:
+    * co-partitioned single-pass merge, one buffered fact row) — same
+    * contract as [[asOfLookup]]; every `valueCols` entry returns as
+    * `asof_<name>`, all from the same matched fact. Prefer when probes
+    * carry many columns or several fact columns are needed.
+    * Oracle-checked as q_asof_native. */
+  def asOfLookupNative(facts: DataFrame, probes: DataFrame, key: String,
+                       tsCol: String, probeTsCol: String,
+                       valueCols: Seq[String], tieBreak: String): DataFrame =
+    ops.Latest.asOfJoinNativeValues(facts, probes, key, tsCol, probeTsCol,
+      valueCols, tieBreak)
+
   // ---- market microstructure (wave 12) --------------------------------
 
   /** Daily time-weighted average price per series key — dwell-weighted

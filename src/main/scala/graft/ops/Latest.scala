@@ -86,33 +86,46 @@ object Latest {
     */
   def asOfJoinNative(facts: DataFrame, probes: DataFrame, key: String,
                      tsCol: String, probeTsCol: String, valueCol: String,
-                     tieBreak: String): DataFrame = {
+                     tieBreak: String): DataFrame =
+    asOfJoinNativeValues(facts, probes, key, tsCol, probeTsCol,
+      Seq(valueCol), tieBreak)
+
+  /** Multi-column native as-of: every column in `valueCols` comes back
+    * as `asof_<name>`, all read from the SAME matched fact row (one
+    * merge, one buffered row — not one lookup per column, and never a
+    * mix of columns from different facts). */
+  def asOfJoinNativeValues(facts: DataFrame, probes: DataFrame, key: String,
+                           tsCol: String, probeTsCol: String,
+                           valueCols: Seq[String], tieBreak: String): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.Project
     import org.apache.spark.sql.graft.Bridge
+    require(valueCols.nonEmpty, "as-of needs at least one value column")
     val tsType = facts.schema(tsCol).dataType
     // Prune the fact side to what the join reads (a generic node gets no
     // ColumnPruning from the optimizer) and RE-ALIAS it: fresh exprIds
     // decouple the fact side from a probe side derived from the same
     // scan — the self-as-of case a generic binary node cannot rely on
     // the analyzer to deduplicate.
-    val factsPruned = facts.select(col(key), col(tsCol), col(tieBreak), col(valueCol))
+    val factsPruned = facts.select(col(key) +: col(tsCol) +: col(tieBreak) +:
+      valueCols.map(col): _*)
     val probesCast = probes.select(col(key), col(probeTsCol).cast(tsType).as(probeTsCol))
     val leftPlan = Bridge.analyzed(probesCast)
     val rightBase = Bridge.analyzed(factsPruned)
     val rightAliases = rightBase.output.map(a => Alias(a, a.name)())
     val rightPlan = Project(rightAliases, rightBase)
-    val Seq(rKey, rTs, rTb, rVal) = rightAliases.map(_.toAttribute)
+    val rKey +: rTs +: rTb +: rVals = rightAliases.map(_.toAttribute)
     def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
              name: String): Attribute = p.output.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"column $name not found"))
     val lKey = attr(leftPlan, key); val lTs = attr(leftPlan, probeTsCol)
     require(lKey.dataType == rKey.dataType,
       s"as-of key types differ: ${lKey.dataType} vs ${rKey.dataType}")
-    val outVal = AttributeReference(s"asof_$valueCol", rVal.dataType,
-      nullable = true)()
+    val outVals = valueCols.zip(rVals).map { case (n, a) =>
+      AttributeReference(s"asof_$n", a.dataType, nullable = true)()
+    }
     val node = graft.plans.AsofJoin(leftPlan, rightPlan, lKey, rKey, lTs, rTs,
-      rTb, Seq(rVal), Seq(outVal))
+      rTb, rVals, outVals)
     Bridge.ofRows(facts.sparkSession, node)
   }
 }

@@ -86,6 +86,13 @@ class AsofNativeSpec extends SparkSpec {
       .orderBy(col("user_id").asc, col("probe_ts").asc).collect().toSeq
     assert(native.nonEmpty)
     assert(native === window)
+    // the facade entry points are the same operators
+    val viaFacade = Graft.asOfLookupNative(e, p, "user_id", "ts", "probe_ts",
+        Seq("value"), "event_id")
+      .orderBy(col("user_id").asc, col("probe_ts").asc).collect().toSeq
+    assert(viaFacade === native)
+    assert(Graft.asOfLookup(e, p, "user_id", "ts", "probe_ts", "value", "event_id")
+      .orderBy(col("user_id").asc, col("probe_ts").asc).collect().toSeq === window)
   }
 
   test("plan: AsofJoin exec node, one exchange per side, no join re-scan") {
@@ -97,6 +104,25 @@ class AsofNativeSpec extends SparkSpec {
     assert(plan.contains("AsofJoin"), plan)
     val exchanges = "Exchange".r.findAllIn(plan).length
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$plan")
+  }
+
+  test("multi-value as-of: all asof_ columns come from the SAME matched fact row") {
+    val f = Seq(("a", 10L, 1L, 1.0, "x1"), ("a", 20L, 2L, 2.0, "x2"),
+      ("a", 20L, 3L, 2.5, "x3"))
+      .toDF("k", "ts", "tb", "v", "tag")
+    val p = probes(Seq(("a", 15L), ("a", 25L), ("a", 5L)))
+    val got = Latest.asOfJoinNativeValues(f, p, "k", "ts", "pts",
+      Seq("v", "tag"), "tb")
+      .select(col("pts"), col("asof_v"), col("asof_tag"))
+      .collect().toSeq
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        Option(r.getString(2))))
+      .sortBy(_._1)
+    // ts=20 tie resolves to tb=3 for BOTH columns — never v from one row
+    // and tag from another
+    assert(got === Seq((5L, None, None), (15L, Some(1.0), Some("x1")),
+      (25L, Some(2.5), Some("x3"))))
   }
 
   test("string keys survive iterator buffer reuse across many keys/partitions") {

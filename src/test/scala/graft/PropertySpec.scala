@@ -188,4 +188,36 @@ class PropertySpec extends SparkSpec {
       assert(a == b)
     }
   }
+
+  test("native as-of join == union+window form on random fact/probe frames " +
+    "(ties, duplicate timestamps, probe-before-first, absent keys)") {
+    val factsGen = Gen.nonEmptyListOf(for {
+      id <- Gen.choose(1L, 10000L)
+      user <- Gen.choose(1L, 6L)
+      sec <- Gen.choose(0L, 30L) // small domain -> frequent exact-ts ties
+      v <- Gen.choose(-100.0, 100.0)
+    } yield (id, user, sec, v))
+    val probesGen = Gen.nonEmptyListOf(for {
+      user <- Gen.choose(1L, 8L) // 7..8 never have facts -> null path
+      sec <- Gen.choose(-5L, 35L) // before-first and after-last probes
+    } yield (user, sec))
+    samples(factsGen.flatMap(f => probesGen.map(p => (f, p))), 10)
+      .foreach { case (fRows, pRows) =>
+        val facts = fRows.toDF("event_id", "user_id", "sec", "value")
+          .withColumn("ts", timestamp_seconds(col("sec")).cast("timestamp_ntz"))
+        val probes = pRows.distinct.toDF("user_id", "psec")
+          .withColumn("probe_ts", timestamp_seconds(col("psec")).cast("timestamp_ntz"))
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("user_id"), col("probe_ts"), col("asof_value"))
+            .collect().map(r => (r.getLong(0), r.get(1).toString,
+              Option(r.get(2)).map(_.asInstanceOf[Double])))
+            .toSeq.sortBy(t => (t._1, t._2))
+        val native = canon(Latest.asOfJoinNative(facts, probes,
+          "user_id", "ts", "probe_ts", "value", "event_id"))
+        val window = canon(Latest.asOfJoin(facts, probes,
+          "user_id", "ts", "probe_ts", "value", "event_id"))
+        assert(native == window,
+          s"native vs window diverged on ${fRows.size} facts/${pRows.size} probes")
+      }
+  }
 }
