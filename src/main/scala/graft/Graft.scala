@@ -321,6 +321,28 @@ object Graft {
       : org.apache.spark.sql.Dataset[streaming.TickHealthSnap] =
     streaming.Streams.streamingTickHealth(events)
 
+  // ---- pattern & dispersion screens (wave 13) --------------------------
+
+  /** Candlestick pattern flags (doji / bullish engulfing / hammer) over
+    * integer-cent daily bars. Oracle-checked as q_candle_patterns. */
+  def candlePatterns(df: DataFrame, keyCol: String, tsCol: String,
+                     valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth13.candlePatterns(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Tokens over-indexing where `isTarget` holds vs the rest of the
+    * corpus (cross-multiplied integer skew, top-k). Oracle-checked as
+    * q_token_skew. */
+  def tokenSkew(docs: DataFrame, textCol: String,
+                isTarget: org.apache.spark.sql.Column, k: Int = 20): DataFrame =
+    queries.Breadth13.tokenSkew(docs, textCol, isTarget, k)
+
+  /** Inter-arrival burstiness (index of dispersion of tick gaps) per
+    * series key — the organic-vs-scheduler tripwire. Oracle-checked as
+    * q_burstiness. */
+  def burstiness(df: DataFrame, keyCol: String, tsCol: String,
+                 tieBreak: String): DataFrame =
+    queries.Breadth13.burstiness(df, keyCol, tsCol, tieBreak)
+
   // ---- live quote pipeline (the reference ETL, end to end) ------------
 
   /** One poll of the upstream quote API staged into the tick log the
