@@ -313,6 +313,14 @@ object Graft {
                  valCol: String, tieBreak: String): DataFrame =
     queries.Breadth12.tickHealth(df, keyCol, tsCol, valCol, tieBreak)
 
+  /** Streaming twin of [[realizedVol]]: the exact integer sum of squared
+    * cent moves as O(1) keyed state; division + IEEE sqrt at emit only,
+    * so stream and batch compute the identical double. Spec-pinned —
+    * see streaming.Streams.streamingRealizedVol. */
+  def liveRealizedVol(events: org.apache.spark.sql.Dataset[streaming.EventRow])
+      : org.apache.spark.sql.Dataset[streaming.RealizedVolSnap] =
+    streaming.Streams.streamingRealizedVol(events)
+
   /** Streaming twin of [[tickHealth]]: largest move + longest silence as
     * O(1) keyed state on `transformWithState`, one refreshed per-key row
     * per micro-batch. Spec-pinned equal to the batch window form on

@@ -50,6 +50,18 @@ case class TickHealthSnap(user_id: Long, n_ticks: Long,
                           max_move_cents: Option[Long],
                           longest_gap_us: Option[Long])
 
+/** Per-key state of the streaming realized-volatility fold: last tick's
+  * integer cents + the exact integer sum of squared moves — O(1) per key
+  * (the lag window and sum of the batch form collapsed to one row). */
+case class RealizedVolAcc(lastCents: Long, sumSq: Long, nMoves: Long,
+                          nTicks: Long)
+
+/** Per-key realized-volatility snapshot (update stream); fields mirror
+  * the batch q_realized_vol row — None until the key has a move. */
+case class RealizedVolSnap(user_id: Long, n_ticks: Long, n_moves: Long,
+                           sq_move_cents2: Option[Long],
+                           realized_vol: Option[Double])
+
 /** Structured Streaming layer. The reference is a hand-rolled micro-batch
   * pipeline — fetch every 300 s, append one batch-stamped tick, notify,
   * re-query latest snapshot, broadcast (`etl/crypto_etl.py:150-157`,
@@ -396,6 +408,30 @@ object Streams {
           Some(a.maxMove.fold(move)(math.max(_, move))),
           Some(a.maxGap.fold(gap)(math.max(_, gap))),
           a.nTicks + 1L)
+    }
+  }
+
+  /** Streaming twin of the batch q_realized_vol aggregate: the exact
+    * integer sum of squared cent moves as O(1) keyed state; the float
+    * steps (one division, IEEE-exact sqrt) happen only at emit, so the
+    * stream and the batch window compute the identical double. */
+  def streamingRealizedVol(ds: Dataset[EventRow]): Dataset[RealizedVolSnap] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new RealizedVolProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** One keyed step of the realized-vol fold: cents exactly as the batch
+    * Column form, squared move accumulated as an exact integer. */
+  private[streaming] def realizedVolStep(st: Option[RealizedVolAcc],
+                                         e: EventRow): RealizedVolAcc = {
+    val c = math.floor(e.value * 100.0 + 0.5).toLong
+    st match {
+      case None => RealizedVolAcc(c, 0L, 0L, 1L)
+      case Some(a) =>
+        val d = c - a.lastCents
+        RealizedVolAcc(c, a.sumSq + d * d, a.nMoves + 1L, a.nTicks + 1L)
     }
   }
 
@@ -773,6 +809,33 @@ class TickHealthProcessor
       val a = st.get
       acc.update(a)
       Iterator(TickHealthSnap(user, a.nTicks, a.maxMove, a.maxGap))
+    }
+  }
+}
+
+/** Keyed processor behind [[Streams.streamingRealizedVol]]. */
+class RealizedVolProcessor
+    extends StatefulProcessor[Long, EventRow, RealizedVolSnap] {
+  @transient private var acc: ValueState[RealizedVolAcc] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState[RealizedVolAcc]("rv",
+      org.apache.spark.sql.Encoders.product[RealizedVolAcc], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, events: Iterator[EventRow],
+                               timerValues: TimerValues): Iterator[RealizedVolSnap] = {
+    var st = if (acc.exists()) Some(acc.get()) else None
+    val sorted = events.toSeq.sortBy(e => (Streams.eventMicros(e.ts), e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      sorted.foreach { e => st = Some(Streams.realizedVolStep(st, e)) }
+      val a = st.get
+      acc.update(a)
+      val scored = a.nMoves > 0
+      Iterator(RealizedVolSnap(user, a.nTicks, a.nMoves,
+        if (scored) Some(a.sumSq) else None,
+        if (scored) Some(math.sqrt(a.sumSq.toDouble / a.nMoves.toDouble) / 100.0)
+        else None))
     }
   }
 }

@@ -784,4 +784,48 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streamingRealizedVol (transformWithState) == batch q_realized_vol " +
+    "bit-for-bit, across batch boundaries; single-tick key unscored") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def er(id: Long, minute: Int, user: Long, v: Double) =
+        EventRow(id, java.time.LocalDateTime.parse(f"2024-01-01T10:$minute%02d:00"),
+          user, "tick", v, "{}")
+      // user 1's second move spans the batch boundary; user 2 single-tick
+      val u1 = Seq(er(1, 1, 1, 1.0), er(2, 2, 1, 4.0), er(3, 3, 1, 0.0))
+      val u2 = Seq(er(100, 1, 2, 9.0))
+      val mem = MemoryStream[EventRow]
+      val q = Streams.streamingRealizedVol(mem.toDS())
+        .writeStream.format("memory").queryName("rv_snap")
+        .outputMode("update").start()
+      Seq(u1.take(2) ++ u2, u1.drop(2)).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      q.stop()
+      def canon(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))
+      val got = canon(spark.table("rv_snap").collect())
+        .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSet
+      val want = canon(Graft.realizedVol((u1 ++ u2).toDS().toDF(),
+        "user_id", "ts", "value", "event_id").collect()).toSet
+      assert(got == want, s"stream vs batch: $got vs $want")
+      // moves +300, -400 -> sqrt(250000/2)/100, exactly the batch double
+      assert(got.exists { case (u, _, m, sq, vol) => u == 1L && m == 2L &&
+        sq.contains(250000L) && vol.contains(math.sqrt(125000.0) / 100.0) })
+      assert(got.exists { case (u, _, m, sq, vol) => u == 2L && m == 0L &&
+        sq.isEmpty && vol.isEmpty })
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
