@@ -351,6 +351,25 @@ object Graft {
                  tieBreak: String): DataFrame =
     queries.Breadth13.burstiness(df, keyCol, tsCol, tieBreak)
 
+  // ---- cross-series structure (wave 14) --------------------------------
+
+  /** Pairwise Pearson correlation of daily closes across the `topKeys`
+    * most-active series keys (the correlation-heatmap input), assembled
+    * from integer co-moments so the result is engine-exact; the top-N
+    * restriction keeps the pair space constant as keys grow.
+    * Oracle-checked as q_pair_corr. */
+  def pairCorrelation(df: DataFrame, keyCol: String, tsCol: String,
+                      valCol: String, tieBreak: String, minDays: Int = 5,
+                      topKeys: Int = 20): DataFrame =
+    queries.Breadth14.pairCorrelation(df, keyCol, tsCol, valCol, tieBreak,
+      minDays, topKeys)
+
+  /** Daily volume-weighted average price, quantity read from the JSON
+    * props field. Oracle-checked as q_vwap. */
+  def vwap(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+           qtyJsonField: String): DataFrame =
+    queries.Breadth14.vwap(df, keyCol, tsCol, valCol, qtyJsonField)
+
   // ---- live quote pipeline (the reference ETL, end to end) ------------
 
   /** One poll of the upstream quote API staged into the tick log the
