@@ -316,6 +316,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("q_pair_corr filters bars through a BROADCAST top-keys semi-join and " +
+    "keeps the pair join hash-keyed on the day grid") {
+    val p = plan(SparkEntry.queries("q_pair_corr")(spark, sf0001))
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(p.contains("BroadcastHashJoin") || p.contains("broadcast"),
+      s"top-keys filter must broadcast N ids, not shuffle the bar table:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"),
+      "the pair join must key on the day grid, never cross")
+  }
+
   test("q_gini and q_ks_drift run their single-partition ECDF/rank window " +
     "over the aggregated frame, never over raw event rows") {
     for (q <- Seq("q_gini", "q_ks_drift")) {
