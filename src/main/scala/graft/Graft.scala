@@ -370,6 +370,21 @@ object Graft {
            qtyJsonField: String): DataFrame =
     queries.Breadth14.vwap(df, keyCol, tsCol, valCol, qtyJsonField)
 
+  // ---- retrospective reports (wave 15) ---------------------------------
+
+  /** Best single buy→sell trade per series key (cents) — the backtest
+    * floor. Prefix-min recurrence, O(1) state per key. Oracle-checked as
+    * q_best_trade. */
+  def bestTrade(df: DataFrame, keyCol: String, tsCol: String,
+                valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth15.bestTrade(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Daily audience accounting: actives, first-seen, last-seen counts per
+    * day — aggregates only, never an event self-join. Oracle-checked as
+    * q_user_churn. */
+  def userChurn(df: DataFrame, keyCol: String, tsCol: String): DataFrame =
+    queries.Breadth15.userChurn(df, keyCol, tsCol)
+
   // ---- live quote pipeline (the reference ETL, end to end) ------------
 
   /** One poll of the upstream quote API staged into the tick log the
