@@ -385,6 +385,13 @@ object Graft {
   def userChurn(df: DataFrame, keyCol: String, tsCol: String): DataFrame =
     queries.Breadth15.userChurn(df, keyCol, tsCol)
 
+  /** Streaming twin of [[bestTrade]]: prefix-min + best profit as O(1)
+    * keyed state, integer throughout. Spec-pinned equal to the batch
+    * form — see streaming.Streams.streamingBestTrade. */
+  def liveBestTrade(events: org.apache.spark.sql.Dataset[streaming.EventRow])
+      : org.apache.spark.sql.Dataset[streaming.BestTradeSnap] =
+    streaming.Streams.streamingBestTrade(events)
+
   // ---- live quote pipeline (the reference ETL, end to end) ------------
 
   /** One poll of the upstream quote API staged into the tick log the

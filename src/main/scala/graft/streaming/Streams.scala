@@ -62,6 +62,16 @@ case class RealizedVolSnap(user_id: Long, n_ticks: Long, n_moves: Long,
                            sq_move_cents2: Option[Long],
                            realized_vol: Option[Double])
 
+/** Per-key state of the streaming best-trade fold: prefix-min cents +
+  * best profit so far — O(1) per key (q_best_trade's prefix-min window
+  * collapsed to scalar state). */
+case class BestTradeAcc(minCents: Long, bestCents: Long, nTicks: Long)
+
+/** Per-key best-trade snapshot (update stream); mirrors the batch
+  * q_best_trade row. */
+case class BestTradeSnap(user_id: Long, n_ticks: Long,
+                         best_trade_cents: Long)
+
 /** Structured Streaming layer. The reference is a hand-rolled micro-batch
   * pipeline — fetch every 300 s, append one batch-stamped tick, notify,
   * re-query latest snapshot, broadcast (`etl/crypto_etl.py:150-157`,
@@ -432,6 +442,27 @@ object Streams {
       case Some(a) =>
         val d = c - a.lastCents
         RealizedVolAcc(c, a.sumSq + d * d, a.nMoves + 1L, a.nTicks + 1L)
+    }
+  }
+
+  /** Streaming twin of the batch q_best_trade report: prefix-min cents
+    * and best profit as O(1) keyed state — the live backtest floor. */
+  def streamingBestTrade(ds: Dataset[EventRow]): Dataset[BestTradeSnap] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new BestTradeProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** One keyed step of the best-trade fold (integer throughout). */
+  private[streaming] def bestTradeStep(st: Option[BestTradeAcc],
+                                       e: EventRow): BestTradeAcc = {
+    val c = math.floor(e.value * 100.0 + 0.5).toLong
+    st match {
+      case None => BestTradeAcc(c, 0L, 1L)
+      case Some(a) =>
+        val m = math.min(a.minCents, c)
+        BestTradeAcc(m, math.max(a.bestCents, c - m), a.nTicks + 1L)
     }
   }
 
@@ -809,6 +840,29 @@ class TickHealthProcessor
       val a = st.get
       acc.update(a)
       Iterator(TickHealthSnap(user, a.nTicks, a.maxMove, a.maxGap))
+    }
+  }
+}
+
+/** Keyed processor behind [[Streams.streamingBestTrade]]. */
+class BestTradeProcessor
+    extends StatefulProcessor[Long, EventRow, BestTradeSnap] {
+  @transient private var acc: ValueState[BestTradeAcc] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState[BestTradeAcc]("bt",
+      org.apache.spark.sql.Encoders.product[BestTradeAcc], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, events: Iterator[EventRow],
+                               timerValues: TimerValues): Iterator[BestTradeSnap] = {
+    var st = if (acc.exists()) Some(acc.get()) else None
+    val sorted = events.toSeq.sortBy(e => (Streams.eventMicros(e.ts), e.event_id))
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      sorted.foreach { e => st = Some(Streams.bestTradeStep(st, e)) }
+      val a = st.get
+      acc.update(a)
+      Iterator(BestTradeSnap(user, a.nTicks, a.bestCents))
     }
   }
 }

@@ -828,4 +828,44 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streamingBestTrade (transformWithState) == batch q_best_trade, the " +
+    "trough-then-peak spanning a batch boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def er(id: Long, minute: Int, user: Long, v: Double) =
+        EventRow(id, java.time.LocalDateTime.parse(f"2024-01-01T10:$minute%02d:00"),
+          user, "tick", v, "{}")
+      // trough (2.00) arrives in batch 1, the 6.00 peak in batch 2 —
+      // the remembered prefix-min is what's under test; the later 1.00
+      // trough must NOT pair with the earlier peak
+      val u1 = Seq(er(1, 1, 1, 5.0), er(2, 2, 1, 2.0),
+        er(3, 3, 1, 6.0), er(4, 4, 1, 1.0), er(5, 5, 1, 3.0))
+      val mem = MemoryStream[EventRow]
+      val q = Streams.streamingBestTrade(mem.toDS())
+        .writeStream.format("memory").queryName("bt_snap")
+        .outputMode("update").start()
+      Seq(u1.take(2), u1.drop(2)).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table("bt_snap")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }.toSet
+      val want = Graft.bestTrade(u1.toDS().toDF(),
+        "user_id", "ts", "value", "event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"stream vs batch: $got vs $want")
+      assert(got == Set((1L, 5L, 400L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
