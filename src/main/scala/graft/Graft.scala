@@ -392,6 +392,21 @@ object Graft {
       : org.apache.spark.sql.Dataset[streaming.BestTradeSnap] =
     streaming.Streams.streamingBestTrade(events)
 
+  // ---- dashboard digests (wave 16) --------------------------------------
+
+  /** (ISO day-of-week × hour) activity/price grid — the calendar
+    * heatmap. ≤168-row aggregate off one scan. Oracle-checked as
+    * q_seasonality. */
+  def seasonality(df: DataFrame, tsCol: String, valCol: String): DataFrame =
+    queries.Breadth16.seasonality(df, tsCol, valCol)
+
+  /** The k largest absolute day-over-day close moves (gainers/losers
+    * widget); lag on the bar table, TakeOrdered top-k. Oracle-checked as
+    * q_top_movers. */
+  def topMovers(df: DataFrame, keyCol: String, tsCol: String,
+                valCol: String, tieBreak: String, k: Int = 10): DataFrame =
+    queries.Breadth16.topMovers(df, keyCol, tsCol, valCol, tieBreak, k)
+
   // ---- live quote pipeline (the reference ETL, end to end) ------------
 
   /** One poll of the upstream quote API staged into the tick log the
