@@ -868,4 +868,44 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streaming twin state survives a checkpointed stop/restart (best trade: " +
+    "the remembered trough pairs with a post-restart peak)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = Files.createTempDirectory("graft_bt_ckpt").toString
+      def er(id: Long, minute: Int, v: Double) =
+        EventRow(id, java.time.LocalDateTime.parse(f"2024-01-01T10:$minute%02d:00"),
+          1L, "tick", v, "{}")
+      val mem = MemoryStream[EventRow]
+      val snaps = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      def run(): org.apache.spark.sql.streaming.StreamingQuery =
+        Streams.streamingBestTrade(mem.toDS())
+          .toDF("user_id", "n_ticks", "best_trade_cents")
+          .writeStream.option("checkpointLocation", ckpt)
+          .outputMode("update")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.collect().foreach(r =>
+              snaps(r.getLong(0)) = (r.getLong(1), r.getLong(2))): Unit
+          }.start()
+      val q1 = run()
+      mem.addData(er(1, 1, 5.0), er(2, 2, 2.0)) // trough lands pre-restart
+      q1.processAllAvailable(); q1.stop()
+      assert(snaps(1L) === ((2L, 0L)), "falling prefix has no profitable trade yet")
+      val q2 = run() // RESTART from the checkpoint
+      mem.addData(er(3, 3, 6.0)) // peak: profit only if the 2.00 trough survived
+      q2.processAllAvailable(); q2.stop()
+      assert(snaps(1L) === ((3L, 400L)),
+        "lost state would restart the fold and miss the trough->peak pair")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
