@@ -407,6 +407,14 @@ object Graft {
                 valCol: String, tieBreak: String, k: Int = 10): DataFrame =
     queries.Breadth16.topMovers(df, keyCol, tsCol, valCol, tieBreak, k)
 
+  /** Bollinger band screen over the trailing `w` ticks: mid/band values
+    * plus breakout flags decided ENTIRELY in the integer domain (the
+    * squared, cross-multiplied sigma test) — no float fold order can
+    * flip a flag. Oracle-checked as q_bollinger. */
+  def bollinger(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                tieBreak: String, w: Int = 5, k: Int = 2): DataFrame =
+    queries.Breadth17.bollinger(df, keyCol, tsCol, valCol, tieBreak, w, k)
+
   // ---- live quote pipeline (the reference ETL, end to end) ------------
 
   /** One poll of the upstream quote API staged into the tick log the
