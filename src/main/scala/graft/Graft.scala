@@ -415,6 +415,20 @@ object Graft {
                 tieBreak: String, w: Int = 5, k: Int = 2): DataFrame =
     queries.Breadth17.bollinger(df, keyCol, tsCol, valCol, tieBreak, w, k)
 
+  /** Stochastic %K against the prior `w`-tick range — one division of
+    * integer cent differences; flat windows unscored. Oracle-checked as
+    * q_stochastic. */
+  def stochasticK(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, tieBreak: String, w: Int = 5): DataFrame =
+    queries.Breadth18.stochasticK(df, keyCol, tsCol, valCol, tieBreak, w)
+
+  /** Average true range over the trailing `w` daily bars (simple
+    * average, integer cents — the distributed-friendly non-recursive
+    * form). Oracle-checked as q_atr. */
+  def atr(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+          tieBreak: String, w: Int = 3): DataFrame =
+    queries.Breadth18.atr(df, keyCol, tsCol, valCol, tieBreak, w)
+
   // ---- live quote pipeline (the reference ETL, end to end) ------------
 
   /** One poll of the upstream quote API staged into the tick log the
