@@ -117,14 +117,17 @@ object Breadth2 {
 
     // HLL sketch. The raw estimate is engine-specific (no DuckDB twin),
     // so the ORACLE-facing columns are the exact counts plus a boolean
-    // error-bound assertion |approx−exact|/exact <= 5% (the sketch's
-    // configured rsd): the oracle states `true` for every group, so any
-    // out-of-bound estimate hash-fails the gate. Raw estimates are
-    // additionally pinned in SketchSpec.
+    // error-bound assertion |approx−exact|/exact <= 5%. The sketch runs
+    // at rsd 0.01, so the asserted 5% band is FIVE standard deviations —
+    // rsd is a σ, not a hard bound, and asserting at 1σ flips on corpora
+    // whose hashed set happens to land past it (found live: the default
+    // 0.05-rsd sketch deviated >5% on sf0.1's 1500-user set, and since
+    // every event_type shares that user set, all five groups flipped
+    // together). Raw estimates are additionally pinned in SketchSpec.
     "q_approx_distinct" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
         .select(col("event_type"), col("exact_users"),
           // exact = 0 would make the ratio null (non-ANSI x/0) and fail

@@ -15,17 +15,20 @@ class SketchSpec extends SparkSpec {
     assert(rows.forall(_.getBoolean(0)), "estimate outside ±5% of exact")
   }
 
-  test("raw approx_count_distinct lands within 5% of exact per group") {
-    val rows = Tables.events(spark, sf0001)
-      .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id")).as("approx"),
-        countDistinct(col("user_id")).as("exact"))
-      .select("approx", "exact").collect()
-    rows.foreach { r =>
-      val approx = r.getLong(0).toDouble
-      val exact = r.getLong(1).toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"approx=$approx exact=$exact")
+  test("raw approx_count_distinct at rsd 0.01 lands within 5% (5 sigma) " +
+    "of exact per group, at every local SF") {
+    for (sf <- Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val rows = Tables.events(spark, sf)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"),
+          countDistinct(col("user_id")).as("exact"))
+        .select("approx", "exact").collect()
+      rows.foreach { r =>
+        val approx = r.getLong(0).toDouble
+        val exact = r.getLong(1).toDouble
+        assert(math.abs(approx - exact) / exact <= 0.05,
+          s"$sf: approx=$approx exact=$exact")
+      }
     }
   }
 
