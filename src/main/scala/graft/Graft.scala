@@ -415,6 +415,14 @@ object Graft {
                 tieBreak: String, w: Int = 5, k: Int = 2): DataFrame =
     queries.Breadth17.bollinger(df, keyCol, tsCol, valCol, tieBreak, w, k)
 
+  /** Streaming twin of [[bollinger]] (w=5, k=2): the prior-window cent
+    * buffer as ≤5-deep keyed state, the same integer breakout test —
+    * stream and batch agree bit-for-bit. Spec-pinned — see
+    * streaming.Streams.streamingBollinger. */
+  def liveBollinger(events: org.apache.spark.sql.Dataset[streaming.EventRow])
+      : org.apache.spark.sql.Dataset[streaming.BollScored] =
+    streaming.Streams.streamingBollinger(events)
+
   /** Stochastic %K against the prior `w`-tick range — one division of
     * integer cent differences; flat windows unscored. Oracle-checked as
     * q_stochastic. */

@@ -67,6 +67,17 @@ case class RealizedVolSnap(user_id: Long, n_ticks: Long, n_moves: Long,
   * collapsed to scalar state). */
 case class BestTradeAcc(minCents: Long, bestCents: Long, nTicks: Long)
 
+/** ≤w-deep integer-cent buffer behind the streaming Bollinger screen —
+  * the batch form's bounded ROWS frame held verbatim in the state
+  * store. */
+case class BollBuf(cents: Seq[Long])
+
+/** One scored tick from the live Bollinger screen (append stream);
+  * mirrors the batch q_bollinger row. */
+case class BollScored(user_id: Long, event_id: Long, value: Double,
+                      mid: Double, band: Double,
+                      breakout_up: Boolean, breakout_dn: Boolean)
+
 /** Per-key best-trade snapshot (update stream); mirrors the batch
   * q_best_trade row. */
 case class BestTradeSnap(user_id: Long, n_ticks: Long,
@@ -443,6 +454,39 @@ object Streams {
         val d = c - a.lastCents
         RealizedVolAcc(c, a.sumSq + d * d, a.nMoves + 1L, a.nTicks + 1L)
     }
+  }
+
+  /** Streaming twin of the batch q_bollinger screen: the prior-window
+    * cent buffer as ≤5-deep keyed state; flags are the same
+    * integer-domain test as the batch Column form, so stream and batch
+    * agree bit-for-bit (append mode — one scored row per tick with a
+    * full prior window). */
+  def streamingBollinger(ds: Dataset[EventRow]): Dataset[BollScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new BollingerProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** One keyed step of the Bollinger fold (w=5, k=2 — the q_bollinger
+    * parameters): score against the buffered PRIOR window, then push the
+    * current cent. Integer decision, identical-operand mid/band. */
+  private[streaming] def bollingerStep(vals: Seq[Long],
+                                       e: EventRow): (Seq[Long], Option[BollScored]) = {
+    val w = 5; val k = 2
+    val c = math.floor(e.value * 100.0 + 0.5).toLong
+    val scored = if (vals.length == w) {
+      val sx = vals.sum
+      val sxx = vals.map(v => v * v).sum
+      val dev = w * c - sx
+      val varn = w * sxx - sx * sx
+      val out = dev * dev > k.toLong * k * varn
+      Some(BollScored(e.user_id, e.event_id, e.value,
+        sx.toDouble / (w * 100.0),
+        k.toDouble * math.sqrt(varn.toDouble) / w.toDouble / 100.0,
+        dev > 0 && out, dev < 0 && out))
+    } else None
+    ((vals :+ c).takeRight(w), scored)
   }
 
   /** Streaming twin of the batch q_best_trade report: prefix-min cents
@@ -841,6 +885,30 @@ class TickHealthProcessor
       acc.update(a)
       Iterator(TickHealthSnap(user, a.nTicks, a.maxMove, a.maxGap))
     }
+  }
+}
+
+/** Keyed processor behind [[Streams.streamingBollinger]]: one ≤5-deep
+  * cent buffer per key; rows inside a micro-batch fold in event order. */
+class BollingerProcessor
+    extends StatefulProcessor[Long, EventRow, BollScored] {
+  @transient private var buf: ValueState[BollBuf] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    buf = getHandle.getValueState[BollBuf]("bollbuf",
+      org.apache.spark.sql.Encoders.product[BollBuf], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, events: Iterator[EventRow],
+                               timerValues: TimerValues): Iterator[BollScored] = {
+    var vals = if (buf.exists()) buf.get().cents else Seq.empty[Long]
+    val out = Seq.newBuilder[BollScored]
+    events.toSeq.sortBy(e => (Streams.eventMicros(e.ts), e.event_id)).foreach { e =>
+      val (next, scored) = Streams.bollingerStep(vals, e)
+      vals = next
+      scored.foreach(out += _)
+    }
+    buf.update(BollBuf(vals))
+    out.result().iterator
   }
 }
 

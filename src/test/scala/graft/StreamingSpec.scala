@@ -869,6 +869,50 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingBollinger (transformWithState) == batch q_bollinger " +
+    "bit-for-bit, the prior window spanning a batch boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def er(id: Long, minute: Int, v: Double) =
+        EventRow(id, java.time.LocalDateTime.parse(f"2024-01-01T10:$minute%02d:00"),
+          1L, "tick", v, "{}")
+      // 5 near-flat ticks + a crash + a spike; the crash's prior window
+      // is split 3/2 across the batch boundary
+      val ticks = Seq(er(1, 1, 2.0), er(2, 2, 2.1), er(3, 3, 1.9),
+        er(4, 4, 2.0), er(5, 5, 2.0), er(6, 6, 0.5), er(7, 7, 9.0))
+      val mem = MemoryStream[EventRow]
+      val q = Streams.streamingBollinger(mem.toDS())
+        .writeStream.format("memory").queryName("boll_snap")
+        .outputMode("append").start()
+      Seq(ticks.take(3), ticks.drop(3)).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      q.stop()
+      def canon(rows: Array[org.apache.spark.sql.Row]) = rows
+        .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getBoolean(5), r.getBoolean(6))).toSet
+      val got = canon(spark.table("boll_snap")
+        .select("user_id", "event_id", "value", "mid", "band",
+          "breakout_up", "breakout_dn").collect())
+      val want = canon(Graft.bollinger(ticks.toDS().toDF(),
+        "user_id", "ts", "value", "event_id")
+        .select(lit(1L).as("u"), col("event_id"), col("value"), col("mid"),
+          col("band"), col("breakout_up"), col("breakout_dn")).collect())
+      assert(got == want, s"stream vs batch: $got vs $want")
+      assert(got.exists { case (id, _, _, _, up, dn) => id == 6L && !up && dn })
+      assert(got.exists { case (id, _, _, _, up, dn) => id == 7L && up && !dn })
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming twin state survives a checkpointed stop/restart (best trade: " +
     "the remembered trough pairs with a post-restart peak)") {
     implicit val sqlCtx = spark.sqlContext
