@@ -189,6 +189,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cusum range is exactly shift-invariant; winsorized mean stays inside " +
+    "the clamp bounds (random series)") {
+    import graft.queries.{Breadth11, Extensions10}
+    val gen = Gen.nonEmptyListOf(for {
+      user <- Gen.choose(1L, 4L)
+      sec <- Gen.choose(0L, 500L)
+      cents <- Gen.choose(0L, 50000L)
+    } yield (user, sec, cents))
+    samples(gen, 6).foreach { rows =>
+      val distinctRows = rows.zipWithIndex
+        .map { case ((u, s, c), i) => (u, s, c, i.toLong) }
+      def frame(shiftCents: Long) = distinctRows
+        .map { case (u, s, c, i) => (u, (c + shiftCents) / 100.0, s, i) }
+        .toDF("user_id", "value", "sec", "event_id")
+        .withColumn("ts", timestamp_seconds(col("sec")).cast("timestamp_ntz"))
+      def cusum(shift: Long) = Breadth11.cusumRange(frame(shift),
+          "user_id", "value", Seq(col("ts").asc, col("event_id").asc))
+        .select("user_id", "cusum_range")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sortBy(_._1)
+      // mean-centering makes the walk exactly invariant to a level shift
+      assert(cusum(0L) === cusum(7700L))
+      // winsorized mean must land inside [lo, hi] for every group
+      val w = Extensions10.winsorizedStats(
+        distinctRows.map { case (u, _, c, i) => (i, u.toString, c.toInt) }
+          .toDF("doc_id", "lang", "n_chars"),
+        "lang", "n_chars", "doc_id", k = 2)
+        .select("lo", "hi", "win_mean")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      w.foreach { case (lo, hi, m) =>
+        assert(lo <= hi && m >= lo.toDouble && m <= hi.toDouble, s"($lo,$hi,$m)")
+      }
+    }
+  }
+
   test("native as-of join == union+window form on random fact/probe frames " +
     "(ties, duplicate timestamps, probe-before-first, absent keys)") {
     val factsGen = Gen.nonEmptyListOf(for {
