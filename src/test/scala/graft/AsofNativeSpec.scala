@@ -125,6 +125,14 @@ class AsofNativeSpec extends SparkSpec {
       (25L, Some(2.5), Some("x3"))))
   }
 
+  test("empty sides: no facts -> all-null as-of; no probes -> empty output") {
+    val noFacts = facts(Seq.empty)
+    val p = probes(Seq(("a", 10L), ("b", 20L)))
+    assert(run(noFacts, p) === Seq(("a", 10L, None), ("b", 20L, None)))
+    val f = facts(Seq(("a", 10L, 1L, 1.0)))
+    assert(run(f, probes(Seq.empty)) === Seq.empty)
+  }
+
   test("string keys survive iterator buffer reuse across many keys/partitions") {
     // enough distinct keys that per-partition merges cross many key
     // boundaries; values chosen so a stale-buffer key comparison would
