@@ -437,6 +437,13 @@ object Graft {
           tieBreak: String, w: Int = 3): DataFrame =
     queries.Breadth18.atr(df, keyCol, tsCol, valCol, tieBreak, w)
 
+  /** On-balance volume line per key — integer running sum of signed JSON
+    * quantities (+q up-tick, −q down-tick, 0 flat/null). Oracle-checked
+    * as q_obv. */
+  def obv(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+          tieBreak: String, qtyJsonField: String = "k"): DataFrame =
+    queries.Breadth18.obv(df, keyCol, tsCol, valCol, tieBreak, qtyJsonField)
+
   // ---- live quote pipeline (the reference ETL, end to end) ------------
 
   /** One poll of the upstream quote API staged into the tick log the

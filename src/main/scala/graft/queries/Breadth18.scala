@@ -72,11 +72,40 @@ object Breadth18 {
         col("atr"))
   }
 
+  /** On-balance volume: the running sum of signed quantities — +q on an
+    * up-tick, −q on a down-tick, 0 on flat — per key. Pure integer
+    * cumulative sum over one window shuffle (the one classic volume
+    * indicator with no float anywhere); quantity from the JSON `k` prop
+    * like VWAP. Null/absent quantities contribute 0, not null — OBV is
+    * a running total and one null tick must not erase the line. */
+  private[graft] def obv(df: DataFrame, keyCol: String, tsCol: String,
+                         valCol: String, tieBreak: String,
+                         qtyJsonField: String): DataFrame = {
+    val ord = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieBreak).asc)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__c", Breadth11.cents(col(valCol)))
+      .withColumn("__q", coalesce(
+        get_json_object(col("props"), s"$$.$qtyJsonField").cast("long"), lit(0L)))
+      .withColumn("__d", col("__c") - lag(col("__c"), 1).over(ord))
+      .withColumn("__sq",
+        when(col("__d").isNull || col("__d") === 0, lit(0L))
+          .when(col("__d") > 0, col("__q"))
+          .otherwise(-col("__q")))
+      .withColumn("obv", sum(col("__sq")).over(run))
+      .select(col(keyCol), col(tieBreak), col(valCol), col("obv"))
+  }
+
   val defs: Map[String, Q] = Map(
     // Where each tick sits in its prior 5-tick range.
     "q_stochastic" -> ((s, dir) =>
       stochasticK(Tables.events(s, dir), "user_id", "ts", "value",
         "event_id", w = 5)
+        .orderBy(col("user_id").asc, col("event_id").asc)),
+
+    // On-balance volume line per key (integer end to end).
+    "q_obv" -> ((s, dir) =>
+      obv(Tables.events(s, dir), "user_id", "ts", "value", "event_id", "k")
         .orderBy(col("user_id").asc, col("event_id").asc)),
 
     // 3-day average true range per key over daily bars.
@@ -101,6 +130,26 @@ object Breadth18 {
         |    THEN 100.0 * CAST(c - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE)
         |  END AS pct_k
         |FROM wnd WHERE n = 5 ORDER BY user_id, event_id""".stripMargin,
+
+    "q_obv" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, value, ts,
+        |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+        |    coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS q
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, event_id, value, ts, q,
+        |    c - lag(c) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dc
+        |  FROM t),
+        |s AS (
+        |  SELECT user_id, event_id, value, ts,
+        |    CASE WHEN dc IS NULL OR dc = 0 THEN 0
+        |         WHEN dc > 0 THEN q ELSE -q END AS sq
+        |  FROM d)
+        |SELECT user_id, event_id, value,
+        |  CAST(sum(sq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+        |FROM s ORDER BY user_id, event_id""".stripMargin,
 
     "q_atr" ->
       """WITH t AS (

@@ -64,6 +64,21 @@ class Wave18Spec extends SparkSpec {
     assert(got === Seq(700L, 600L)) // d3: |900-1500| = 600 gap dominates
   }
 
+  test("obv: signed quantity accumulates; flat and null-qty ticks hold the line") {
+    val rows = Seq(
+      (1L, 1.0, 1L, "2024-01-01 10:00:00", """{"k": 5}"""),
+      (1L, 2.0, 2L, "2024-01-01 10:01:00", """{"k": 3}"""),  // up: +3
+      (1L, 2.0, 3L, "2024-01-01 10:02:00", """{"k": 9}"""),  // flat: 0
+      (1L, 1.5, 4L, "2024-01-01 10:03:00", """{}"""),        // down, no qty: -0
+      (1L, 0.5, 5L, "2024-01-01 10:04:00", """{"k": 4}"""))  // down: -4
+      .toDF("user_id", "value", "event_id", "at", "props")
+      .withColumn("ts", to_timestamp_ntz(col("at"))).drop("at")
+    val got = graft.queries.Breadth18.obv(rows, "user_id", "ts", "value",
+      "event_id", "k")
+      .orderBy("event_id").select("obv").as[Long].collect().toSeq
+    assert(got === Seq(0L, 3L, 3L, 3L, -1L))
+  }
+
   test("Graft wave-18 facade methods match their oracle-checked queries") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
     val e = Tables.events(spark, sf0001)
@@ -73,5 +88,8 @@ class Wave18Spec extends SparkSpec {
     assert(rows(Graft.atr(e, "user_id", "ts", "value", "event_id")
         .orderBy(col("user_id").asc, col("day").asc)) ==
       rows(SparkEntry.queries("q_atr")(spark, sf0001)))
+    assert(rows(Graft.obv(e, "user_id", "ts", "value", "event_id")
+        .orderBy(col("user_id").asc, col("event_id").asc)) ==
+      rows(SparkEntry.queries("q_obv")(spark, sf0001)))
   }
 }
