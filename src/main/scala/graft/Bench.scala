@@ -22,21 +22,34 @@ object Bench {
     // a shared machine carry multi-second scheduler/GC noise. A failing
     // query records the sentinel -1.0 (timing the exception path would
     // report a crash as a fast success).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timed(name: String)(body: => Unit): (String, Double) = {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try { body; (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    }
+    // The shared memoized dedup/ANN intermediates get their OWN bench
+    // lines, timed BEFORE any consumer query: the MinHash→verify→cluster
+    // chain's materialization cost is a pipeline cost, and charging it to
+    // whichever q_* touches the memo first would mis-attribute 10×
+    // a consumer's marginal cost to an arbitrary query (round-6 verdict:
+    // q_dup_survivorship at 9.3 s was the chain, not the anti-join).
+    val chain = graft.queries.Extensions.sharedIntermediates(spark, sfDir)
+      .map { case (name, thunk) => timed(name) { thunk().count(): Unit } }
+    val results = chain ++ SparkEntry.queries.toSeq.sortBy(_._1)
+      .map { case (name, fn) => timed(name) { fn(spark, sfDir).count(): Unit } }
+    // slowest-first: the driver captures a bounded tail of stdout, so the
+    // informative prefix (the expensive queries) must survive truncation
+    val qs = results.sortBy { case (_, v) => -v }
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    val failures = results.values.count(_ < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failures = results.map(_._2).count(_ < 0)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}"""
     // Emit both ways: bare line on real stdout (build.sbt sets

@@ -52,37 +52,50 @@ object Latest {
     * plan that survives scale: both sides co-partition on the key and each
     * partition is streamed once in time order (contrast a correlated
     * subquery or a range cross-join, both quadratic).
+    *
+    * The fact value rides inside a single-field struct: the STRUCT is
+    * non-null for every fact row even when the value itself is null, so
+    * `last(ignoreNulls)` always lands on the matched row and a matched
+    * fact's own NULL value is emitted as NULL — identical to the native
+    * exec and to a correlated-subquery oracle. (Carrying the bare value
+    * would silently fall back to an earlier non-null fact.)
     */
   def asOfJoin(facts: DataFrame, probes: DataFrame, key: String,
                tsCol: String, probeTsCol: String, valueCol: String,
                tieBreak: String): DataFrame = {
     val tsType = facts.schema(tsCol).dataType
+    val vWrapType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", facts.schema(valueCol).dataType)))
     val evt = facts.select(
-      col(key), col(tsCol).as("__t"), col(valueCol).as("__v"),
+      col(key), col(tsCol).as("__t"), struct(col(valueCol).as("v")).as("__vw"),
       lit(0).as("__is_probe"), lit(null).cast(tsType).as(probeTsCol),
       col(tieBreak).as("__tb"))
     val prb = probes.select(
       col(key), col(probeTsCol).cast(tsType).as("__t"),
-      lit(null).cast(facts.schema(valueCol).dataType).as("__v"),
+      lit(null).cast(vWrapType).as("__vw"),
       lit(1).as("__is_probe"), col(probeTsCol).cast(tsType),
       lit(null).cast(facts.schema(tieBreak).dataType).as("__tb"))
     // Probe rows sort after fact rows at equal ts (as-of is inclusive);
-    // among equal-ts facts the greatest tiebreaker wins.
+    // among equal-ts facts the greatest tiebreaker wins, with a NULL
+    // tiebreaker sorting last (= winning) — pinned identical to the
+    // native exec's NullsLast requiredChildOrdering.
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t").asc, col("__is_probe").asc, col("__tb").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     evt.unionByName(prb)
-      .withColumn("__asof", last(col("__v"), ignoreNulls = true).over(w))
+      .withColumn("__asof", last(col("__vw"), ignoreNulls = true).over(w))
       .filter(col("__is_probe") === 1)
-      .select(col(key), col(probeTsCol), col("__asof").as(s"asof_$valueCol"))
+      .select(col(key), col(probeTsCol),
+        col("__asof").getField("v").as(s"asof_$valueCol"))
   }
 
-  /** Native-operator form of [[asOfJoin]] — same contract, same output
-    * columns, executed by graft's whole-plan AsofJoinExec (a
-    * co-partitioned single-pass merge; see graft.plans.AsofJoin for the
-    * scale rationale). Prefer this form when probes carry many columns:
-    * the union form widens EVERY fact row to the probe schema before the
-    * shuffle, while the native exec ships each side as-is.
+  /** Native-operator form of [[asOfJoin]] — same contract, executed by
+    * graft's whole-plan AsofJoinExec (a co-partitioned single-pass
+    * merge; see graft.plans.AsofJoin for the scale rationale). Output is
+    * the FULL probe schema (extra probe columns pass through untouched)
+    * plus the `asof_` columns. Prefer this form when probes carry many
+    * columns: the union form widens EVERY fact row to the probe schema
+    * before the shuffle, while the native exec ships each side as-is.
     */
   def asOfJoinNative(facts: DataFrame, probes: DataFrame, key: String,
                      tsCol: String, probeTsCol: String, valueCol: String,
@@ -109,7 +122,12 @@ object Latest {
     // the analyzer to deduplicate.
     val factsPruned = facts.select(col(key) +: col(tsCol) +: col(tieBreak) +:
       valueCols.map(col): _*)
-    val probesCast = probes.select(col(key), col(probeTsCol).cast(tsType).as(probeTsCol))
+    // The probe side passes through AS-IS (only the probe ts is cast):
+    // AsofJoinExec emits left.output verbatim, so every extra probe
+    // column rides along — this is what makes the native form cheaper
+    // than the union form for wide probes (the union form widens every
+    // FACT row to the probe schema before the shuffle).
+    val probesCast = probes.withColumn(probeTsCol, col(probeTsCol).cast(tsType))
     val leftPlan = Bridge.analyzed(probesCast)
     val rightBase = Bridge.analyzed(factsPruned)
     val rightAliases = rightBase.output.map(a => Alias(a, a.name)())

@@ -57,7 +57,16 @@ object Breadth11 {
     * (ties broken by key for a total order): G = (2·Σk·x_(k) − (n+1)·Σx)
     * / (n·Σx). Integer end to end, ONE division. The rank window is a
     * single partition — over the |keys|-sized per-key aggregate, not
-    * data rows, the same altitude as a compaction plan. */
+    * data rows, the same altitude as a compaction plan.
+    *
+    * Int64 headroom: the rank-weighted sum Σk·x_(k) is bounded by
+    * n_keys² · max per-key cent total; at 10⁶ keys that leaves
+    * ~9·10⁶ cents (~\$90k) of per-key volume before 2⁶³ — beyond which
+    * non-ANSI Spark wraps silently while DuckDB raises. Mitigation at
+    * that scale: re-base each x to (x − min x) before ranking — Gini is
+    * NOT shift-invariant, so re-base only the Σk·x term algebraically:
+    * Σk·(x−m) = Σk·x − m·n(n+1)/2, computed in two narrower sums and
+    * recombined in the final double expression. */
   private[graft] def giniConcentration(df: DataFrame, keyCol: String,
                                        valCol: String): DataFrame = {
     val per = df.groupBy(col(keyCol)).agg(sum(cents(col(valCol))).as("__x"))

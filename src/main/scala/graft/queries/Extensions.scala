@@ -111,6 +111,21 @@ object Extensions {
       Dedup.clusterMembers(verifiedPairs(s, dir), "doc_id")
     }
 
+  /** The shared memoized intermediates, exposed as thunks for the bench
+    * harness: timing each materialization on its OWN bench line keeps
+    * every consumer query's number its MARGINAL cost. Otherwise the
+    * whole MinHash→verify→cluster chain lands on whichever query touches
+    * it first (or re-touches it after cache eviction), mis-attributing
+    * pipeline cost to an arbitrary query and hiding regressions in the
+    * chain itself. Thunks, not frames: dupClusters RUNS the propagation
+    * jobs inside the accessor, so the call must happen inside the timed
+    * section of its own line. */
+  def sharedIntermediates(s: org.apache.spark.sql.SparkSession, dir: String)
+      : Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+    "chain_minhash_pairs" -> (() => verifiedPairs(s, dir)),
+    "chain_dup_clusters" -> (() => dupClusters(s, dir)),
+    "chain_embed_pairs" -> (() => embedNearDupPairs(s, dir)))
+
   /** Embedding near-dup pairs (LSH-prefiltered), memoized like
     * verifiedPairs — q_embed_neardup and q_semantic_dedup consume the
     * SAME frame instead of running the bucket-join pipeline twice. */

@@ -125,12 +125,103 @@ class AsofNativeSpec extends SparkSpec {
       (25L, Some(2.5), Some("x3"))))
   }
 
+  test("matched fact's own NULL value is emitted as NULL by BOTH forms " +
+    "(no fallback to an earlier non-null fact)") {
+    val f = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row("a", 10L, 1L, java.lang.Double.valueOf(1.0)),
+        org.apache.spark.sql.Row("a", 20L, 2L, null) // the matched row at t>=20
+      )),
+      StructType(Seq(StructField("k", StringType), StructField("ts", LongType),
+        StructField("tb", LongType), StructField("v", DoubleType))))
+    val p = probes(Seq(("a", 15L), ("a", 25L)))
+    def canon(df: DataFrame) = df.collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(t => (t._1, t._2))
+    val native = canon(Latest.asOfJoinNative(f, p, "k", "ts", "pts", "v", "tb"))
+    val window = canon(Latest.asOfJoin(f, p, "k", "ts", "pts", "v", "tb"))
+    // t=15 matches the ts=10 fact (1.0); t=25 matches ts=20 whose value
+    // IS null — the correlated-subquery semantics, not last-non-null
+    assert(native === Seq(("a", 15L, Some(1.0)), ("a", 25L, None)))
+    assert(window === native)
+  }
+
+  test("NULL tie-break wins an equal-ts tie identically in both forms") {
+    val f = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row("a", 20L, java.lang.Long.valueOf(5L), java.lang.Double.valueOf(2.0)),
+        org.apache.spark.sql.Row("a", 20L, null, java.lang.Double.valueOf(9.0)) // null tb sorts LAST -> wins
+      )),
+      StructType(Seq(StructField("k", StringType), StructField("ts", LongType),
+        StructField("tb", LongType), StructField("v", DoubleType))))
+    val p = probes(Seq(("a", 20L)))
+    val native = Latest.asOfJoinNative(f, p, "k", "ts", "pts", "v", "tb")
+      .select("asof_v").collect().map(_.getDouble(0)).toSeq
+    val window = Latest.asOfJoin(f, p, "k", "ts", "pts", "v", "tb")
+      .select("asof_v").collect().map(_.getDouble(0)).toSeq
+    assert(native === Seq(9.0))
+    assert(window === native)
+  }
+
+  test("extra probe columns pass through the native form untouched") {
+    val f = facts(Seq(("a", 10L, 1L, 1.0)))
+    val p = Seq(("a", 20L, "ctx1"), ("a", 5L, "ctx2")).toDF("k", "pts", "note")
+    val got = Latest.asOfJoinNative(f, p, "k", "ts", "pts", "v", "tb")
+      .select(col("pts"), col("note"), col("asof_v"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1)
+    assert(got === Seq((5L, "ctx2", None), (20L, "ctx1", Some(1.0))))
+  }
+
   test("empty sides: no facts -> all-null as-of; no probes -> empty output") {
     val noFacts = facts(Seq.empty)
     val p = probes(Seq(("a", 10L), ("b", 20L)))
     assert(run(noFacts, p) === Seq(("a", 10L, None), ("b", 20L, None)))
     val f = facts(Seq(("a", 10L, 1L, 1.0)))
     assert(run(f, probes(Seq.empty)) === Seq.empty)
+  }
+
+  test("co-bucketed fact and probe tables as-of join with ZERO shuffle exchanges") {
+    // the headline scale claim of the native exec: requiredChildDistribution
+    // is a REQUIREMENT EnsureRequirements can satisfy from a bucketed scan's
+    // existing HashPartitioning — facts bucketed by key join with no
+    // exchange at all (a local sort may still be planted; sorts are
+    // per-partition and cheap, exchanges are the cluster-wide cost)
+    Seq("asof_facts_b", "asof_probes_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (loc.exists()) rm(loc)
+    }
+    facts((0 until 200).map(i => (s"k${i % 20}", (i / 20) * 10L, i.toLong, i.toDouble)))
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k", "ts")
+      .saveAsTable("asof_facts_b")
+    probes((0 until 40).map(i => (s"k${i % 20}", 35L)))
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("asof_probes_b")
+    val df = Latest.asOfJoinNative(spark.table("asof_facts_b"),
+      spark.table("asof_probes_b"), "k", "ts", "pts", "v", "tb")
+    val n = df.count()
+    assert(n === 40)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("AsofJoin"), plan)
+    assert(!plan.contains("Exchange"),
+      s"expected ZERO exchanges over co-bucketed sides:\n$plan")
+    // and the merge result is right: probe t=35 sees the ts<=35 max (30)
+    val got = df.select(col("k"), col("asof_v")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    (0 until 20).foreach { k =>
+      // facts for key k${k}: ts=0,10,...,90 with v = k + 20*(ts/10); at
+      // t=35 the matched fact is ts=30 -> v = k + 60
+      assert(got(s"k$k") === (k + 60).toDouble, s"k$k -> ${got(s"k$k")}")
+    }
   }
 
   test("string keys survive iterator buffer reuse across many keys/partitions") {
