@@ -444,6 +444,41 @@ object Graft {
           tieBreak: String, qtyJsonField: String = "k"): DataFrame =
     queries.Breadth18.obv(df, keyCol, tsCol, valCol, tieBreak, qtyJsonField)
 
+  /** EMA(n) series over daily closes, seeded at the first bar — the
+    * per-row recurrence run as a calendar-bounded per-key fold.
+    * Oracle-checked as q_ema (DuckDB recursive CTE). */
+  def ema(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+          tieBreak: String, n: Int = 20): DataFrame =
+    queries.Breadth19.emaSeries(df, keyCol, tsCol, valCol, tieBreak, n)
+
+  /** MACD(12,26,9) — macd line, signal line, histogram per daily bar.
+    * Oracle-checked as q_macd. */
+  def macd(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+           tieBreak: String): DataFrame =
+    queries.Breadth19.macdSeries(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Wilder-smoothed RSI(14) — the EMA-recurrence twin of the SMA-based
+    * [[rsi]]; null during the 14-diff warm-up. Oracle-checked as
+    * q_rsi_wilder. */
+  def wilderRsi(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                tieBreak: String): DataFrame =
+    queries.Breadth19.wilderRsiSeries(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Streaming twin of [[ema]] + [[macd]]: the four EMA recurrence
+    * values as O(1) keyed state over the finalized day-bar stream —
+    * stream and batch emit bit-equal doubles. Spec-pinned — see
+    * streaming.Streams.streamingEmaMacd. */
+  def liveEmaMacd(bars: org.apache.spark.sql.Dataset[streaming.BarRow])
+      : org.apache.spark.sql.Dataset[streaming.EmaMacdScored] =
+    streaming.Streams.streamingEmaMacd(bars)
+
+  /** Streaming twin of [[wilderRsi]]: previous close + integer warm-up
+    * sums + the two Wilder averages as O(1) keyed state. Spec-pinned —
+    * see streaming.Streams.streamingWilderRsi. */
+  def liveWilderRsi(bars: org.apache.spark.sql.Dataset[streaming.BarRow])
+      : org.apache.spark.sql.Dataset[streaming.WilderScored] =
+    streaming.Streams.streamingWilderRsi(bars)
+
   // ---- live quote pipeline (the reference ETL, end to end) ------------
 
   /** One poll of the upstream quote API staged into the tick log the

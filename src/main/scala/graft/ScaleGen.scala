@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesizes an sf1-scale corpus from the sf0.1 testdata (10× rows) so
+  * the scale claims can be MEASURED past the largest driver-provided SF
+  * — `runMain graft.ScaleGen [src] [out] [copies]`, then point Bench at
+  * the output dir. Writes only under the repo (default target/sf1).
+  *
+  * Replication is NOT naive duplication — copies are keyed and content-
+  * perturbed so data DENSITY stays realistic and no pair-generating
+  * operator sees a pathological corpus:
+  *
+  *  - events: fresh event_id/user_id key space per copy → 10× keys with
+  *    the same per-key series length (windows scale linearly, the
+  *    honest warehouse shape);
+  *  - documents: every token gets a per-copy prefix, so cross-copy
+  *    shingle sets are DISJOINT — near-dup pair density (MinHash/
+  *    SimHash/fuzzy blocking) scales linearly, not quadratically, which
+  *    is what a real 10× corpus does;
+  *  - embeddings: each copy's vectors are cyclically rolled by the copy
+  *    index — norms and coordinate distribution preserved, cross-copy
+  *    cosines decorrelated, so ANN/near-dup bucket sizes scale linearly
+  *    (identical copies would put every vector in a 10-way cosine-1.0
+  *    clique);
+  *  - orders/lineitem/customer: order and customer key spaces offset
+  *    per copy (10× facts), part/supplier/nation/region stay single —
+  *    dims stay dim-sized, exactly how a warehouse scales.
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "target/sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cp = spark.range(copies).select(col("id").as("__copy"))
+    def replicated(name: String): DataFrame =
+      spark.read.parquet(s"$src/$name.parquet").crossJoin(cp)
+    def write(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scalegen] $name -> $out/$name.parquet")
+    }
+
+    // events.ts reads as long ns under nanosAsLong and writes back as
+    // BIGINT — Tables.events' `ts div 1000` works identically on both.
+    write(replicated("events").select(
+      (col("event_id") + col("__copy") * lit(1000000000L)).as("event_id"),
+      col("ts"),
+      (col("user_id") + col("__copy") * lit(1000000L)).as("user_id"),
+      col("event_type"), col("value"), col("props")), "events")
+
+    write(replicated("documents").select(
+      (col("doc_id") + col("__copy") * lit(100000000L)).as("doc_id"),
+      when(col("__copy") === 0, col("text"))
+        .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("c"), col("__copy").cast("string"), lit("x$1"))))
+        .as("text"),
+      col("lang"), col("source"),
+      when(col("__copy") === 0, col("n_chars"))
+        .otherwise(length(regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("c"), col("__copy").cast("string"), lit("x$1")))).cast("long"))
+        .as("n_chars")), "documents")
+
+    write(replicated("embeddings").select(
+      (col("vec_id") + col("__copy") * lit(100000000L)).as("vec_id"),
+      concat(
+        slice(col("embedding"), (col("__copy") + 1).cast("int"),
+          (size(col("embedding")) - col("__copy")).cast("int")),
+        slice(col("embedding"), lit(1), col("__copy").cast("int")))
+        .as("embedding"),
+      col("label")), "embeddings")
+
+    write(replicated("orders").select(
+      (col("o_orderkey") + col("__copy") * lit(1000000000L)).as("o_orderkey"),
+      (col("o_custkey") + col("__copy") * lit(100000000L)).as("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+      col("o_orderpriority"), col("o_clerk"), col("o_shippriority"),
+      col("o_comment")), "orders")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    write(li.crossJoin(cp).select(
+      (col("l_orderkey") + col("__copy") * lit(1000000000L)).as("l_orderkey") +:
+        li.columns.filter(_ != "l_orderkey").map(col).toSeq: _*), "lineitem")
+
+    val cu = spark.read.parquet(s"$src/customer.parquet")
+    write(cu.crossJoin(cp).select(
+      (col("c_custkey") + col("__copy") * lit(100000000L)).as("c_custkey") +:
+        cu.columns.filter(_ != "c_custkey").map(col).toSeq: _*), "customer")
+
+    Seq("part", "supplier", "nation", "region").foreach { t =>
+      write(spark.read.parquet(s"$src/$t.parquet"), t)
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,252 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Nineteenth wave — the EMA-family indicators (EMA, MACD, Wilder RSI),
+  * the per-row RECURRENCES deliberately deferred until now: unlike every
+  * prior indicator, EMA_t depends on EMA_{t-1}, so no bounded window
+  * frame expresses it and the closed-form prefix-sum rewrite
+  * (EMA_t = r^t·Σ c_i·r^{-i}) overflows double past ~70 bars (r^{-i}
+  * grows as e^{i·(1-r)}). What a crypto dashboard calls "MACD(12,26,9)"
+  * (frontend chart conventions; reference shows raw history only,
+  * `frontend/src/App.js:464-571`).
+  *
+  * Design: recurrences run over DAY BARS, not ticks — the per-key series
+  * length is CALENDAR-BOUNDED (≤366·years elements regardless of data
+  * volume), so collecting each key's bar array and folding it with the
+  * `aggregate` higher-order function is one groupBy shuffle of
+  * |keys|·|days| bar rows and an executor-local O(L²)-append fold
+  * (L ≈ 3.7k for a decade of dailies → ~100 KB per key). The fold order
+  * is the day order — identical to the DuckDB recursive-CTE oracle's
+  * join order — and every step is the same IEEE double expression with
+  * the same operand order, so batch, stream
+  * (graft.streaming.Streams.streamingEmaMacd / streamingWilderRsi) and
+  * oracle agree bit-for-bit.
+  *
+  * Seeding conventions (pinned in all three engines): EMA seeds at the
+  * first close (EMA_1 = c_1), the MACD signal seeds at the first MACD
+  * value (= 0), Wilder RSI seeds its averages with the simple mean of
+  * the first 14 diffs and is null during warm-up.
+  */
+object Breadth19 {
+
+  private def cents(c: Column): Column = Breadth11.cents(c)
+
+  private[graft] val A20 = 2.0 / 21.0
+  private[graft] val A12 = 2.0 / 13.0
+  private[graft] val A26 = 2.0 / 27.0
+  private[graft] val A9 = 2.0 / 10.0
+  private[graft] val RsiN = 14
+
+  /** Per-key day-sorted bar array: (key, array<struct<day,close>>), close
+    * in integer cents via the tie-safe q_ohlc last-value discipline. */
+  private def barArrays(df: DataFrame, keyCol: String, tsCol: String,
+                        valCol: String, tieBreak: String): DataFrame =
+    Breadth13.dayBarsCents(df, keyCol, tsCol, valCol, tieBreak)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("close")))).as("__bars"))
+
+  /** EMA(n) series per key over day-bar cent closes. Emitted `ema` is in
+    * the PRICE domain (one terminal /100.0, mirrored by the oracle). */
+  private[graft] def emaSeries(df: DataFrame, keyCol: String, tsCol: String,
+                               valCol: String, tieBreak: String,
+                               n: Int): DataFrame = {
+    val a = 2.0 / (n + 1.0)
+    val emas = aggregate(
+      col("__bars"),
+      expr("CAST(array() AS ARRAY<DOUBLE>)"),
+      (acc, x) => {
+        val c = x.getField("close").cast("double")
+        concat(acc, array(
+          when(size(acc) === 0, c)
+            .otherwise(lit(a) * c + lit(1.0 - a) * element_at(acc, -1))))
+      })
+    barArrays(df, keyCol, tsCol, valCol, tieBreak)
+      .withColumn("__e", emas)
+      .select(col(keyCol), explode(zip_with(col("__bars"), col("__e"),
+        (b, e) => struct(b.getField("day").as("day"),
+          b.getField("close").as("close_cents"),
+          (e / lit(100.0)).as("ema")))).as("r"))
+      .select(col(keyCol), col("r.day"), col("r.close_cents"), col("r.ema"))
+  }
+
+  /** MACD(12,26,9) per key: fast/slow EMAs and the signal EMA carried
+    * through ONE fold (the signal recurrence reads the same step's new
+    * fast/slow values — exactly the recursive CTE's shape). */
+  private[graft] def macdSeries(df: DataFrame, keyCol: String, tsCol: String,
+                                valCol: String, tieBreak: String): DataFrame = {
+    val macds = aggregate(
+      col("__bars"),
+      expr("CAST(array() AS ARRAY<STRUCT<e12: DOUBLE, e26: DOUBLE, sig: DOUBLE>>)"),
+      (acc, x) => {
+        val c = x.getField("close").cast("double")
+        val prev = element_at(acc, -1)
+        val e12 = when(size(acc) === 0, c)
+          .otherwise(lit(A12) * c + lit(1.0 - A12) * prev.getField("e12"))
+        val e26 = when(size(acc) === 0, c)
+          .otherwise(lit(A26) * c + lit(1.0 - A26) * prev.getField("e26"))
+        val sig = when(size(acc) === 0, lit(0.0))
+          .otherwise(lit(A9) * (e12 - e26) + lit(1.0 - A9) * prev.getField("sig"))
+        concat(acc, array(struct(e12.as("e12"), e26.as("e26"), sig.as("sig"))))
+      })
+    barArrays(df, keyCol, tsCol, valCol, tieBreak)
+      .withColumn("__m", macds)
+      .select(col(keyCol), explode(zip_with(col("__bars"), col("__m"),
+        (b, s) => {
+          val e12 = s.getField("e12"); val e26 = s.getField("e26")
+          val sig = s.getField("sig")
+          struct(b.getField("day").as("day"),
+            b.getField("close").as("close_cents"),
+            ((e12 - e26) / lit(100.0)).as("macd"),
+            (sig / lit(100.0)).as("macd_signal"),
+            ((e12 - e26 - sig) / lit(100.0)).as("hist"))
+        })).as("r"))
+      .select(col(keyCol), col("r.day"), col("r.close_cents"),
+        col("r.macd"), col("r.macd_signal"), col("r.hist"))
+  }
+
+  /** Wilder-smoothed RSI(14) per key: integer gain/loss sums during the
+    * warm-up (exact), the classic (prev·13 + x)/14 recurrence after.
+    * Null until the 15th bar — the warm-up period is unscored. */
+  private[graft] def wilderRsiSeries(df: DataFrame, keyCol: String, tsCol: String,
+                                     valCol: String, tieBreak: String): DataFrame = {
+    val n = RsiN
+    val accs = aggregate(
+      col("__bars"),
+      expr("CAST(array() AS ARRAY<STRUCT<c: BIGINT, sg: BIGINT, sl: BIGINT, " +
+        "ag: DOUBLE, al: DOUBLE>>)"),
+      (acc, x) => {
+        val c = x.getField("close")
+        val prev = element_at(acc, -1)
+        val d = c - prev.getField("c")
+        val g = greatest(d, lit(0L))
+        val l = greatest(-d, lit(0L))
+        val j = size(acc).cast("long") // 1-based diff index of THIS step
+        val sg = prev.getField("sg") + g
+        val sl = prev.getField("sl") + l
+        val ag = when(j < n, lit(null).cast("double"))
+          .when(j === n, sg.cast("double") / lit(14.0))
+          .otherwise((prev.getField("ag") * lit(13.0) + g.cast("double")) / lit(14.0))
+        val al = when(j < n, lit(null).cast("double"))
+          .when(j === n, sl.cast("double") / lit(14.0))
+          .otherwise((prev.getField("al") * lit(13.0) + l.cast("double")) / lit(14.0))
+        val first = struct(c.as("c"), lit(0L).as("sg"), lit(0L).as("sl"),
+          lit(null).cast("double").as("ag"), lit(null).cast("double").as("al"))
+        val step = struct(c.as("c"), sg.as("sg"), sl.as("sl"),
+          ag.as("ag"), al.as("al"))
+        concat(acc, array(when(size(acc) === 0, first).otherwise(step)))
+      })
+    barArrays(df, keyCol, tsCol, valCol, tieBreak)
+      .withColumn("__w", accs)
+      .select(col(keyCol), explode(zip_with(col("__bars"), col("__w"),
+        (b, s) => {
+          val ag = s.getField("ag"); val al = s.getField("al")
+          struct(b.getField("day").as("day"),
+            b.getField("close").as("close_cents"),
+            when(al.isNull, lit(null).cast("double"))
+              .when(al === 0.0, lit(100.0))
+              .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + ag / al))
+              .as("rsi_wilder"))
+        })).as("r"))
+      .select(col(keyCol), col("r.day"), col("r.close_cents"), col("r.rsi_wilder"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    // 20-day EMA over daily closes, seeded at the first bar.
+    "q_ema" -> ((s, dir) =>
+      emaSeries(Tables.events(s, dir), "user_id", "ts", "value", "event_id", 20)
+        .orderBy(col("user_id").asc, col("day").asc)),
+
+    // MACD(12,26,9): macd line, signal line, histogram.
+    "q_macd" -> ((s, dir) =>
+      macdSeries(Tables.events(s, dir), "user_id", "ts", "value", "event_id")
+        .orderBy(col("user_id").asc, col("day").asc)),
+
+    // Wilder-smoothed RSI(14) — the EMA-recurrence twin of the
+    // SMA-based q_rsi.
+    "q_rsi_wilder" -> ((s, dir) =>
+      wilderRsiSeries(Tables.events(s, dir), "user_id", "ts", "value", "event_id")
+        .orderBy(col("user_id").asc, col("day").asc)))
+
+  /** Shared oracle prefix: tie-safe daily cent closes + per-key bar
+    * index (mirrors Breadth13.dayBarsCents + the fold's sort order). */
+  private val barsSql =
+    """t AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c, ts, event_id
+      |  FROM events),
+      |bars AS (
+      |  SELECT user_id, day, max(cl) AS close
+      |  FROM (
+      |    SELECT user_id, day,
+      |      last_value(c) OVER (PARTITION BY user_id, day ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cl
+      |    FROM t)
+      |  GROUP BY user_id, day),
+      |nb AS (
+      |  SELECT user_id, day, close,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS i
+      |  FROM bars)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_ema" ->
+      s"""WITH RECURSIVE $barsSql,
+         |ema AS (
+         |  SELECT user_id, day, close, i, CAST(close AS DOUBLE) AS e
+         |  FROM nb WHERE i = 1
+         |  UNION ALL
+         |  SELECT b.user_id, b.day, b.close, b.i,
+         |    (2.0/21.0) * CAST(b.close AS DOUBLE) + (1.0 - 2.0/21.0) * ema.e
+         |  FROM ema JOIN nb b ON b.user_id = ema.user_id AND b.i = ema.i + 1)
+         |SELECT user_id, day, close AS close_cents, e / 100.0 AS ema
+         |FROM ema ORDER BY user_id, day""".stripMargin,
+
+    "q_macd" ->
+      s"""WITH RECURSIVE $barsSql,
+         |m AS (
+         |  SELECT user_id, day, close, i,
+         |    CAST(close AS DOUBLE) AS e12, CAST(close AS DOUBLE) AS e26,
+         |    CAST(0.0 AS DOUBLE) AS sig
+         |  FROM nb WHERE i = 1
+         |  UNION ALL
+         |  SELECT b.user_id, b.day, b.close, b.i,
+         |    (2.0/13.0) * CAST(b.close AS DOUBLE) + (1.0 - 2.0/13.0) * m.e12,
+         |    (2.0/27.0) * CAST(b.close AS DOUBLE) + (1.0 - 2.0/27.0) * m.e26,
+         |    (2.0/10.0) * (((2.0/13.0) * CAST(b.close AS DOUBLE) + (1.0 - 2.0/13.0) * m.e12)
+         |      - ((2.0/27.0) * CAST(b.close AS DOUBLE) + (1.0 - 2.0/27.0) * m.e26))
+         |      + (1.0 - 2.0/10.0) * m.sig
+         |  FROM m JOIN nb b ON b.user_id = m.user_id AND b.i = m.i + 1)
+         |SELECT user_id, day, close AS close_cents,
+         |  (e12 - e26) / 100.0 AS macd, sig / 100.0 AS macd_signal,
+         |  (e12 - e26 - sig) / 100.0 AS hist
+         |FROM m ORDER BY user_id, day""".stripMargin,
+
+    "q_rsi_wilder" ->
+      s"""WITH RECURSIVE $barsSql,
+         |r AS (
+         |  SELECT user_id, day, close, i,
+         |    CAST(0 AS BIGINT) AS sg, CAST(0 AS BIGINT) AS sl,
+         |    CAST(NULL AS DOUBLE) AS ag, CAST(NULL AS DOUBLE) AS al
+         |  FROM nb WHERE i = 1
+         |  UNION ALL
+         |  SELECT b.user_id, b.day, b.close, b.i,
+         |    r.sg + greatest(b.close - r.close, 0),
+         |    r.sl + greatest(r.close - b.close, 0),
+         |    CASE WHEN b.i - 1 < 14 THEN NULL
+         |      WHEN b.i - 1 = 14
+         |        THEN CAST(r.sg + greatest(b.close - r.close, 0) AS DOUBLE) / 14.0
+         |      ELSE (r.ag * 13.0 + CAST(greatest(b.close - r.close, 0) AS DOUBLE)) / 14.0
+         |    END,
+         |    CASE WHEN b.i - 1 < 14 THEN NULL
+         |      WHEN b.i - 1 = 14
+         |        THEN CAST(r.sl + greatest(r.close - b.close, 0) AS DOUBLE) / 14.0
+         |      ELSE (r.al * 13.0 + CAST(greatest(r.close - b.close, 0) AS DOUBLE)) / 14.0
+         |    END
+         |  FROM r JOIN nb b ON b.user_id = r.user_id AND b.i = r.i + 1)
+         |SELECT user_id, day, close AS close_cents,
+         |  CASE WHEN al IS NULL THEN NULL WHEN al = 0.0 THEN 100.0
+         |    ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsi_wilder
+         |FROM r ORDER BY user_id, day""".stripMargin)
+}

@@ -83,6 +83,33 @@ case class BollScored(user_id: Long, event_id: Long, value: Double,
 case class BestTradeSnap(user_id: Long, n_ticks: Long,
                          best_trade_cents: Long)
 
+/** One finalized day bar — the input row of the EMA-family recurrence
+  * twins (the batch forms fold day bars, so their streams consume the
+  * bar stream, not raw ticks). LocalDate encodes as DATE. */
+case class BarRow(user_id: Long, day: java.time.LocalDate, close_cents: Long)
+
+/** Per-key state of the streaming EMA/MACD fold: the four recurrence
+  * values — O(1) per key, the whole reason EMA wants a stream (no
+  * window frame expresses EMA_{t-1}; the state store holds it). */
+case class EmaMacdAcc(e20: Double, e12: Double, e26: Double, sig: Double,
+                      nBars: Long)
+
+/** One scored bar from the live EMA/MACD screen (append stream);
+  * price-domain values, bit-equal to the batch q_ema / q_macd rows. */
+case class EmaMacdScored(user_id: Long, day: java.time.LocalDate,
+                         close_cents: Long, ema20: Double, macd: Double,
+                         macd_signal: Double, hist: Double)
+
+/** Per-key state of the streaming Wilder-RSI fold: previous close,
+  * exact integer warm-up sums, and the two smoothed averages. */
+case class WilderAcc(lastCents: Long, sg: Long, sl: Long,
+                     ag: Option[Double], al: Option[Double], nBars: Long)
+
+/** One scored bar from the live Wilder-RSI screen (append stream);
+  * rsi_wilder is None during the 14-diff warm-up — the batch null. */
+case class WilderScored(user_id: Long, day: java.time.LocalDate,
+                        close_cents: Long, rsi_wilder: Option[Double])
+
 /** Structured Streaming layer. The reference is a hand-rolled micro-batch
   * pipeline — fetch every 300 s, append one batch-stamped tick, notify,
   * re-query latest snapshot, broadcast (`etl/crypto_etl.py:150-157`,
@@ -510,6 +537,74 @@ object Streams {
     }
   }
 
+  /** Streaming twin of the batch q_ema + q_macd recurrences: the four
+    * EMA values as O(1) keyed state over the finalized day-bar stream.
+    * Every step is the identical IEEE expression (same operand order) as
+    * the batch `aggregate` fold and the DuckDB recursive CTE, so the
+    * emitted doubles are bit-equal (append mode — one scored row per
+    * bar). */
+  def streamingEmaMacd(ds: Dataset[BarRow]): Dataset[EmaMacdScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new EmaMacdProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** One keyed step of the EMA/MACD fold — the Scala twin of the batch
+    * Column fold in graft.queries.Breadth19 (constants shared from
+    * there; the signal recurrence reads the SAME step's new fast/slow
+    * values, exactly like the recursive CTE). */
+  private[graft] def emaMacdStep(st: Option[EmaMacdAcc], closeCents: Long): EmaMacdAcc = {
+    import graft.queries.Breadth19.{A12, A20, A26, A9}
+    val c = closeCents.toDouble
+    st match {
+      case None => EmaMacdAcc(c, c, c, 0.0, 1L)
+      case Some(a) =>
+        val e20 = A20 * c + (1.0 - A20) * a.e20
+        val e12 = A12 * c + (1.0 - A12) * a.e12
+        val e26 = A26 * c + (1.0 - A26) * a.e26
+        val sig = A9 * (e12 - e26) + (1.0 - A9) * a.sig
+        EmaMacdAcc(e20, e12, e26, sig, a.nBars + 1L)
+    }
+  }
+
+  /** Streaming twin of the batch q_rsi_wilder recurrence: previous
+    * close + exact integer warm-up sums + the two Wilder averages as
+    * O(1) keyed state (append mode — one scored row per bar). */
+  def streamingWilderRsi(ds: Dataset[BarRow]): Dataset[WilderScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new WilderRsiProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** One keyed step of the Wilder fold — integer gains/losses, the
+    * simple-mean seed at the 14th diff, (prev·13 + x)/14 after. */
+  private[graft] def wilderStep(st: Option[WilderAcc], closeCents: Long): WilderAcc = {
+    val n = graft.queries.Breadth19.RsiN
+    st match {
+      case None => WilderAcc(closeCents, 0L, 0L, None, None, 1L)
+      case Some(a) =>
+        val d = closeCents - a.lastCents
+        val g = math.max(d, 0L)
+        val l = math.max(-d, 0L)
+        val j = a.nBars // 1-based diff index of this step
+        val sg = a.sg + g
+        val sl = a.sl + l
+        val (ag, al) =
+          if (j < n) (None, None)
+          else if (j == n) (Some(sg.toDouble / 14.0), Some(sl.toDouble / 14.0))
+          else (Some((a.ag.get * 13.0 + g.toDouble) / 14.0),
+            Some((a.al.get * 13.0 + l.toDouble) / 14.0))
+        WilderAcc(closeCents, sg, sl, ag, al, a.nBars + 1L)
+    }
+  }
+
+  /** The scored RSI value of a Wilder accumulator — the batch emit
+    * expression verbatim. */
+  private[graft] def wilderRsi(a: WilderAcc): Option[Double] =
+    a.al.map(al => if (al == 0.0) 100.0 else 100.0 - 100.0 / (1.0 + a.ag.get / al))
+
   /** One keyed step of the drawdown fold, shared with the spec's
     * reference fold: extend the prefix peak with the incoming value,
     * score (peak−value)/peak when the peak is positive (identical
@@ -932,6 +1027,57 @@ class BestTradeProcessor
       acc.update(a)
       Iterator(BestTradeSnap(user, a.nTicks, a.bestCents))
     }
+  }
+}
+
+/** Keyed processor behind [[Streams.streamingEmaMacd]]: one EmaMacdAcc
+  * per key; bars inside a micro-batch fold in day order, and the emit
+  * expressions are the batch Column fold's verbatim (one terminal /100
+  * per value, `(e12 - e26 - sig)/100` for the histogram — NEVER
+  * macd - signal, which differs in the last ulp). */
+class EmaMacdProcessor
+    extends StatefulProcessor[Long, BarRow, EmaMacdScored] {
+  @transient private var acc: ValueState[EmaMacdAcc] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState[EmaMacdAcc]("emamacd",
+      org.apache.spark.sql.Encoders.product[EmaMacdAcc], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, bars: Iterator[BarRow],
+                               timerValues: TimerValues): Iterator[EmaMacdScored] = {
+    var st = if (acc.exists()) Some(acc.get()) else None
+    val out = Seq.newBuilder[EmaMacdScored]
+    bars.toSeq.sortBy(_.day.toEpochDay).foreach { b =>
+      val a = Streams.emaMacdStep(st, b.close_cents)
+      st = Some(a)
+      out += EmaMacdScored(user, b.day, b.close_cents, a.e20 / 100.0,
+        (a.e12 - a.e26) / 100.0, a.sig / 100.0, (a.e12 - a.e26 - a.sig) / 100.0)
+    }
+    st.foreach(acc.update)
+    out.result().iterator
+  }
+}
+
+/** Keyed processor behind [[Streams.streamingWilderRsi]]. */
+class WilderRsiProcessor
+    extends StatefulProcessor[Long, BarRow, WilderScored] {
+  @transient private var acc: ValueState[WilderAcc] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState[WilderAcc]("wilder",
+      org.apache.spark.sql.Encoders.product[WilderAcc], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, bars: Iterator[BarRow],
+                               timerValues: TimerValues): Iterator[WilderScored] = {
+    var st = if (acc.exists()) Some(acc.get()) else None
+    val out = Seq.newBuilder[WilderScored]
+    bars.toSeq.sortBy(_.day.toEpochDay).foreach { b =>
+      val a = Streams.wilderStep(st, b.close_cents)
+      st = Some(a)
+      out += WilderScored(user, b.day, b.close_cents, Streams.wilderRsi(a))
+    }
+    st.foreach(acc.update)
+    out.result().iterator
   }
 }
 

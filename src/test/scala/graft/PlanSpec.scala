@@ -310,6 +310,21 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 1, s"q_twap: expected 1 hash exchange, got $hashEx\n${p.take(800)}")
   }
 
+  test("wave-19 EMA recurrences: day-bar build + per-key fold shuffle the " +
+    "series key at most twice and never through a single-partition stage " +
+    "(the recurrence itself is executor-local per key)") {
+    for (q <- Seq("q_ema", "q_macd", "q_rsi_wilder")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf0001))
+      // one (key, day) exchange for the bar window+aggregate, one key
+      // exchange for the collect_list fold; the orderBy adds a range
+      // exchange — but NO SinglePartition window anywhere
+      val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+      assert(hashEx <= 2, s"$q: expected <=2 key hash exchanges, got $hashEx\n${p.take(800)}")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q: recurrence must stay per-key distributed\n${p.take(800)}")
+    }
+  }
+
   test("q_hash_sample's per-stratum top-k is a WindowGroupLimit — no full " +
     "per-group materialization survives to the sort") {
     val p = plan(SparkEntry.queries("q_hash_sample")(spark, sf0001))

@@ -913,6 +913,73 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingEmaMacd / streamingWilderRsi == batch recurrences bit-for-bit, " +
+    "the series split across micro-batches (incl. the RSI warm-up boundary)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.BarRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // 20 daily bars with sign-alternating moves; cents chosen so the
+      // doubles exercise non-terminating binary fractions (the /100, the
+      // alpha products) — any operand-order drift between the stream's
+      // Scala fold and the batch Column fold shows as a bit mismatch
+      val closes = (0 until 20).map(i =>
+        1000L + (if (i % 3 == 0) 7L * i else -3L * i))
+      val bars = closes.zipWithIndex.map { case (c, i) =>
+        BarRow(1L, java.time.LocalDate.of(2024, 1, i + 1), c) }
+      val memE = MemoryStream[BarRow]
+      val qe = Streams.streamingEmaMacd(memE.toDS())
+        .writeStream.format("memory").queryName("ema_snap")
+        .outputMode("append").start()
+      val memW = MemoryStream[BarRow]
+      val qw = Streams.streamingWilderRsi(memW.toDS())
+        .writeStream.format("memory").queryName("wilder_snap")
+        .outputMode("append").start()
+      // split 7/8/5 — the RSI seed (14th diff = bar 15) lands mid-batch 3
+      Seq(bars.take(7), bars.slice(7, 15), bars.drop(15)).foreach { b =>
+        memE.addData(b: _*); qe.processAllAvailable()
+        memW.addData(b: _*); qw.processAllAvailable()
+      }
+      qe.stop(); qw.stop()
+      // the same series as ticks (one per day) for the batch forms
+      val ticks = closes.zipWithIndex.map { case (c, i) =>
+        (1L, c.toDouble / 100.0, i.toLong, f"2024-01-${i + 1}%02d 12:00:00") }
+        .toDF("user_id", "value", "event_id", "at")
+        .withColumn("ts", to_timestamp_ntz(col("at"))).drop("at")
+      val gotEma = spark.table("ema_snap")
+        .select("day", "close_cents", "ema20", "macd", "macd_signal", "hist")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1).toSeq
+      val batchEma = Graft.ema(ticks, "user_id", "ts", "value", "event_id")
+        .select(col("day"), col("close_cents"), col("ema"))
+      val batchMacd = Graft.macd(ticks, "user_id", "ts", "value", "event_id")
+        .select(col("day").as("d2"), col("macd"), col("macd_signal"), col("hist"))
+      val wantEma = batchEma.join(batchMacd, col("day") === col("d2"))
+        .select("day", "close_cents", "ema", "macd", "macd_signal", "hist")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1).toSeq
+      assert(gotEma === wantEma, "ema/macd stream vs batch")
+      val gotW = spark.table("wilder_snap")
+        .select("day", "close_cents", "rsi_wilder")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1).toSeq
+      val wantW = Graft.wilderRsi(ticks, "user_id", "ts", "value", "event_id")
+        .select("day", "close_cents", "rsi_wilder")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1).toSeq
+      assert(gotW === wantW, "wilder rsi stream vs batch")
+      // the warm-up boundary: bars 1..14 unscored, bar 15+ scored
+      assert(gotW.take(14).forall(_._3.isEmpty) && gotW.drop(14).forall(_._3.isDefined))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming twin state survives a checkpointed stop/restart (best trade: " +
     "the remembered trough pairs with a post-restart peak)") {
     implicit val sqlCtx = spark.sqlContext
