@@ -79,12 +79,14 @@ object ScaleGen {
         .as("embedding"),
       col("label")), "embeddings")
 
-    write(replicated("orders").select(
-      (col("o_orderkey") + col("__copy") * lit(1000000000L)).as("o_orderkey"),
-      (col("o_custkey") + col("__copy") * lit(100000000L)).as("o_custkey"),
-      col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
-      col("o_orderpriority"), col("o_clerk"), col("o_shippriority"),
-      col("o_comment")), "orders")
+    val or_ = spark.read.parquet(s"$src/orders.parquet")
+    write(or_.crossJoin(cp).select(or_.columns.map {
+      case "o_orderkey" =>
+        (col("o_orderkey") + col("__copy") * lit(1000000000L)).as("o_orderkey")
+      case "o_custkey" =>
+        (col("o_custkey") + col("__copy") * lit(100000000L)).as("o_custkey")
+      case c => col(c)
+    }.toSeq: _*), "orders")
 
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     write(li.crossJoin(cp).select(

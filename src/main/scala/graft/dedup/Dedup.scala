@@ -357,35 +357,47 @@ object Dedup {
       .select(col(idCol), coalesce(col("__cl"), col(idCol)).as("cluster_id"))
   }
 
-  /** 32-bit SimHash over (non-distinct) whitespace tokens: bit j is set
-    * when the sum over tokens of ±1 (per the token-hash's bit j) is > 0. */
-  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** 64-bit SimHash over (non-distinct) whitespace tokens: bit j is set
+    * when the sum over tokens of ±1 (per the token-hash's bit j) is > 0.
+    * 64 bits, not 32, is the scale-load-bearing choice (the Manku/
+    * Jain/Sarma width): banding for hamming d blocks on d+1 bands of
+    * width/(d+1) bits each, and candidate volume per band is
+    * ∝ n²/2^bandwidth — at d=6, 64 bits give ~9-bit bands (512 buckets)
+    * vs 32-bit's ~4.6-bit bands (≤32 buckets), a 16–32× smaller
+    * quadratic constant that the sf0.1→sf1 measurement showed dominating
+    * wall time. The value is a raw 64-bit pattern in a signed long (bit
+    * 63 lands in the sign bit); consumers only ever xor/bit_count/mask
+    * it. */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("tok"))
-      .withColumn("hv", Text.tokenHash32(col("tok")))
-    val bitSums = (0 until 32).map(j =>
+      .withColumn("hv", Text.tokenHash64(col("tok")))
+    val bitSums = (0 until 64).map(j =>
       sum(when(shiftright(col("hv"), j).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"b$j"))
     val sums = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 32).map(j =>
+    // disjoint bit terms: the sum IS the bitwise OR (bit 63's term is
+    // Long.MinValue — adding it cannot overflow, every other term is in
+    // the low 63 bits)
+    val sim = (0 until 64).map(j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     sums.select(col(idCol), sim.as("simhash"))
   }
 
-  /** The same 32-bit SimHash computed PER ROW (token-hash array + 32
+  /** The same 64-bit SimHash computed PER ROW (token-hash array + 64
     * in-row bit-sum folds — no explode, no shuffle, no join to carry the
     * block column back), appended as `simhash` with every input column
-    * preserved. Identical values to `simhash32` (pinned in
+    * preserved. Identical values to `simhash64` (pinned in
     * TextDedupSpec): same md5 token hash, same ±1 bit sums, just folded
     * in-row. Streaming-safe (stateless map) and the default batch shape;
-    * the exploded+grouped `simhash32` remains for pathological single
+    * the exploded+grouped `simhash64` remains for pathological single
     * rows whose token array should not sit in one buffer. */
-  def withRowwiseSimhash32(df: DataFrame, textCol: String): DataFrame = {
+  def withRowwiseSimhash64(df: DataFrame, textCol: String): DataFrame = {
     // token-hash array materialized once — a lambda referencing an
     // unmaterialized expensive array inlines it PER ELEMENT
     val staged = df.withColumn("__hv",
-      transform(Text.tokens(col(textCol)), t => Text.tokenHash32(t)))
-    val sim = (0 until 32).map { j =>
+      transform(Text.tokens(col(textCol)), t => Text.tokenHash64(t)))
+    val sim = (0 until 64).map { j =>
       val bitSum = aggregate(col("__hv"), lit(0),
         (acc, hv) => acc +
           when(shiftright(hv, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
@@ -398,19 +410,22 @@ object Dedup {
     staged.withColumn("simhash", when(col("__hv").isNotNull, sim)).drop("__hv")
   }
 
-  /** Band decomposition of a 32-bit simhash for pigeonhole blocking:
+  /** Band decomposition of a 64-bit simhash for pigeonhole blocking:
     * array of k (band_idx, band_val) structs, band widths as equal as
-    * 32/k allows. Two hashes within hamming d differ in at most d bands,
+    * 64/k allows. Two hashes within hamming d differ in at most d bands,
     * so with k > d they AGREE on at least one band — banding can only
-    * add candidates, never lose a true pair. */
+    * add candidates, never lose a true pair. (shiftright on the signed
+    * long sign-extends; the width mask clears the extension, so the top
+    * band is extracted correctly.) */
   def simhashBandStructs(simCol: Column, k: Int): Column = {
-    require(k >= 1 && k <= 32, s"band count must be in [1,32], got $k")
-    val base = 32 / k; val extra = 32 % k
+    require(k >= 1 && k <= 64, s"band count must be in [1,64], got $k")
+    val base = 64 / k; val extra = 64 % k
     val bounds = (0 until k).scanLeft(0)((lo, j) => lo + base + (if (j < extra) 1 else 0))
     array((0 until k).map { j =>
       val lo = bounds(j); val w = bounds(j + 1) - lo
+      val mask = if (w == 64) -1L else (1L << w) - 1
       struct(lit(j).as("band_idx"),
-        shiftright(simCol, lo).bitwiseAND(lit((1L << w) - 1)).as("band_val"))
+        shiftright(simCol, lo).bitwiseAND(lit(mask)).as("band_val"))
     }: _*)
   }
 
@@ -422,19 +437,35 @@ object Dedup {
     * carry (idCol, blockCol, simhash). */
   def simhashBandCandidates(sims: DataFrame, idCol: String, blockCol: String,
                             maxHamming: Int): DataFrame = {
-    // Degenerate bound: at maxHamming >= 32 EVERY in-block pair qualifies
-    // on a 32-bit hash, and banding cannot deliver it — with the maximal
-    // 32 one-bit bands, an exact-complement pair (hamming 32) disagrees
+    // Degenerate bound: at maxHamming >= 64 EVERY in-block pair qualifies
+    // on a 64-bit hash, and banding cannot deliver it — with the maximal
+    // 64 one-bit bands, an exact-complement pair (hamming 64) disagrees
     // on every band and would be silently dropped. Honor the documented
     // "identical output to the all-pairs self-join" contract with the
     // literal all-pairs join instead (the caller asked for all pairs).
-    if (maxHamming >= 32) {
+    if (maxHamming >= 64) {
       val a = sims.select(col(blockCol), col(idCol).as("id_a"), col("simhash").as("sim_a"))
       val b = sims.select(col(blockCol), col(idCol).as("id_b"), col("simhash").as("sim_b"))
       return a.join(b, Seq(blockCol))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
     }
+    simhashBandCandidatesRaw(sims, idCol, blockCol, maxHamming)
+      // a pair sharing m bands surfaces m times; the sim columns are
+      // functionally dependent on the ids, so keep-any dedup is exact
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
+  }
+
+  /** The band self-join WITHOUT the pair dedup: a pair sharing m bands
+    * surfaces m ≤ maxHamming+1 times. Callers that verify candidates
+    * (hamming filter) should do so on THIS frame and dedup the
+    * survivors — the dedup is a shuffle, and shuffling |candidates|
+    * rows to then discard most of them was q_simhash's dominant sf1
+    * cost; the hamming test is a per-row xor+bit_count that runs inside
+    * the join stage for free. */
+  private def simhashBandCandidatesRaw(sims: DataFrame, idCol: String,
+                                       blockCol: String, maxHamming: Int): DataFrame = {
     val k = maxHamming + 1 // pigeonhole: > maxHamming bands
     val banded = sims.select(col(blockCol), col(idCol), col("simhash"),
         explode(simhashBandStructs(col("simhash"), k)).as("__b"))
@@ -446,9 +477,6 @@ object Dedup {
       col(idCol).as("id_b"), col("simhash").as("sim_b"))
     a.join(b, Seq(blockCol, "band_idx", "band_val"))
       .filter(col("id_a") < col("id_b"))
-      // a pair sharing m bands surfaces m times; the sim columns are
-      // functionally dependent on the ids, so keep-any dedup is exact
-      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
   }
 
@@ -463,14 +491,21 @@ object Dedup {
     // one row per doc; read twice by the band self-join — persist so the
     // in-row hash fold runs once, not per side. Row-wise simhash keeps
     // the block column on the row: no shuffle, no join-back (the grouped
-    // form previously cost an explode + 32-way bit aggregation + join).
-    val sims = withRowwiseSimhash32(
+    // form previously cost an explode + 64-way bit aggregation + join).
+    val sims = withRowwiseSimhash64(
         docs.select(col(idCol), col(blockCol), col(textCol)), textCol)
       .select(col(idCol), col(blockCol), col("simhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    simhashBandCandidates(sims, idCol, blockCol, maxHamming)
+    // verify BEFORE dedup: the hamming test runs inside the join stage,
+    // so only true near-dups (×band multiplicity) reach the dedup
+    // shuffle — never the full candidate volume
+    val raw = if (maxHamming >= 64)
+      simhashBandCandidates(sims, idCol, blockCol, maxHamming)
+    else simhashBandCandidatesRaw(sims, idCol, blockCol, maxHamming)
+    raw
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 }

@@ -38,11 +38,21 @@ object Breadth6 {
     // promo window [o_orderdate, +7d); count/sum the lineitems SHIPPED in
     // that window — no key relates the two sides, only the time range.
     // The naive plan for a non-equi join is a nested-loop product (at
-    // 100 TB: dead). Instead each interval explodes into the day buckets
-    // it covers (bounded: 7/interval) and each point keys by its day —
-    // an EQUI-join on the bucket, shuffled/broadcast like any other,
-    // with the exact range predicate re-checked after the match. Work is
-    // ∝ matches, not |intervals|×|points|.
+    // 100 TB: dead). The bucket-join form (interval → 7 day buckets,
+    // points keyed by day) fixes that but still costs Θ(matches) — and
+    // the sf0.1→sf1 measurement showed matches growing 100× (2.5M →
+    // 252M) when both sides scale 10×, which the bench recorded as the
+    // worst super-linear query. Because the output is AGGREGATES per
+    // interval (never match rows) and the interval bounds are
+    // midnight-aligned dates — so day-bucket membership IS the exact
+    // range predicate — the points side collapses to its
+    // |ship-days|-sized per-day aggregate BEFORE the join: each point is
+    // touched exactly once, the join is |intervals|·7 rows against a
+    // calendar-sized table, and total work is Θ(|points| + |intervals|),
+    // linear at any scale. Per-day sums of the integer-valued quantity
+    // doubles are exact, so the two-level sum is bit-equal to the
+    // oracle's single-level one. (For sub-day interval edges the edge
+    // days would need an exact pass — these bounds are whole days.)
     "q_range_join" -> ((s, dir) => {
       val iv = Tables.orders(s, dir)
         .filter(pmod(col("o_orderkey"), lit(100)) === 0)
@@ -51,16 +61,12 @@ object Breadth6 {
           date_add(col("o_orderdate").cast("date"), RangeDays).as("iv_end"))
       val days = iv.withColumn("day",
         explode(sequence(col("iv_start"), date_add(col("iv_end"), -1))))
-      val pts = Tables.lineitem(s, dir)
-        .select(col("l_shipdate"), col("l_quantity"),
-          col("l_shipdate").cast("date").as("day"))
-      days.join(pts, Seq("day"))
-        // exact bounds: the bucket match is day-granular; a sub-day
-        // point or a non-midnight interval edge still resolves correctly
-        .filter(col("l_shipdate") >= col("iv_start").cast("timestamp_ntz") &&
-          col("l_shipdate") < col("iv_end").cast("timestamp_ntz"))
+      val dayAgg = Tables.lineitem(s, dir)
+        .groupBy(col("l_shipdate").cast("date").as("day"))
+        .agg(count(lit(1)).as("__n"), sum("l_quantity").as("__q"))
+      days.join(dayAgg, Seq("day"))
         .groupBy(col("iv_id"))
-        .agg(count(lit(1)).as("n_ship"), sum("l_quantity").as("sum_qty"))
+        .agg(sum(col("__n")).as("n_ship"), sum(col("__q")).as("sum_qty"))
         .orderBy(col("iv_id").asc)
     }),
 

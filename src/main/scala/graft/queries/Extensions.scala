@@ -255,9 +255,15 @@ object Extensions {
     }),
 
     // SimHash values + hamming near-dup pairs blocked by source.
+    // maxHamming 8 of 64 bits: 9 pigeonhole bands of ~7 bits each →
+    // in-block collision fraction ≈ 9/128 ≈ 0.07 (the 32-bit form's
+    // 7 × ≤5-bit bands collided at ≈ 0.31 — measured quadratic-dominant
+    // at sf1). At true warehouse scale the knob is the same: keep d
+    // small so bands stay wide (Manku's production setting is d=3 →
+    // 4 × 16-bit bands, fraction 6·10⁻⁵).
     "q_simhash" -> ((s, dir) => {
       Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
-          "source", maxHamming = 6)
+          "source", maxHamming = 8)
         .orderBy(col("id_a").asc, col("id_b").asc)
     }),
 
@@ -398,11 +404,21 @@ object Extensions {
     s"SELECT doc_id, $b AS band_idx, md5($cols) AS band_key FROM sigs"
   }.mkString("\n  UNION ALL\n  ")
 
-  private val simhashBitSums = (0 until 32)
-    .map(j => s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+  // 64-bit simhash in the two 32-bit token-hash halves (hvh = md5 hex
+  // 1..8 → bits 32..63, hvl = hex 9..16 → bits 0..31): DuckDB's `<<`
+  // overflow-checks, so the halves are never combined into one shifted
+  // value — each bit sum reads its half directly, and the final value is
+  // a sum of disjoint-bit CASE terms (bit 63's term spelled
+  // `-9223372036854775807 - 1`; adding it cannot overflow).
+  private val simhashBitSums = ((0 until 32)
+    .map(j => s"sum(CASE WHEN (hvl >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j") ++
+    (32 until 64)
+      .map(j => s"sum(CASE WHEN (hvh >> ${j - 32}) & 1 = 1 THEN 1 ELSE -1 END) AS b$j"))
     .mkString(",\n    ")
-  private val simhashValue = (0 until 32)
-    .map(j => s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END")
+  private val simhashValue = (0 until 64)
+    .map(j => s"CASE WHEN b$j > 0 THEN ${
+      if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
+    } ELSE 0 END")
     .mkString(" + ")
 
   /** Embedding near-dup pairs as one (nestable) WITH-chain — the SQL
@@ -625,7 +641,9 @@ object Extensions {
     "q_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM documents),
-         |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks),
+         |h AS (SELECT doc_id,
+         |  ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hvh,
+         |  ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hvl FROM toks),
          |bits AS (
          |  SELECT doc_id,
          |    $simhashBitSums
@@ -637,7 +655,7 @@ object Extensions {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
          |FROM joined a JOIN joined b
          |  ON a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_embed_topk" ->

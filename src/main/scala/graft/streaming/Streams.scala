@@ -252,8 +252,8 @@ object Streams {
 
   /** Streaming SimHash near-dup screen — the hamming-distance sibling of
     * `streamingMinhashNearDups` for when "near" means small token edits
-    * rather than shingle overlap: each live doc's 32-bit simhash
-    * (per-row fold, stateless — Dedup.withRowwiseSimhash32) band-joins
+    * rather than shingle overlap: each live doc's 64-bit simhash
+    * (per-row fold, stateless — Dedup.withRowwiseSimhash64) band-joins
     * the batch corpus simhash table (pigeonhole: a pair within
     * `maxHamming` shares >= 1 of maxHamming+1 bands), then exact hamming
     * verifies. Emits (idCol, corpus_id, ts, hamming); band multi-hits
@@ -263,11 +263,11 @@ object Streams {
                                idCol: String, textCol: String, delay: String,
                                maxHamming: Int): DataFrame = {
     import graft.dedup.Dedup
-    require(maxHamming < 32, "use a batch all-pairs job for degenerate bounds")
+    require(maxHamming < 64, "use a batch all-pairs job for degenerate bounds")
     val k = maxHamming + 1
     // not persisted: read exactly once to build corpusBands (which IS
     // the per-micro-batch cache)
-    val corpusSims = Dedup.withRowwiseSimhash32(
+    val corpusSims = Dedup.withRowwiseSimhash64(
         corpus.select(col(idCol), col(textCol)), textCol)
       .select(col(idCol).as("corpus_id"), col("simhash").as("sim_b"))
     val corpusBands = corpusSims
@@ -276,7 +276,7 @@ object Streams {
       .select(col("corpus_id"), col("sim_b"),
         col("__b.band_idx").as("band_idx"), col("__b.band_val").as("band_val"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val liveSims = Dedup.withRowwiseSimhash32(live, textCol)
+    val liveSims = Dedup.withRowwiseSimhash64(live, textCol)
     val liveBands = liveSims
       .select(col(idCol), col("ts"), col("simhash").as("sim_a"),
         explode(Dedup.simhashBandStructs(col("simhash"), k)).as("__b"))
@@ -285,11 +285,15 @@ object Streams {
     liveBands
       .join(corpusBands, Seq("band_idx", "band_val"))
       .filter(col(idCol) =!= col("corpus_id"))
-      .withWatermark("ts", delay)
-      .dropDuplicatesWithinWatermark(idCol, "corpus_id")
+      // verify BEFORE the stateful dedup: the hamming test is a per-row
+      // xor in the join stage, so only true near-dups (×band
+      // multiplicity) enter the watermark-bounded dedup state — never
+      // the raw candidate volume
       .withColumn("hamming",
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(idCol, "corpus_id")
       .select(col(idCol), col("corpus_id"), col("ts"), col("hamming"))
   }
 
@@ -904,207 +908,190 @@ class LatestStateProcessor
   }
 }
 
-/** Keyed processor behind [[Streams.streamingZscore]]: ONE ≤6-deep value
-  * buffer per key. Batch rows fold in (ts, event_id) order so a
-  * multi-row micro-batch scores exactly like the batch window; the
-  * buffer is the ONLY state — O(frame) per key, never history. */
-class RollingZscoreProcessor
-    extends StatefulProcessor[Long, EventRow, ZScored] {
-  @transient private var buf: ValueState[ZBuf] = _
+/** Scaffolding shared by the update-mode fold twins (drawdown, tick
+  * health, best trade, realized vol): ONE scalar accumulator per key in
+  * the state store (|keys|-bounded, never history), micro-batch rows
+  * folded in (ts, event_id) order — the batch window's total order —
+  * and one refreshed snapshot emitted per touched key per micro-batch.
+  * A new twin is a `step` + `snap` pair (~8 lines). Constructor args
+  * (state name, encoder) serialize with the instance; everything
+  * stateful is acquired from the handle in init, so executors
+  * re-initialize safely per partition. */
+abstract class SnapshotFoldProcessor[A, O](stateName: String,
+    enc: org.apache.spark.sql.Encoder[A])
+    extends StatefulProcessor[Long, EventRow, O] {
+  @transient private var acc: ValueState[A] = _
+
+  protected def step(st: Option[A], e: EventRow): A
+  protected def snap(user: Long, a: A): O
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    buf = getHandle.getValueState[ZBuf]("zbuf",
-      org.apache.spark.sql.Encoders.product[ZBuf], TTLConfig.NONE)
+    acc = getHandle.getValueState[A](stateName, enc, TTLConfig.NONE)
 
   override def handleInputRows(user: Long, events: Iterator[EventRow],
-                               timerValues: TimerValues): Iterator[ZScored] = {
-    var vals = if (buf.exists()) buf.get().vals else Seq.empty[Double]
-    val out = Seq.newBuilder[ZScored]
-    events.toSeq
-      .sortBy(e => (Streams.eventMicros(e.ts), e.event_id))
-      .foreach { e =>
-        val (next, scored) = Streams.zscoreStep(vals, e)
-        vals = next
-        scored.foreach(out += _)
-      }
-    buf.update(ZBuf(vals))
-    out.result().iterator
-  }
-}
-
-/** Keyed processor behind [[Streams.streamingDrawdown]]: one DrawdownAcc
-  * per key — scalar state, so a 100 TB backfill holds |keys| accumulators
-  * in the store, never history. Batch rows fold in (ts, event_id) order;
-  * emits the key's refreshed aggregate once per touched batch. */
-class DrawdownProcessor
-    extends StatefulProcessor[Long, EventRow, DrawdownSnap] {
-  @transient private var acc: ValueState[DrawdownAcc] = _
-
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    acc = getHandle.getValueState[DrawdownAcc]("dd",
-      org.apache.spark.sql.Encoders.product[DrawdownAcc], TTLConfig.NONE)
-
-  override def handleInputRows(user: Long, events: Iterator[EventRow],
-                               timerValues: TimerValues): Iterator[DrawdownSnap] = {
+                               timerValues: TimerValues): Iterator[O] = {
     var st = if (acc.exists()) Some(acc.get()) else None
     val sorted = events.toSeq.sortBy(e => (Streams.eventMicros(e.ts), e.event_id))
     if (sorted.isEmpty) Iterator.empty
     else {
-      sorted.foreach { e => st = Some(Streams.drawdownStep(st, e)) }
+      sorted.foreach { e => st = Some(step(st, e)) }
       val a = st.get
       acc.update(a)
-      Iterator(DrawdownSnap(user, a.nTicks, a.peak, a.maxDd.map(Streams.round4)))
+      Iterator(snap(user, a))
     }
   }
+}
+
+/** Scaffolding shared by the append-mode screen twins (z-score,
+  * Bollinger): a BOUNDED buffer per key (the batch form's ROWS frame
+  * held verbatim), every input row scored against it in (ts, event_id)
+  * order — zero-or-more output rows per input row. */
+abstract class ScoredFoldProcessor[B, O](stateName: String,
+    enc: org.apache.spark.sql.Encoder[B])
+    extends StatefulProcessor[Long, EventRow, O] {
+  @transient private var buf: ValueState[B] = _
+
+  protected def empty: B
+  protected def step(buf: B, e: EventRow): (B, Option[O])
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    buf = getHandle.getValueState[B](stateName, enc, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, events: Iterator[EventRow],
+                               timerValues: TimerValues): Iterator[O] = {
+    var b = if (buf.exists()) buf.get() else empty
+    val out = Seq.newBuilder[O]
+    events.toSeq.sortBy(e => (Streams.eventMicros(e.ts), e.event_id)).foreach { e =>
+      val (next, scored) = step(b, e)
+      b = next
+      scored.foreach(out += _)
+    }
+    buf.update(b)
+    out.result().iterator
+  }
+}
+
+/** Scaffolding shared by the day-bar recurrence twins (EMA/MACD, Wilder
+  * RSI): a scalar recurrence accumulator per key, bars folded in day
+  * order, one scored row per bar. */
+abstract class BarFoldProcessor[A, O](stateName: String,
+    enc: org.apache.spark.sql.Encoder[A])
+    extends StatefulProcessor[Long, BarRow, O] {
+  @transient private var acc: ValueState[A] = _
+
+  protected def step(st: Option[A], closeCents: Long): A
+  protected def score(user: Long, b: BarRow, a: A): O
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState[A](stateName, enc, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, bars: Iterator[BarRow],
+                               timerValues: TimerValues): Iterator[O] = {
+    var st = if (acc.exists()) Some(acc.get()) else None
+    val out = Seq.newBuilder[O]
+    bars.toSeq.sortBy(_.day.toEpochDay).foreach { b =>
+      val a = step(st, b.close_cents)
+      st = Some(a)
+      out += score(user, b, a)
+    }
+    st.foreach(acc.update)
+    out.result().iterator
+  }
+}
+
+/** Keyed processor behind [[Streams.streamingZscore]]: ONE ≤6-deep value
+  * buffer per key — O(frame) state, the batch q_rolling_zscore window
+  * held verbatim. */
+class RollingZscoreProcessor
+    extends ScoredFoldProcessor[ZBuf, ZScored]("zbuf",
+      org.apache.spark.sql.Encoders.product[ZBuf]) {
+  protected def empty: ZBuf = ZBuf(Seq.empty)
+  protected def step(b: ZBuf, e: EventRow): (ZBuf, Option[ZScored]) = {
+    val (next, scored) = Streams.zscoreStep(b.vals, e)
+    (ZBuf(next), scored)
+  }
+}
+
+/** Keyed processor behind [[Streams.streamingDrawdown]]: the running-max
+  * window of the batch form collapsed to one DrawdownAcc per key. */
+class DrawdownProcessor
+    extends SnapshotFoldProcessor[DrawdownAcc, DrawdownSnap]("dd",
+      org.apache.spark.sql.Encoders.product[DrawdownAcc]) {
+  protected def step(st: Option[DrawdownAcc], e: EventRow): DrawdownAcc =
+    Streams.drawdownStep(st, e)
+  protected def snap(user: Long, a: DrawdownAcc): DrawdownSnap =
+    DrawdownSnap(user, a.nTicks, a.peak, a.maxDd.map(Streams.round4))
 }
 
 /** Keyed processor behind [[Streams.streamingTickHealth]]: one
-  * TickHealthAcc per key in the state store; rows inside a micro-batch
-  * fold in event order, mirroring the batch window's total order. */
+  * TickHealthAcc per key — the batch lag window collapsed to one row. */
 class TickHealthProcessor
-    extends StatefulProcessor[Long, EventRow, TickHealthSnap] {
-  @transient private var acc: ValueState[TickHealthAcc] = _
-
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    acc = getHandle.getValueState[TickHealthAcc]("th",
-      org.apache.spark.sql.Encoders.product[TickHealthAcc], TTLConfig.NONE)
-
-  override def handleInputRows(user: Long, events: Iterator[EventRow],
-                               timerValues: TimerValues): Iterator[TickHealthSnap] = {
-    var st = if (acc.exists()) Some(acc.get()) else None
-    val sorted = events.toSeq.sortBy(e => (Streams.eventMicros(e.ts), e.event_id))
-    if (sorted.isEmpty) Iterator.empty
-    else {
-      sorted.foreach { e => st = Some(Streams.tickHealthStep(st, e)) }
-      val a = st.get
-      acc.update(a)
-      Iterator(TickHealthSnap(user, a.nTicks, a.maxMove, a.maxGap))
-    }
-  }
+    extends SnapshotFoldProcessor[TickHealthAcc, TickHealthSnap]("th",
+      org.apache.spark.sql.Encoders.product[TickHealthAcc]) {
+  protected def step(st: Option[TickHealthAcc], e: EventRow): TickHealthAcc =
+    Streams.tickHealthStep(st, e)
+  protected def snap(user: Long, a: TickHealthAcc): TickHealthSnap =
+    TickHealthSnap(user, a.nTicks, a.maxMove, a.maxGap)
 }
 
 /** Keyed processor behind [[Streams.streamingBollinger]]: one ≤5-deep
-  * cent buffer per key; rows inside a micro-batch fold in event order. */
+  * cent buffer per key. */
 class BollingerProcessor
-    extends StatefulProcessor[Long, EventRow, BollScored] {
-  @transient private var buf: ValueState[BollBuf] = _
-
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    buf = getHandle.getValueState[BollBuf]("bollbuf",
-      org.apache.spark.sql.Encoders.product[BollBuf], TTLConfig.NONE)
-
-  override def handleInputRows(user: Long, events: Iterator[EventRow],
-                               timerValues: TimerValues): Iterator[BollScored] = {
-    var vals = if (buf.exists()) buf.get().cents else Seq.empty[Long]
-    val out = Seq.newBuilder[BollScored]
-    events.toSeq.sortBy(e => (Streams.eventMicros(e.ts), e.event_id)).foreach { e =>
-      val (next, scored) = Streams.bollingerStep(vals, e)
-      vals = next
-      scored.foreach(out += _)
-    }
-    buf.update(BollBuf(vals))
-    out.result().iterator
+    extends ScoredFoldProcessor[BollBuf, BollScored]("bollbuf",
+      org.apache.spark.sql.Encoders.product[BollBuf]) {
+  protected def empty: BollBuf = BollBuf(Seq.empty)
+  protected def step(b: BollBuf, e: EventRow): (BollBuf, Option[BollScored]) = {
+    val (next, scored) = Streams.bollingerStep(b.cents, e)
+    (BollBuf(next), scored)
   }
 }
 
 /** Keyed processor behind [[Streams.streamingBestTrade]]. */
 class BestTradeProcessor
-    extends StatefulProcessor[Long, EventRow, BestTradeSnap] {
-  @transient private var acc: ValueState[BestTradeAcc] = _
-
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    acc = getHandle.getValueState[BestTradeAcc]("bt",
-      org.apache.spark.sql.Encoders.product[BestTradeAcc], TTLConfig.NONE)
-
-  override def handleInputRows(user: Long, events: Iterator[EventRow],
-                               timerValues: TimerValues): Iterator[BestTradeSnap] = {
-    var st = if (acc.exists()) Some(acc.get()) else None
-    val sorted = events.toSeq.sortBy(e => (Streams.eventMicros(e.ts), e.event_id))
-    if (sorted.isEmpty) Iterator.empty
-    else {
-      sorted.foreach { e => st = Some(Streams.bestTradeStep(st, e)) }
-      val a = st.get
-      acc.update(a)
-      Iterator(BestTradeSnap(user, a.nTicks, a.bestCents))
-    }
-  }
+    extends SnapshotFoldProcessor[BestTradeAcc, BestTradeSnap]("bt",
+      org.apache.spark.sql.Encoders.product[BestTradeAcc]) {
+  protected def step(st: Option[BestTradeAcc], e: EventRow): BestTradeAcc =
+    Streams.bestTradeStep(st, e)
+  protected def snap(user: Long, a: BestTradeAcc): BestTradeSnap =
+    BestTradeSnap(user, a.nTicks, a.bestCents)
 }
 
 /** Keyed processor behind [[Streams.streamingEmaMacd]]: one EmaMacdAcc
-  * per key; bars inside a micro-batch fold in day order, and the emit
-  * expressions are the batch Column fold's verbatim (one terminal /100
-  * per value, `(e12 - e26 - sig)/100` for the histogram — NEVER
-  * macd - signal, which differs in the last ulp). */
+  * per key; the emit expressions are the batch Column fold's verbatim
+  * (one terminal /100 per value, `(e12 - e26 - sig)/100` for the
+  * histogram — NEVER macd - signal, which differs in the last ulp). */
 class EmaMacdProcessor
-    extends StatefulProcessor[Long, BarRow, EmaMacdScored] {
-  @transient private var acc: ValueState[EmaMacdAcc] = _
-
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    acc = getHandle.getValueState[EmaMacdAcc]("emamacd",
-      org.apache.spark.sql.Encoders.product[EmaMacdAcc], TTLConfig.NONE)
-
-  override def handleInputRows(user: Long, bars: Iterator[BarRow],
-                               timerValues: TimerValues): Iterator[EmaMacdScored] = {
-    var st = if (acc.exists()) Some(acc.get()) else None
-    val out = Seq.newBuilder[EmaMacdScored]
-    bars.toSeq.sortBy(_.day.toEpochDay).foreach { b =>
-      val a = Streams.emaMacdStep(st, b.close_cents)
-      st = Some(a)
-      out += EmaMacdScored(user, b.day, b.close_cents, a.e20 / 100.0,
-        (a.e12 - a.e26) / 100.0, a.sig / 100.0, (a.e12 - a.e26 - a.sig) / 100.0)
-    }
-    st.foreach(acc.update)
-    out.result().iterator
-  }
+    extends BarFoldProcessor[EmaMacdAcc, EmaMacdScored]("emamacd",
+      org.apache.spark.sql.Encoders.product[EmaMacdAcc]) {
+  protected def step(st: Option[EmaMacdAcc], closeCents: Long): EmaMacdAcc =
+    Streams.emaMacdStep(st, closeCents)
+  protected def score(user: Long, b: BarRow, a: EmaMacdAcc): EmaMacdScored =
+    EmaMacdScored(user, b.day, b.close_cents, a.e20 / 100.0,
+      (a.e12 - a.e26) / 100.0, a.sig / 100.0, (a.e12 - a.e26 - a.sig) / 100.0)
 }
 
 /** Keyed processor behind [[Streams.streamingWilderRsi]]. */
 class WilderRsiProcessor
-    extends StatefulProcessor[Long, BarRow, WilderScored] {
-  @transient private var acc: ValueState[WilderAcc] = _
-
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    acc = getHandle.getValueState[WilderAcc]("wilder",
-      org.apache.spark.sql.Encoders.product[WilderAcc], TTLConfig.NONE)
-
-  override def handleInputRows(user: Long, bars: Iterator[BarRow],
-                               timerValues: TimerValues): Iterator[WilderScored] = {
-    var st = if (acc.exists()) Some(acc.get()) else None
-    val out = Seq.newBuilder[WilderScored]
-    bars.toSeq.sortBy(_.day.toEpochDay).foreach { b =>
-      val a = Streams.wilderStep(st, b.close_cents)
-      st = Some(a)
-      out += WilderScored(user, b.day, b.close_cents, Streams.wilderRsi(a))
-    }
-    st.foreach(acc.update)
-    out.result().iterator
-  }
+    extends BarFoldProcessor[WilderAcc, WilderScored]("wilder",
+      org.apache.spark.sql.Encoders.product[WilderAcc]) {
+  protected def step(st: Option[WilderAcc], closeCents: Long): WilderAcc =
+    Streams.wilderStep(st, closeCents)
+  protected def score(user: Long, b: BarRow, a: WilderAcc): WilderScored =
+    WilderScored(user, b.day, b.close_cents, Streams.wilderRsi(a))
 }
 
 /** Keyed processor behind [[Streams.streamingRealizedVol]]. */
 class RealizedVolProcessor
-    extends StatefulProcessor[Long, EventRow, RealizedVolSnap] {
-  @transient private var acc: ValueState[RealizedVolAcc] = _
-
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    acc = getHandle.getValueState[RealizedVolAcc]("rv",
-      org.apache.spark.sql.Encoders.product[RealizedVolAcc], TTLConfig.NONE)
-
-  override def handleInputRows(user: Long, events: Iterator[EventRow],
-                               timerValues: TimerValues): Iterator[RealizedVolSnap] = {
-    var st = if (acc.exists()) Some(acc.get()) else None
-    val sorted = events.toSeq.sortBy(e => (Streams.eventMicros(e.ts), e.event_id))
-    if (sorted.isEmpty) Iterator.empty
-    else {
-      sorted.foreach { e => st = Some(Streams.realizedVolStep(st, e)) }
-      val a = st.get
-      acc.update(a)
-      val scored = a.nMoves > 0
-      Iterator(RealizedVolSnap(user, a.nTicks, a.nMoves,
-        if (scored) Some(a.sumSq) else None,
-        if (scored) Some(math.sqrt(a.sumSq.toDouble / a.nMoves.toDouble) / 100.0)
-        else None))
-    }
+    extends SnapshotFoldProcessor[RealizedVolAcc, RealizedVolSnap]("rv",
+      org.apache.spark.sql.Encoders.product[RealizedVolAcc]) {
+  protected def step(st: Option[RealizedVolAcc], e: EventRow): RealizedVolAcc =
+    Streams.realizedVolStep(st, e)
+  protected def snap(user: Long, a: RealizedVolAcc): RealizedVolSnap = {
+    val scored = a.nMoves > 0
+    RealizedVolSnap(user, a.nTicks, a.nMoves,
+      if (scored) Some(a.sumSq) else None,
+      if (scored) Some(math.sqrt(a.sumSq.toDouble / a.nMoves.toDouble) / 100.0)
+      else None)
   }
 }
 

@@ -57,6 +57,18 @@ object Text {
     * (DuckDB mirror: `('0x' || substr(md5(t),1,8))::BIGINT`.) */
   def tokenHash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** 64-bit token hash as a raw bit pattern: md5 hex[1..8] in bits
+    * 32..63, hex[9..16] in bits 0..31. The shiftleft wraps into the sign
+    * bit for high halves ≥ 2³¹ — intentional; consumers treat the long
+    * as 64 BITS, never as a magnitude. (DuckDB mirror works in the two
+    * 32-bit halves separately — `('0x'||substr(md5(t),1,8))::BIGINT` and
+    * `('0x'||substr(md5(t),9,8))::BIGINT` — because DuckDB's `<<`
+    * overflow-checks; bit j≥32 of this value is bit j−32 of the hi
+    * half, so half-wise bit tests agree across engines.) */
+  def tokenHash64(c: Column): Column =
+    shiftleft(conv(substring(md5(c), 1, 8), 16, 10).cast("long"), 32) +
+      conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+
   /** 60-bit string hash (15 hex chars of md5 — fits int64 in any engine). */
   def hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 

@@ -52,9 +52,9 @@ class PropertySpec extends SparkSpec {
     "hamming bound (pigeonhole, random hashes and flip sets)") {
     import graft.dedup.Dedup
     val gen = for {
-      base <- Gen.choose(Long.MinValue, Long.MaxValue).map(_ & 0xFFFFFFFFL)
+      base <- Gen.choose(Long.MinValue, Long.MaxValue)
       d <- Gen.choose(0, 6)
-      bits <- Gen.pick(d, 0 until 32)
+      bits <- Gen.pick(d, 0 until 64)
     } yield (base, bits.foldLeft(base)((h, b) => h ^ (1L << b)))
     val pairs = samples(gen, 60)
     // one block per pair so each pair is judged in isolation, one job total

@@ -53,16 +53,16 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
-  test("simhashNearDups at the degenerate maxHamming >= 32 bound returns " +
+  test("simhashNearDups at the degenerate maxHamming >= 64 bound returns " +
     "ALL in-block pairs, including exact complements") {
     // two unrelated docs whose simhashes differ widely (plus any pair at
-    // hamming 32 — a complement — which one-bit banding could never pair)
+    // hamming 64 — a complement — which one-bit banding could never pair)
     val out = Dedup.simhashNearDups(
       docs((1L, (1 to 60).map(i => s"w$i").mkString(" ")),
         (2L, (100 to 160).map(i => s"q$i").mkString(" ")),
         (3L, (200 to 260).map(i => s"r$i").mkString(" ")))
         .withColumn("src", lit("s")),
-      "doc_id", "text", "src", maxHamming = 32)
+      "doc_id", "text", "src", maxHamming = 64)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
@@ -72,7 +72,7 @@ class TextDedupSpec extends SparkSpec {
     import org.apache.spark.sql.functions.lit
     val fixture = Seq((1L, "one two three"), (2L, null), (3L, null))
       .toDF("doc_id", "text").withColumn("src", lit("s"))
-    val sims = Dedup.withRowwiseSimhash32(fixture, "text")
+    val sims = Dedup.withRowwiseSimhash64(fixture, "text")
       .select("doc_id", "simhash").collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(sims(2L).isEmpty && sims(3L).isEmpty && sims(1L).nonEmpty)
@@ -86,9 +86,9 @@ class TextDedupSpec extends SparkSpec {
     val fixture = docs((1L, base),
       (2L, (1 to 30).map(i => s"x$i").mkString(" ")),
       (3L, "one two three two one"))
-    val grouped = Dedup.simhash32(fixture, "doc_id", "text")
+    val grouped = Dedup.simhash64(fixture, "doc_id", "text")
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
-    val rowwise = Dedup.withRowwiseSimhash32(fixture, "text")
+    val rowwise = Dedup.withRowwiseSimhash64(fixture, "text")
       .select("doc_id", "simhash")
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     assert(grouped == rowwise)
@@ -136,7 +136,7 @@ class TextDedupSpec extends SparkSpec {
       else i -> (1 to 50).map(j => s"tok${i}_$j").mkString(" ")
     }.map { case (i, t) => (i, t) }: _*).withColumn("src", lit("one_source"))
     val maxHamming = 6
-    val sims = Dedup.simhash32(fixture, "doc_id", "text")
+    val sims = Dedup.simhash64(fixture, "doc_id", "text")
       .join(fixture.select(col("doc_id"), col("src")), "doc_id")
       .persist()
     // ground truth: the quadratic all-pairs form, inline
@@ -152,9 +152,9 @@ class TextDedupSpec extends SparkSpec {
     assert(banded == allPairs, s"banded=$banded allPairs=$allPairs")
     // candidate boundedness: the band self-join must touch far fewer
     // pairs than the n*(n-1)/2 the all-pairs block join materializes
-    // expected collision fraction for random 32-bit hashes over 7 bands
-    // (4×5-bit + 3×4-bit) is 4/32 + 3/16 ≈ 0.31 — assert well inside the
-    // all-pairs count, which is what the banding buys at fixed hash width
+    // expected collision fraction for random 64-bit hashes over 7 bands
+    // (1×10-bit + 6×9-bit) is 1/1024 + 6/512 ≈ 0.013 — assert well inside
+    // the all-pairs count, which is what 64-bit banding buys
     val candidates = Dedup.simhashBandCandidates(sims, "doc_id", "src", maxHamming).count()
     val quadratic = n.toLong * (n - 1) / 2
     assert(candidates < quadratic / 2,
