@@ -444,6 +444,29 @@ object Graft {
           tieBreak: String, qtyJsonField: String = "k"): DataFrame =
     queries.Breadth18.obv(df, keyCol, tsCol, valCol, tieBreak, qtyJsonField)
 
+  /** One-factor market beta per key: cov of the key's day-over-day cent
+    * diff with the same-day all-keys diff sum, over var of the latter —
+    * integer co-moments, one division. Oracle-checked as q_beta. */
+  def marketBeta(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                 tieBreak: String): DataFrame =
+    queries.Breadth20.marketBeta(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Aggregate Amihud illiquidity per key: Σ|Δclose cents| / Σ quantity
+    * over scored days — integer sums, one division. Oracle-checked as
+    * q_amihud. */
+  def amihudIlliquidity(df: DataFrame, keyCol: String, tsCol: String,
+                        valCol: String, tieBreak: String,
+                        qtyJsonField: String = "k"): DataFrame =
+    queries.Breadth20.amihudIlliquidity(df, keyCol, tsCol, valCol, tieBreak,
+      qtyJsonField)
+
+  /** Roll (1984) implied spread per key from the negative serial
+    * covariance of consecutive tick diffs — integer covariance
+    * numerator, one division → sqrt. Oracle-checked as q_roll_spread. */
+  def rollSpread(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                 tieBreak: String): DataFrame =
+    queries.Breadth20.rollSpread(df, keyCol, tsCol, valCol, tieBreak)
+
   /** EMA(n) series over daily closes, seeded at the first bar — the
     * per-row recurrence run as a calendar-bounded per-key fold.
     * Oracle-checked as q_ema (DuckDB recursive CTE). */

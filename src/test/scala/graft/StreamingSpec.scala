@@ -1019,4 +1019,56 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("EMA recurrence state survives a checkpointed stop/restart (the " +
+    "post-restart bar folds from the remembered EMAs, bit-equal to batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.BarRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = Files.createTempDirectory("graft_ema_ckpt").toString
+      val closes = Seq(1000L, 1123L, 957L, 1201L, 1066L, 1300L)
+      val bars = closes.zipWithIndex.map { case (c, i) =>
+        BarRow(1L, java.time.LocalDate.of(2024, 2, i + 1), c) }
+      val mem = MemoryStream[BarRow]
+      val rows = scala.collection.mutable.Map.empty[String, (Double, Double)]
+      def run(): org.apache.spark.sql.streaming.StreamingQuery =
+        Streams.streamingEmaMacd(mem.toDS())
+          .toDF("user_id", "day", "close_cents", "ema20", "macd",
+            "macd_signal", "hist")
+          .writeStream.option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.collect().foreach(r =>
+              rows(r.getDate(1).toString) = (r.getDouble(3), r.getDouble(4))): Unit
+          }.start()
+      val q1 = run()
+      mem.addData(bars.take(4): _*)
+      q1.processAllAvailable(); q1.stop()
+      val q2 = run() // RESTART: the four folded EMAs must come from RocksDB
+      mem.addData(bars.drop(4): _*)
+      q2.processAllAvailable(); q2.stop()
+      // batch reference over the same series — bit-equal per bar
+      val ticks = closes.zipWithIndex.map { case (c, i) =>
+        (1L, c.toDouble / 100.0, i.toLong, f"2024-02-${i + 1}%02d 12:00:00") }
+        .toDF("user_id", "value", "event_id", "at")
+        .withColumn("ts", to_timestamp_ntz(col("at"))).drop("at")
+      val wantEma = Graft.ema(ticks, "user_id", "ts", "value", "event_id")
+        .select("day", "ema").collect()
+        .map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
+      val wantMacd = Graft.macd(ticks, "user_id", "ts", "value", "event_id")
+        .select("day", "macd").collect()
+        .map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
+      assert(rows.size === closes.size)
+      wantEma.foreach { case (d, e) => assert(rows(d)._1 === e, s"ema20 at $d") }
+      wantMacd.foreach { case (d, m) => assert(rows(d)._2 === m, s"macd at $d") }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
