@@ -467,6 +467,13 @@ object Graft {
                  tieBreak: String): DataFrame =
     queries.Breadth20.rollSpread(df, keyCol, tsCol, valCol, tieBreak)
 
+  /** Unannualized daily Sharpe per key — mean over std of day-over-day
+    * cent moves, collapsed to one integer numerator / one radicand /
+    * one division. Oracle-checked as q_sharpe. */
+  def dailySharpe(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                  tieBreak: String): DataFrame =
+    queries.Breadth20.dailySharpe(df, keyCol, tsCol, valCol, tieBreak)
+
   /** EMA(n) series over daily closes, seeded at the first bar — the
     * per-row recurrence run as a calendar-bounded per-key fold.
     * Oracle-checked as q_ema (DuckDB recursive CTE). */

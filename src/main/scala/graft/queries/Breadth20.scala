@@ -120,6 +120,31 @@ object Breadth20 {
         .as("roll_spread"))
   }
 
+  /** Unannualized daily Sharpe per key: mean over std of day-over-day
+    * cent moves, which algebraically collapses to Σx / √(n·Σx² − (Σx)²)
+    * — ONE integer numerator, one integer radicand, one division (the
+    * n's cancel, and so do the cents: the measure is scale-free;
+    * annualization is a client-side ×√365). Diffs lag over PRESENT
+    * days (the q_top_movers convention). Zero-variance series are
+    * unscored. Int64 headroom: n·Σx² with day-scale cent moves ~10⁴
+    * holds to ~10⁷ days·keys² — re-base to coarser units past that. */
+  private[graft] def dailySharpe(df: DataFrame, keyCol: String, tsCol: String,
+                                 valCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day").asc)
+    val g = Breadth13.dayBarsCents(df, keyCol, tsCol, valCol, tieBreak)
+      .select(col(keyCol), col("day"), col("close"))
+      .withColumn("__x", col("close") - lag(col("close"), 1).over(w))
+      .filter(col("__x").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("__x")).as("__sx"), sum(col("__x") * col("__x")).as("__sxx"))
+    val varNum = col("n_days") * col("__sxx") - col("__sx") * col("__sx")
+    g.select(col(keyCol), col("n_days"),
+      when(varNum > 0,
+        col("__sx").cast("double") / sqrt(varNum.cast("double")))
+        .as("sharpe_daily"))
+  }
+
   val defs: Map[String, Q] = Map(
     // One-factor market beta per key over day-bar diffs.
     "q_beta" -> ((s, dir) =>
@@ -135,6 +160,11 @@ object Breadth20 {
     // Roll implied spread from negative serial covariance of tick diffs.
     "q_roll_spread" -> ((s, dir) =>
       rollSpread(Tables.events(s, dir), "user_id", "ts", "value", "event_id")
+        .orderBy(col("user_id").asc)),
+
+    // Unannualized daily Sharpe (mean/std of day moves, one division).
+    "q_sharpe" -> ((s, dir) =>
+      dailySharpe(Tables.events(s, dir), "user_id", "ts", "value", "event_id")
         .orderBy(col("user_id").asc)))
 
   /** Shared bar CTE (the q_ema/q_candle_patterns day-close discipline). */
@@ -189,6 +219,23 @@ object Breadth20 {
          |  CAST(CAST(sum(abs(close - pc)) AS BIGINT) AS DOUBLE)
          |    / CAST(CAST(sum(v) AS BIGINT) AS DOUBLE) AS illiq
          |FROM scored GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_sharpe" ->
+      s"""WITH $barsSql,
+         |d AS (
+         |  SELECT user_id,
+         |    close - lag(close) OVER (PARTITION BY user_id ORDER BY day) AS x
+         |  FROM bars),
+         |f AS (SELECT user_id, x FROM d WHERE x IS NOT NULL),
+         |g AS (
+         |  SELECT user_id, count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM f GROUP BY user_id)
+         |SELECT user_id, n AS n_days,
+         |  CASE WHEN n * sxx - sx * sx > 0
+         |    THEN CAST(sx AS DOUBLE) / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         |  END AS sharpe_daily
+         |FROM g ORDER BY user_id""".stripMargin,
 
     "q_roll_spread" ->
       """WITH t AS (

@@ -77,6 +77,23 @@ class Wave20Spec extends SparkSpec {
     assert(got(1)._1 === 2L && got(1)._3.isEmpty)
   }
 
+  test("dailySharpe: hand-computed ratio; a flat series is unscored") {
+    // key 1 closes 10.00, 11.00, 10.50, 11.20 -> diffs +100, -50, +70
+    // sx=120, sxx=17400, n=3 -> varNum = 3*17400 - 14400 = 37800
+    // sharpe = 120 / sqrt(37800)
+    val rows = Seq(
+      (1L, 10.0, 1L, "2024-01-01 10:00:00"), (1L, 11.0, 2L, "2024-01-02 10:00:00"),
+      (1L, 10.5, 3L, "2024-01-03 10:00:00"), (1L, 11.2, 4L, "2024-01-04 10:00:00"),
+      (2L, 5.0, 11L, "2024-01-01 10:00:00"), (2L, 5.0, 12L, "2024-01-02 10:00:00"),
+      (2L, 5.0, 13L, "2024-01-03 10:00:00"))
+    val got = Breadth20.dailySharpe(ticks(rows), "user_id", "ts", "value",
+      "event_id")
+      .orderBy("user_id").select("user_id", "n_days", "sharpe_daily")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(got(0) === ((1L, 3L, Some(120.0 / math.sqrt(37800.0)))))
+    assert(got(1) === ((2L, 2L, None))) // zero variance -> unscored
+  }
+
   test("Graft wave-20 facade methods match their oracle-checked queries") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
     val e = Tables.events(spark, sf0001)
@@ -89,5 +106,8 @@ class Wave20Spec extends SparkSpec {
     assert(rows(Graft.rollSpread(e, "user_id", "ts", "value", "event_id")
         .orderBy(col("user_id").asc)) ==
       rows(SparkEntry.queries("q_roll_spread")(spark, sf0001)))
+    assert(rows(Graft.dailySharpe(e, "user_id", "ts", "value", "event_id")
+        .orderBy(col("user_id").asc)) ==
+      rows(SparkEntry.queries("q_sharpe")(spark, sf0001)))
   }
 }
