@@ -474,6 +474,20 @@ object Graft {
                   tieBreak: String): DataFrame =
     queries.Breadth20.dailySharpe(df, keyCol, tsCol, valCol, tieBreak)
 
+  /** Streaming twin of [[rollSpread]]: the serial-covariance sums as
+    * O(1) keyed state; emitted spread is the batch expression verbatim.
+    * Spec-pinned — see streaming.Streams.streamingRollSpread. */
+  def liveRollSpread(events: org.apache.spark.sql.Dataset[streaming.EventRow])
+      : org.apache.spark.sql.Dataset[streaming.RollSnap] =
+    streaming.Streams.streamingRollSpread(events)
+
+  /** Streaming twin of [[dailySharpe]] over the finalized day-bar
+    * stream: integer moment sums as O(1) keyed state, running Sharpe
+    * per bar. Spec-pinned — see streaming.Streams.streamingDailySharpe. */
+  def liveDailySharpe(bars: org.apache.spark.sql.Dataset[streaming.BarRow])
+      : org.apache.spark.sql.Dataset[streaming.SharpeScored] =
+    streaming.Streams.streamingDailySharpe(bars)
+
   /** EMA(n) series over daily closes, seeded at the first bar — the
     * per-row recurrence run as a calendar-bounded per-key fold.
     * Oracle-checked as q_ema (DuckDB recursive CTE). */

@@ -105,6 +105,27 @@ case class EmaMacdScored(user_id: Long, day: java.time.LocalDate,
 case class WilderAcc(lastCents: Long, sg: Long, sl: Long,
                      ag: Option[Double], al: Option[Double], nBars: Long)
 
+/** Per-key state of the streaming Roll-spread fold: last cents, last
+  * diff, and the integer serial-covariance sums — O(1) per key (the
+  * batch form's two lag windows collapsed to two remembered values). */
+case class RollAcc(lastCents: Long, lastDiff: Option[Long], nPairs: Long,
+                   sx: Long, sy: Long, sxy: Long)
+
+/** Per-key Roll-spread snapshot (update stream); mirrors the batch
+  * q_roll_spread row — spread None until serial covariance is
+  * negative. */
+case class RollSnap(user_id: Long, n_pairs: Long, serial_cov_num: Long,
+                    roll_spread: Option[Double])
+
+/** Per-key state of the streaming daily-Sharpe fold over finalized day
+  * bars: previous close + the two integer moment sums. */
+case class SharpeAcc(lastClose: Long, nDays: Long, sx: Long, sxx: Long)
+
+/** One running-Sharpe row per bar (append stream); the value after the
+  * LAST bar equals the batch q_sharpe row. */
+case class SharpeScored(user_id: Long, day: java.time.LocalDate,
+                        n_days: Long, sharpe_daily: Option[Double])
+
 /** One scored bar from the live Wilder-RSI screen (append stream);
   * rsi_wilder is None during the 14-diff warm-up — the batch null. */
 case class WilderScored(user_id: Long, day: java.time.LocalDate,
@@ -609,6 +630,54 @@ object Streams {
   private[graft] def wilderRsi(a: WilderAcc): Option[Double] =
     a.al.map(al => if (al == 0.0) 100.0 else 100.0 - 100.0 / (1.0 + a.ag.get / al))
 
+  /** Streaming twin of the batch q_roll_spread estimator: the serial-
+    * covariance sums as O(1) keyed state over the tick stream (update
+    * mode — one refreshed per-key row per micro-batch, the emitted
+    * spread the batch expression verbatim). */
+  def streamingRollSpread(ds: Dataset[EventRow]): Dataset[RollSnap] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new RollSpreadProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** One keyed step of the Roll fold: remember the diff, pair it with
+    * the previous one, accumulate the integer co-moment sums. */
+  private[graft] def rollSpreadStep(st: Option[RollAcc], e: EventRow): RollAcc = {
+    val c = math.floor(e.value * 100.0 + 0.5).toLong
+    st match {
+      case None => RollAcc(c, None, 0L, 0L, 0L, 0L)
+      case Some(a) =>
+        val d = c - a.lastCents
+        a.lastDiff match {
+          case None => RollAcc(c, Some(d), 0L, 0L, 0L, 0L)
+          case Some(y) =>
+            RollAcc(c, Some(d), a.nPairs + 1L, a.sx + d, a.sy + y,
+              a.sxy + d * y)
+        }
+    }
+  }
+
+  /** Streaming twin of the batch q_sharpe aggregate over finalized day
+    * bars: previous close + integer moment sums as O(1) keyed state;
+    * emits the running Sharpe after every bar (the last emission per
+    * key equals the batch row). */
+  def streamingDailySharpe(ds: Dataset[BarRow]): Dataset[SharpeScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new DailySharpeProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** One keyed step of the Sharpe fold (integer moments only). */
+  private[graft] def sharpeStep(st: Option[SharpeAcc], closeCents: Long): SharpeAcc =
+    st match {
+      case None => SharpeAcc(closeCents, 0L, 0L, 0L)
+      case Some(a) =>
+        val x = closeCents - a.lastClose
+        SharpeAcc(closeCents, a.nDays + 1L, a.sx + x, a.sxx + x * x)
+    }
+
   /** One keyed step of the drawdown fold, shared with the spec's
     * reference fold: extend the prefix peak with the incoming value,
     * score (peak−value)/peak when the peak is positive (identical
@@ -1078,6 +1147,38 @@ class WilderRsiProcessor
     Streams.wilderStep(st, closeCents)
   protected def score(user: Long, b: BarRow, a: WilderAcc): WilderScored =
     WilderScored(user, b.day, b.close_cents, Streams.wilderRsi(a))
+}
+
+/** Keyed processor behind [[Streams.streamingRollSpread]] — the
+  * batch emit expression verbatim (integer covariance numerator, one
+  * division → sqrt → constant scaling, identical operand order). */
+class RollSpreadProcessor
+    extends SnapshotFoldProcessor[RollAcc, RollSnap]("roll",
+      org.apache.spark.sql.Encoders.product[RollAcc]) {
+  protected def step(st: Option[RollAcc], e: EventRow): RollAcc =
+    Streams.rollSpreadStep(st, e)
+  protected def snap(user: Long, a: RollAcc): RollSnap = {
+    val covNum = a.nPairs * a.sxy - a.sx * a.sy
+    RollSnap(user, a.nPairs, covNum,
+      if (covNum < 0)
+        Some(2.0 * math.sqrt((-covNum).toDouble /
+          (a.nPairs * a.nPairs).toDouble) / 100.0)
+      else None)
+  }
+}
+
+/** Keyed processor behind [[Streams.streamingDailySharpe]]. */
+class DailySharpeProcessor
+    extends BarFoldProcessor[SharpeAcc, SharpeScored]("sharpe",
+      org.apache.spark.sql.Encoders.product[SharpeAcc]) {
+  protected def step(st: Option[SharpeAcc], closeCents: Long): SharpeAcc =
+    Streams.sharpeStep(st, closeCents)
+  protected def score(user: Long, b: BarRow, a: SharpeAcc): SharpeScored = {
+    val varNum = a.nDays * a.sxx - a.sx * a.sx
+    SharpeScored(user, b.day, a.nDays,
+      if (varNum > 0) Some(a.sx.toDouble / math.sqrt(varNum.toDouble))
+      else None)
+  }
 }
 
 /** Keyed processor behind [[Streams.streamingRealizedVol]]. */

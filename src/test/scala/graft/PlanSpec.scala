@@ -325,6 +325,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("wave-20 microstructure measures stay key-distributed: no " +
+    "single-partition stage, roll/sharpe shuffle the series key at most twice") {
+    for (q <- Seq("q_roll_spread", "q_sharpe")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf0001))
+      val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+      assert(hashEx <= 2, s"$q: expected <=2 key hash exchanges, got $hashEx\n${p.take(800)}")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q: must stay per-key distributed\n${p.take(800)}")
+    }
+    // beta joins the day-grid market frame — still no single-partition stage
+    val p = plan(SparkEntry.queries("q_beta")(spark, sf0001))
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+  }
+
   test("q_hash_sample's per-stratum top-k is a WindowGroupLimit — no full " +
     "per-group materialization survives to the sort") {
     val p = plan(SparkEntry.queries("q_hash_sample")(spark, sf0001))

@@ -1020,6 +1020,77 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingRollSpread / streamingDailySharpe == batch q_roll_spread / " +
+    "q_sharpe bit-for-bit, series split across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{BarRow, EventRow}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // --- roll spread over ticks: bid-ask bounce with drift ---
+      val vals = Seq(9.5, 10.5, 9.6, 10.6, 9.4, 10.5, 9.7, 10.8)
+      def er(id: Long, minute: Int, v: Double) =
+        EventRow(id, java.time.LocalDateTime.parse(f"2024-03-01T10:$minute%02d:00"),
+          1L, "tick", v, "{}")
+      val ticks = vals.zipWithIndex.map { case (v, i) => er(i + 1L, i + 1, v) }
+      val memR = MemoryStream[EventRow]
+      val qr = Streams.streamingRollSpread(memR.toDS())
+        .writeStream.format("memory").queryName("roll_snap")
+        .outputMode("update").start()
+      Seq(ticks.take(3), ticks.slice(3, 6), ticks.drop(6)).foreach { b =>
+        memR.addData(b: _*); qr.processAllAvailable()
+      }
+      qr.stop()
+      val gotRoll = spark.table("roll_snap")
+        .collect().map(r => (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .maxBy(_._1) // latest snapshot = most pairs
+      val tickDf = vals.zipWithIndex.map { case (v, i) =>
+        (1L, v, i + 1L, f"2024-03-01 10:${i + 1}%02d:00") }
+        .toDF("user_id", "value", "event_id", "at")
+        .withColumn("ts", to_timestamp_ntz(col("at"))).drop("at")
+      val wantRoll = Graft.rollSpread(tickDf, "user_id", "ts", "value", "event_id")
+        .collect().map(r => (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).head
+      assert(gotRoll === wantRoll, s"roll stream $gotRoll vs batch $wantRoll")
+      assert(wantRoll._3.isDefined, "fixture must produce a scored spread")
+
+      // --- daily sharpe over bars ---
+      val closes = Seq(1000L, 1110L, 1060L, 1210L, 1150L)
+      val bars = closes.zipWithIndex.map { case (c, i) =>
+        BarRow(1L, java.time.LocalDate.of(2024, 3, i + 1), c) }
+      val memS = MemoryStream[BarRow]
+      val qs = Streams.streamingDailySharpe(memS.toDS())
+        .writeStream.format("memory").queryName("sharpe_snap")
+        .outputMode("append").start()
+      Seq(bars.take(2), bars.drop(2)).foreach { b =>
+        memS.addData(b: _*); qs.processAllAvailable()
+      }
+      qs.stop()
+      val gotSharpe = spark.table("sharpe_snap")
+        .collect().map(r => (r.getDate(1).toString, r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .maxBy(_._1)
+      val barTicks = closes.zipWithIndex.map { case (c, i) =>
+        (1L, c.toDouble / 100.0, i + 1L, f"2024-03-${i + 1}%02d 12:00:00") }
+        .toDF("user_id", "value", "event_id", "at")
+        .withColumn("ts", to_timestamp_ntz(col("at"))).drop("at")
+      val wantSharpe = Graft.dailySharpe(barTicks, "user_id", "ts", "value",
+        "event_id")
+        .collect().map(r => (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).head
+      assert((gotSharpe._2, gotSharpe._3) === wantSharpe,
+        s"sharpe stream $gotSharpe vs batch $wantSharpe")
+      assert(wantSharpe._2.isDefined)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("EMA recurrence state survives a checkpointed stop/restart (the " +
     "post-restart bar folds from the remembered EMAs, bit-equal to batch)") {
     implicit val sqlCtx = spark.sqlContext
