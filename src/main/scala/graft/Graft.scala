@@ -508,6 +508,13 @@ object Graft {
                 tieBreak: String): DataFrame =
     queries.Breadth19.wilderRsiSeries(df, keyCol, tsCol, valCol, tieBreak)
 
+  /** Keltner channel per key: EMA-20 midline ± 2 × Wilder ATR-10 with
+    * breakout flags — both recurrences in one calendar-bounded fold.
+    * Oracle-checked as q_keltner. */
+  def keltner(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+              tieBreak: String): DataFrame =
+    queries.Breadth19.keltnerSeries(df, keyCol, tsCol, valCol, tieBreak)
+
   /** Streaming twin of [[ema]] + [[macd]]: the four EMA recurrence
     * values as O(1) keyed state over the finalized day-bar stream —
     * stream and batch emit bit-equal doubles. Spec-pinned — see

@@ -153,6 +153,62 @@ object Breadth19 {
       .select(col(keyCol), col("r.day"), col("r.close_cents"), col("r.rsi_wilder"))
   }
 
+  private[graft] val AtrN = 10
+
+  /** Keltner channel per key: EMA-20 midline ± 2 × Wilder-smoothed
+    * ATR-10, with breakout flags — the volatility-adaptive band the
+    * Bollinger screen's σ-band is usually compared against. BOTH
+    * recurrences (EMA and the Wilder ATR) ride in ONE fold; true
+    * ranges are integer cents (intraday spread vs gap through prior
+    * close, the q_atr discipline), the ATR seeds with the simple mean
+    * of the first 10 TRs and is null during warm-up (flags unscored).
+    * Breakout comparisons happen on the cents-domain doubles BEFORE the
+    * terminal /100, with identical operand order in the oracle. */
+  private[graft] def keltnerSeries(df: DataFrame, keyCol: String, tsCol: String,
+                                   valCol: String, tieBreak: String): DataFrame = {
+    val n = AtrN
+    val byKey = Breadth13.dayBarsCents(df, keyCol, tsCol, valCol, tieBreak)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("day"), col("close"),
+        col("high"), col("low")))).as("__bars"))
+    val accs = aggregate(
+      col("__bars"),
+      expr("CAST(array() AS ARRAY<STRUCT<c: BIGINT, ema: DOUBLE, " +
+        "trs: BIGINT, atr: DOUBLE>>)"),
+      (acc, x) => {
+        val c = x.getField("close"); val h = x.getField("high")
+        val l = x.getField("low")
+        val prev = element_at(acc, -1)
+        val j = size(acc).cast("long") // bars BEFORE this one
+        val tr = when(j === 0, h - l)
+          .otherwise(greatest(h - l, abs(h - prev.getField("c")),
+            abs(l - prev.getField("c"))))
+        val ema = when(j === 0, c.cast("double"))
+          .otherwise(lit(A20) * c.cast("double") +
+            lit(1.0 - A20) * prev.getField("ema"))
+        val trs = when(j === 0, tr).otherwise(prev.getField("trs") + tr)
+        val atr = when(j + 1 < n, lit(null).cast("double"))
+          .when(j + 1 === n, trs.cast("double") / lit(10.0))
+          .otherwise((prev.getField("atr") * lit(9.0) + tr.cast("double")) / lit(10.0))
+        concat(acc, array(struct(c.as("c"), ema.as("ema"),
+          trs.as("trs"), atr.as("atr"))))
+      })
+    byKey.withColumn("__k", accs)
+      .select(col(keyCol), explode(zip_with(col("__bars"), col("__k"),
+        (b, s) => {
+          val ema = s.getField("ema"); val atr = s.getField("atr")
+          val cD = b.getField("close").cast("double")
+          struct(b.getField("day").as("day"),
+            b.getField("close").as("close_cents"),
+            (ema / lit(100.0)).as("keltner_mid"),
+            (atr / lit(100.0)).as("atr10"),
+            when(atr.isNotNull, cD > ema + lit(2.0) * atr).as("break_up"),
+            when(atr.isNotNull, cD < ema - lit(2.0) * atr).as("break_dn"))
+        })).as("r"))
+      .select(col(keyCol), col("r.day"), col("r.close_cents"),
+        col("r.keltner_mid"), col("r.atr10"), col("r.break_up"), col("r.break_dn"))
+  }
+
   val defs: Map[String, Q] = Map(
     // 20-day EMA over daily closes, seeded at the first bar.
     "q_ema" -> ((s, dir) =>
@@ -168,25 +224,31 @@ object Breadth19 {
     // SMA-based q_rsi.
     "q_rsi_wilder" -> ((s, dir) =>
       wilderRsiSeries(Tables.events(s, dir), "user_id", "ts", "value", "event_id")
+        .orderBy(col("user_id").asc, col("day").asc)),
+
+    // Keltner channel: EMA-20 mid, 2×ATR-10 band, breakout flags.
+    "q_keltner" -> ((s, dir) =>
+      keltnerSeries(Tables.events(s, dir), "user_id", "ts", "value", "event_id")
         .orderBy(col("user_id").asc, col("day").asc)))
 
-  /** Shared oracle prefix: tie-safe daily cent closes + per-key bar
-    * index (mirrors Breadth13.dayBarsCents + the fold's sort order). */
+  /** Shared oracle prefix: tie-safe daily cent closes (+ high/low for
+    * the Keltner true ranges) + per-key bar index (mirrors
+    * Breadth13.dayBarsCents + the fold's sort order). */
   private val barsSql =
     """t AS (
       |  SELECT user_id, CAST(ts AS DATE) AS day,
       |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c, ts, event_id
       |  FROM events),
       |bars AS (
-      |  SELECT user_id, day, max(cl) AS close
+      |  SELECT user_id, day, max(cl) AS close, max(c) AS high, min(c) AS low
       |  FROM (
-      |    SELECT user_id, day,
+      |    SELECT user_id, day, c,
       |      last_value(c) OVER (PARTITION BY user_id, day ORDER BY ts, event_id
       |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cl
       |    FROM t)
       |  GROUP BY user_id, day),
       |nb AS (
-      |  SELECT user_id, day, close,
+      |  SELECT user_id, day, close, high, low,
       |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS i
       |  FROM bars)""".stripMargin
 
@@ -222,6 +284,34 @@ object Breadth19 {
          |  (e12 - e26) / 100.0 AS macd, sig / 100.0 AS macd_signal,
          |  (e12 - e26 - sig) / 100.0 AS hist
          |FROM m ORDER BY user_id, day""".stripMargin,
+
+    "q_keltner" ->
+      s"""WITH RECURSIVE $barsSql,
+         |k AS (
+         |  SELECT user_id, day, close, high, low, i,
+         |    CAST(close AS DOUBLE) AS ema,
+         |    high - low AS trs,
+         |    CAST(NULL AS DOUBLE) AS atr
+         |  FROM nb WHERE i = 1
+         |  UNION ALL
+         |  SELECT b.user_id, b.day, b.close, b.high, b.low, b.i,
+         |    (2.0/21.0) * CAST(b.close AS DOUBLE) + (1.0 - 2.0/21.0) * k.ema,
+         |    k.trs + greatest(b.high - b.low,
+         |      abs(b.high - k.close), abs(b.low - k.close)),
+         |    CASE WHEN b.i < 10 THEN NULL
+         |      WHEN b.i = 10 THEN CAST(k.trs + greatest(b.high - b.low,
+         |        abs(b.high - k.close), abs(b.low - k.close)) AS DOUBLE) / 10.0
+         |      ELSE (k.atr * 9.0 + CAST(greatest(b.high - b.low,
+         |        abs(b.high - k.close), abs(b.low - k.close)) AS DOUBLE)) / 10.0
+         |    END
+         |  FROM k JOIN nb b ON b.user_id = k.user_id AND b.i = k.i + 1)
+         |SELECT user_id, day, close AS close_cents,
+         |  ema / 100.0 AS keltner_mid, atr / 100.0 AS atr10,
+         |  CASE WHEN atr IS NOT NULL
+         |    THEN CAST(close AS DOUBLE) > ema + 2.0 * atr END AS break_up,
+         |  CASE WHEN atr IS NOT NULL
+         |    THEN CAST(close AS DOUBLE) < ema - 2.0 * atr END AS break_dn
+         |FROM k ORDER BY user_id, day""".stripMargin,
 
     "q_rsi_wilder" ->
       s"""WITH RECURSIVE $barsSql,

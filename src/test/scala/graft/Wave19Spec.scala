@@ -96,6 +96,28 @@ class Wave19Spec extends SparkSpec {
     assert(got === Seq(700L, 400L))
   }
 
+  test("keltner: flat series collapses the band (atr 0 after warm-up) and a " +
+    "spike breaks out; warm-up flags unscored") {
+    // 12 flat days then a big up day: bar 13's close exceeds mid + 2*atr
+    // (atr grew only from bar 13's own true range /10)
+    val closes = Seq.fill(12)(10.0) :+ 20.0
+    val got = Breadth19.keltnerSeries(ticks(dailySeries(1L, closes)),
+      "user_id", "ts", "value", "event_id")
+      .orderBy("day")
+      .select("close_cents", "atr10", "break_up", "break_dn")
+      .as[(Long, Option[Double], Option[Boolean], Option[Boolean])]
+      .collect().toSeq
+    // bars 1..9: warm-up, all null
+    assert(got.take(9).forall(t => t._2.isEmpty && t._3.isEmpty && t._4.isEmpty))
+    // bars 10..12: flat -> atr exactly 0, no breakout (close == mid)
+    assert(got.slice(9, 12).forall(t =>
+      t._2 === Some(0.0) && t._3 === Some(false) && t._4 === Some(false)))
+    // bar 13: TR = 1000 cents -> atr = 100 cents = 1.00; mid well below
+    // 20.00 -> break_up
+    assert(got(12)._3 === Some(true) && got(12)._4 === Some(false))
+    assert(got(12)._2 === Some(1.0))
+  }
+
   test("Graft wave-19 facade methods match their oracle-checked queries") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
     val e = Tables.events(spark, sf0001)
