@@ -43,9 +43,10 @@ object Bench {
       .map { case (name, thunk) => timed(name) { thunk().count(): Unit } }
     val results = chain ++ SparkEntry.queries.toSeq.sortBy(_._1)
       .map { case (name, fn) => timed(name) { fn(spark, sfDir).count(): Unit } }
-    // slowest-first: the driver captures a bounded tail of stdout, so the
-    // informative prefix (the expensive queries) must survive truncation
-    val qs = results.sortBy { case (_, v) => -v }
+    // failures first (a -1.0 sentinel is the most informative line of
+    // all), then slowest-first: the driver captures a bounded tail of
+    // stdout, so the informative prefix must survive truncation
+    val qs = results.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -15,15 +15,20 @@ import org.apache.spark.sql.functions._
   *
   * Design: recurrences run over DAY BARS, not ticks — the per-key series
   * length is CALENDAR-BOUNDED (≤366·years elements regardless of data
-  * volume), so collecting each key's bar array and folding it with the
-  * `aggregate` higher-order function is one groupBy shuffle of
-  * |keys|·|days| bar rows and an executor-local O(L²)-append fold
-  * (L ≈ 3.7k for a decade of dailies → ~100 KB per key). The fold order
-  * is the day order — identical to the DuckDB recursive-CTE oracle's
-  * join order — and every step is the same IEEE double expression with
-  * the same operand order, so batch, stream
+  * volume), so collecting each key's bar array and folding it
+  * executor-locally is one groupBy shuffle of |keys|·|days| bar rows.
+  * The PRODUCTION fold is an O(L) Scala loop UDF over the collected
+  * close array (one UDF call per KEY, so losing codegen costs nothing);
+  * the `aggregate` higher-order Column fold is kept as the spec-pinned
+  * REFERENCE form — its concat-append is O(L²) element copies per key,
+  * harmless at calendar-bounded L but superlinear for multi-decade
+  * histories (the round-7 ADVICE item this closes). The fold order is
+  * the day order — identical to the DuckDB recursive-CTE oracle's join
+  * order — and every step is the same IEEE double expression with the
+  * same operand order, so batch (both forms), stream
   * (graft.streaming.Streams.streamingEmaMacd / streamingWilderRsi) and
-  * oracle agree bit-for-bit.
+  * oracle agree bit-for-bit (Wave19Spec pins loop == HOF == step
+  * function; the driver oracle re-proves loop == DuckDB at three SFs).
   *
   * Seeding conventions (pinned in all three engines): EMA seeds at the
   * first close (EMA_1 = c_1), the MACD signal seeds at the first MACD
@@ -48,13 +53,23 @@ object Breadth19 {
       .groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(col("day"), col("close")))).as("__bars"))
 
+  /** Per-step results of the linear folds — same field names as the HOF
+    * forms' structs so both paths share one emit expression. */
+  private[graft] case class MacdStep(e12: Double, e26: Double, sig: Double)
+  private[graft] case class WilderStep(c: Long, sg: Long, sl: Long,
+                                       ag: Option[Double], al: Option[Double])
+  private[graft] case class KeltnerStep(c: Long, ema: Double, trs: Long,
+                                        atr: Option[Double])
+
   /** EMA(n) series per key over day-bar cent closes. Emitted `ema` is in
-    * the PRICE domain (one terminal /100.0, mirrored by the oracle). */
+    * the PRICE domain (one terminal /100.0, mirrored by the oracle).
+    * `linear = true` (production) folds with an O(L) Scala loop;
+    * `false` uses the O(L²)-append `aggregate` reference form. */
   private[graft] def emaSeries(df: DataFrame, keyCol: String, tsCol: String,
                                valCol: String, tieBreak: String,
-                               n: Int): DataFrame = {
+                               n: Int, linear: Boolean = true): DataFrame = {
     val a = 2.0 / (n + 1.0)
-    val emas = aggregate(
+    val hof = aggregate(
       col("__bars"),
       expr("CAST(array() AS ARRAY<DOUBLE>)"),
       (acc, x) => {
@@ -63,6 +78,18 @@ object Breadth19 {
           when(size(acc) === 0, c)
             .otherwise(lit(a) * c + lit(1.0 - a) * element_at(acc, -1))))
       })
+    val loop = udf { (closes: Seq[Long]) =>
+      val out = new Array[Double](closes.length)
+      var i = 0
+      closes.foreach { cl =>
+        val c = cl.toDouble
+        out(i) = if (i == 0) c else a * c + (1.0 - a) * out(i - 1)
+        i += 1
+      }
+      out.toSeq
+    }
+    val emas =
+      if (linear) loop(transform(col("__bars"), _.getField("close"))) else hof
     barArrays(df, keyCol, tsCol, valCol, tieBreak)
       .withColumn("__e", emas)
       .select(col(keyCol), explode(zip_with(col("__bars"), col("__e"),
@@ -76,8 +103,9 @@ object Breadth19 {
     * through ONE fold (the signal recurrence reads the same step's new
     * fast/slow values — exactly the recursive CTE's shape). */
   private[graft] def macdSeries(df: DataFrame, keyCol: String, tsCol: String,
-                                valCol: String, tieBreak: String): DataFrame = {
-    val macds = aggregate(
+                                valCol: String, tieBreak: String,
+                                linear: Boolean = true): DataFrame = {
+    val hof = aggregate(
       col("__bars"),
       expr("CAST(array() AS ARRAY<STRUCT<e12: DOUBLE, e26: DOUBLE, sig: DOUBLE>>)"),
       (acc, x) => {
@@ -91,6 +119,23 @@ object Breadth19 {
           .otherwise(lit(A9) * (e12 - e26) + lit(1.0 - A9) * prev.getField("sig"))
         concat(acc, array(struct(e12.as("e12"), e26.as("e26"), sig.as("sig"))))
       })
+    val loop = udf { (closes: Seq[Long]) =>
+      var e12 = 0.0; var e26 = 0.0; var sig = 0.0
+      var i = 0
+      closes.map { cl =>
+        val c = cl.toDouble
+        if (i == 0) { e12 = c; e26 = c; sig = 0.0 }
+        else {
+          e12 = A12 * c + (1.0 - A12) * e12
+          e26 = A26 * c + (1.0 - A26) * e26
+          sig = A9 * (e12 - e26) + (1.0 - A9) * sig
+        }
+        i += 1
+        MacdStep(e12, e26, sig)
+      }
+    }
+    val macds =
+      if (linear) loop(transform(col("__bars"), _.getField("close"))) else hof
     barArrays(df, keyCol, tsCol, valCol, tieBreak)
       .withColumn("__m", macds)
       .select(col(keyCol), explode(zip_with(col("__bars"), col("__m"),
@@ -111,9 +156,10 @@ object Breadth19 {
     * warm-up (exact), the classic (prev·13 + x)/14 recurrence after.
     * Null until the 15th bar — the warm-up period is unscored. */
   private[graft] def wilderRsiSeries(df: DataFrame, keyCol: String, tsCol: String,
-                                     valCol: String, tieBreak: String): DataFrame = {
+                                     valCol: String, tieBreak: String,
+                                     linear: Boolean = true): DataFrame = {
     val n = RsiN
-    val accs = aggregate(
+    val hof = aggregate(
       col("__bars"),
       expr("CAST(array() AS ARRAY<STRUCT<c: BIGINT, sg: BIGINT, sl: BIGINT, " +
         "ag: DOUBLE, al: DOUBLE>>)"),
@@ -138,6 +184,33 @@ object Breadth19 {
           ag.as("ag"), al.as("al"))
         concat(acc, array(when(size(acc) === 0, first).otherwise(step)))
       })
+    val loop = udf { (closes: Seq[Long]) =>
+      var lastC = 0L; var sg = 0L; var sl = 0L
+      var ag: Option[Double] = None; var al: Option[Double] = None
+      var i = 0
+      closes.map { c =>
+        if (i > 0) {
+          val d = c - lastC
+          val g = math.max(d, 0L)
+          val l = math.max(-d, 0L)
+          val j = i.toLong // 1-based diff index of this step
+          sg += g
+          sl += l
+          if (j < n) { ag = None; al = None }
+          else if (j == n) {
+            ag = Some(sg.toDouble / 14.0); al = Some(sl.toDouble / 14.0)
+          } else {
+            ag = Some((ag.get * 13.0 + g.toDouble) / 14.0)
+            al = Some((al.get * 13.0 + l.toDouble) / 14.0)
+          }
+        }
+        lastC = c
+        i += 1
+        WilderStep(c, sg, sl, ag, al)
+      }
+    }
+    val accs =
+      if (linear) loop(transform(col("__bars"), _.getField("close"))) else hof
     barArrays(df, keyCol, tsCol, valCol, tieBreak)
       .withColumn("__w", accs)
       .select(col(keyCol), explode(zip_with(col("__bars"), col("__w"),
@@ -165,13 +238,14 @@ object Breadth19 {
     * Breakout comparisons happen on the cents-domain doubles BEFORE the
     * terminal /100, with identical operand order in the oracle. */
   private[graft] def keltnerSeries(df: DataFrame, keyCol: String, tsCol: String,
-                                   valCol: String, tieBreak: String): DataFrame = {
+                                   valCol: String, tieBreak: String,
+                                   linear: Boolean = true): DataFrame = {
     val n = AtrN
     val byKey = Breadth13.dayBarsCents(df, keyCol, tsCol, valCol, tieBreak)
       .groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(col("day"), col("close"),
         col("high"), col("low")))).as("__bars"))
-    val accs = aggregate(
+    val hof = aggregate(
       col("__bars"),
       expr("CAST(array() AS ARRAY<STRUCT<c: BIGINT, ema: DOUBLE, " +
         "trs: BIGINT, atr: DOUBLE>>)"),
@@ -193,6 +267,32 @@ object Breadth19 {
         concat(acc, array(struct(c.as("c"), ema.as("ema"),
           trs.as("trs"), atr.as("atr"))))
       })
+    val loop = udf { (cs: Seq[Long], hs: Seq[Long], ls: Seq[Long]) =>
+      var lastC = 0L; var ema = 0.0; var trs = 0L
+      var atr: Option[Double] = None
+      var i = 0
+      cs.indices.map { k =>
+        val c = cs(k); val h = hs(k); val l = ls(k)
+        val tr =
+          if (i == 0) h - l
+          else math.max(h - l, math.max(math.abs(h - lastC), math.abs(l - lastC)))
+        ema = if (i == 0) c.toDouble else A20 * c.toDouble + (1.0 - A20) * ema
+        trs = if (i == 0) tr else trs + tr
+        atr =
+          if (i + 1 < n) None
+          else if (i + 1 == n) Some(trs.toDouble / 10.0)
+          else Some((atr.get * 9.0 + tr.toDouble) / 10.0)
+        lastC = c
+        i += 1
+        KeltnerStep(c, ema, trs, atr)
+      }
+    }
+    val accs =
+      if (linear) loop(
+        transform(col("__bars"), _.getField("close")),
+        transform(col("__bars"), _.getField("high")),
+        transform(col("__bars"), _.getField("low")))
+      else hof
     byKey.withColumn("__k", accs)
       .select(col(keyCol), explode(zip_with(col("__bars"), col("__k"),
         (b, s) => {

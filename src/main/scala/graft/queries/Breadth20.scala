@@ -35,10 +35,17 @@ object Breadth20 {
     * a gap never fabricates a multi-day "move". Both moments are
     * integer cross-multiplied sums; one terminal division. Keys whose
     * market-move variance is 0 are unscored. Int64 headroom: with
-    * |keys| ~ 10⁶ the market diff M ~ 10¹⁰ makes n·ΣM² overflow —
-    * re-base M to thousandths of the cent sum (or widen to double) at
-    * that breadth; at dashboard scale (10²–10⁴ keys) the integer path
-    * holds with room. */
+    * |keys| ~ 10⁶ the market diff M ~ 10¹⁰ makes M², ΣM² and n·ΣM²
+    * overflow — re-base M to thousandths of the cent sum (or widen to
+    * double) at that breadth; at dashboard scale (10²–10⁴ keys) the
+    * integer path holds with room. The headroom is GUARDED, not just
+    * documented: the quadratic moments are recomputed in
+    * DecimalType(38,0) alongside the int64 path and any divergence
+    * (per-row product wrap, sum wrap, or final cross-product wrap)
+    * raises — non-ANSI Spark would otherwise wrap silently where the
+    * DuckDB oracle errors, breaking batch/oracle parity without a
+    * signal. Cost: one extra decimal aggregate over the bar-sized
+    * (|keys|·|days|) diff frame, nothing on the tick path. */
   private[graft] def marketBeta(df: DataFrame, keyCol: String, tsCol: String,
                                 valCol: String, tieBreak: String): DataFrame = {
     val bars = Breadth13.dayBarsCents(df, keyCol, tsCol, valCol, tieBreak)
@@ -49,16 +56,31 @@ object Breadth20 {
     val diffs = cur.join(prev, Seq(keyCol, "day"))
       .select(col(keyCol), col("day"), (col("__c1") - col("__c0")).as("__x"))
     val mkt = diffs.groupBy(col("day")).agg(sum(col("__x")).as("__m"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def wide(c: Column): Column = c.cast(dec)
     val g = diffs.join(mkt, Seq("day"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_days"),
         sum(col("__x")).as("__sx"), sum(col("__m")).as("__sm"),
         sum(col("__x") * col("__m")).as("__sxm"),
-        sum(col("__m") * col("__m")).as("__smm"))
+        sum(col("__m") * col("__m")).as("__smm"),
+        // decimal twins of the quadratic moments: catch per-row product
+        // and sum wrap (x, m are day-scale so Σx/Σm are linear-safe)
+        sum(wide(col("__x")) * wide(col("__m"))).as("__sxmW"),
+        sum(wide(col("__m")) * wide(col("__m"))).as("__smmW"))
     val num = col("n_days") * col("__sxm") - col("__sx") * col("__sm")
     val den = col("n_days") * col("__smm") - col("__sm") * col("__sm")
+    val numW = wide(col("n_days")) * col("__sxmW") - wide(col("__sx")) * wide(col("__sm"))
+    val denW = wide(col("n_days")) * col("__smmW") - wide(col("__sm")) * wide(col("__sm"))
+    // null-safe: a decimal-side overflow past precision 38 nulls the
+    // wide value — treat that as divergence too, never as agreement
+    val ok = coalesce(num.cast(dec) === numW && den.cast(dec) === denW, lit(false))
     g.select(col(keyCol), col("n_days"),
-      when(den > 0, num.cast("double") / den.cast("double")).as("beta"))
+      when(!ok, raise_error(concat(
+        lit("marketBeta: int64 overflow in moment arithmetic for key "),
+        col(keyCol).cast("string"),
+        lit(" — re-base the market move to coarser units"))).cast("double"))
+        .when(den > 0, num.cast("double") / den.cast("double")).as("beta"))
   }
 
   /** Amihud-style illiquidity per key: aggregate price impact

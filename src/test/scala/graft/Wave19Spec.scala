@@ -118,6 +118,28 @@ class Wave19Spec extends SparkSpec {
     assert(got(12)._2 === Some(1.0))
   }
 
+  test("O(L) loop folds == the O(L²) HOF reference folds, bit-for-bit " +
+    "(fixture + real sf0.001 data) — the production path vs the spec form") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id", "day").collect().toSeq
+    val fixture = ticks(dailySeries(1L, Seq(10.0, 12.0, 11.0, 15.0, 14.5,
+      9.0, 9.25, 13.0, 13.5, 12.75, 12.0, 16.0, 15.5, 15.25, 17.0, 16.5)))
+    for (df <- Seq(fixture, Tables.events(spark, sf0001))) {
+      assert(rows(Breadth19.emaSeries(df, "user_id", "ts", "value", "event_id", 20)) ===
+        rows(Breadth19.emaSeries(df, "user_id", "ts", "value", "event_id", 20,
+          linear = false)))
+      assert(rows(Breadth19.macdSeries(df, "user_id", "ts", "value", "event_id")) ===
+        rows(Breadth19.macdSeries(df, "user_id", "ts", "value", "event_id",
+          linear = false)))
+      assert(rows(Breadth19.wilderRsiSeries(df, "user_id", "ts", "value", "event_id")) ===
+        rows(Breadth19.wilderRsiSeries(df, "user_id", "ts", "value", "event_id",
+          linear = false)))
+      assert(rows(Breadth19.keltnerSeries(df, "user_id", "ts", "value", "event_id")) ===
+        rows(Breadth19.keltnerSeries(df, "user_id", "ts", "value", "event_id",
+          linear = false)))
+    }
+  }
+
   test("Graft wave-19 facade methods match their oracle-checked queries") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSeq
     val e = Tables.events(spark, sf0001)

@@ -32,6 +32,37 @@ class Wave20Spec extends SparkSpec {
     assert(math.abs(got(1)._3.get - 2.0 / 3.0) < 1e-12)
   }
 
+  test("marketBeta: int64 moment overflow raises loudly instead of wrapping " +
+    "(the decimal-twin guard) — and the guard is silent at sane magnitudes") {
+    // one key, day-over-day cent diff ~5e9 -> market move m = 5e9,
+    // m*m = 2.5e19 > Long.MaxValue: the int64 path wraps, the
+    // DecimalType(38,0) twin does not -> divergence must raise
+    val rows = Seq(
+      (1L, 0.0, 1L, "2024-01-01 10:00:00"),
+      (1L, 5.0e7, 2L, "2024-01-02 10:00:00"),
+      (1L, 0.0, 3L, "2024-01-03 10:00:00"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // ANSI on (the Spark 4 default, what Verify/Bench run with): the
+    // int64 multiply itself raises before the guard is consulted
+    val ansiEx = intercept[Exception] {
+      Breadth20.marketBeta(ticks(rows), "user_id", "ts", "value",
+        "event_id").collect()
+    }
+    assert(msgs(ansiEx).exists(_.toLowerCase.contains("overflow")),
+      ansiEx.toString)
+    // ANSI off (the silent-wrap mode the round-7 ADVICE flagged): the
+    // decimal-twin guard must turn the wrap into a loud raise
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val ex = intercept[Exception] {
+        Breadth20.marketBeta(ticks(rows), "user_id", "ts", "value",
+          "event_id").collect()
+      }
+      assert(msgs(ex).exists(_.contains("int64 overflow")), ex.toString)
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+  }
+
   test("marketBeta: non-consecutive days never pair (a gap is not a move)") {
     // days 1 and 3 only -> no calendar-consecutive pair -> key unscored
     val got = Breadth20.marketBeta(ticks(Seq(
