@@ -530,6 +530,54 @@ object Graft {
       : org.apache.spark.sql.Dataset[streaming.WilderScored] =
     streaming.Streams.streamingWilderRsi(bars)
 
+  /** Donchian channel per key: `w`-day PRIOR high/low band (integer
+    * cents) + breakout flags; midline is the band's one terminal
+    * division. */
+  def donchian(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+               tieBreak: String, w: Int = queries.Breadth21.W): DataFrame =
+    queries.Breadth21.donchian(df, keyCol, tsCol, valCol, tieBreak, w)
+
+  /** Williams %R per key over the trailing `w`-day range (current bar
+    * included) — one division of integer cent differences. */
+  def williamsR(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                tieBreak: String, w: Int = queries.Breadth21.W): DataFrame =
+    queries.Breadth21.williamsR(df, keyCol, tsCol, valCol, tieBreak, w)
+
+  /** Vortex VI+/VI− per key over the trailing `w` diff bars — integer
+    * range-movement and true-range sums, two terminal divisions. */
+  def vortex(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+             tieBreak: String, w: Int = queries.Breadth21.W): DataFrame =
+    queries.Breadth21.vortex(df, keyCol, tsCol, valCol, tieBreak, w)
+
+  /** Money Flow Index per key over the trailing `w` diff bars: ×3
+    * typical-price flows weighted by the JSON quantity prop, one
+    * terminal division. */
+  def mfi(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+          tieBreak: String, qtyJsonField: String = "k",
+          w: Int = queries.Breadth21.W): DataFrame =
+    queries.Breadth21.mfi(df, keyCol, tsCol, valCol, tieBreak, qtyJsonField, w)
+
+  /** CCI per key over the trailing `w` bars — the textbook mean-
+    * deviation form integer-rescaled by n², one terminal division. */
+  def cci(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+          tieBreak: String, w: Int = queries.Breadth21.W): DataFrame =
+    queries.Breadth21.cci(df, keyCol, tsCol, valCol, tieBreak, w)
+
+  /** Wilder's directional movement system per key (DI+/DI−, DX,
+    * ADX) — the trend-strength recurrence-of-a-recurrence, one O(L)
+    * fold per key over calendar-bounded day bars. */
+  def adx(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+          tieBreak: String): DataFrame =
+    queries.Breadth22.adxSeries(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Streaming twin of [[adx]] over the finalized OHLC day-bar stream:
+    * the whole directional-movement accumulator as O(1) keyed state,
+    * running the SAME step function as the batch fold. Spec-pinned —
+    * see streaming.Streams.streamingAdx. */
+  def liveAdx(bars: org.apache.spark.sql.Dataset[streaming.OhlcBarRow])
+      : org.apache.spark.sql.Dataset[streaming.AdxScored] =
+    streaming.Streams.streamingAdx(bars)
+
   // ---- live quote pipeline (the reference ETL, end to end) ------------
 
   /** One poll of the upstream quote API staged into the tick log the

@@ -126,6 +126,19 @@ case class SharpeAcc(lastClose: Long, nDays: Long, sx: Long, sxx: Long)
 case class SharpeScored(user_id: Long, day: java.time.LocalDate,
                         n_days: Long, sharpe_daily: Option[Double])
 
+/** One finalized OHLC day bar — the input row of the recurrence twins
+  * that need the full bar (ADX directional movement reads high/low, not
+  * just close). */
+case class OhlcBarRow(user_id: Long, day: java.time.LocalDate,
+                      close_cents: Long, high_cents: Long, low_cents: Long)
+
+/** One scored bar from the live ADX screen (append stream): DI± when
+  * the smoothed TR is positive, this bar's DX, ADX on DX-defined bars —
+  * all None during warm-up, bit-equal to the batch q_adx row. */
+case class AdxScored(user_id: Long, day: java.time.LocalDate,
+                     di_plus: Option[Double], di_minus: Option[Double],
+                     dx: Option[Double], adx: Option[Double])
+
 /** One scored bar from the live Wilder-RSI screen (append stream);
   * rsi_wilder is None during the 14-diff warm-up — the batch null. */
 case class WilderScored(user_id: Long, day: java.time.LocalDate,
@@ -669,6 +682,20 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Streaming twin of the batch q_adx recurrence-of-a-recurrence: the
+    * whole directional-movement accumulator (last bar, warm-up sums, the
+    * three Wilder averages, the DX-series smoothing) as ONE O(1) keyed
+    * state row over the finalized OHLC day-bar stream. The step function
+    * IS the batch fold's (graft.queries.Breadth22.adxStep), so stream ==
+    * batch bit-for-bit by construction (append mode — one scored row per
+    * bar). */
+  def streamingAdx(ds: Dataset[OhlcBarRow]): Dataset[AdxScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new AdxProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** One keyed step of the Sharpe fold (integer moments only). */
   private[graft] def sharpeStep(st: Option[SharpeAcc], closeCents: Long): SharpeAcc =
     st match {
@@ -1065,6 +1092,49 @@ abstract class BarFoldProcessor[A, O](stateName: String,
     }
     st.foreach(acc.update)
     out.result().iterator
+  }
+}
+
+/** BarFoldProcessor's OHLC sibling: the same scalar-accumulator-per-key
+  * shape over full [[OhlcBarRow]] bars (for recurrences that read
+  * high/low, not just close). */
+abstract class OhlcBarFoldProcessor[A, O](stateName: String,
+    enc: org.apache.spark.sql.Encoder[A])
+    extends StatefulProcessor[Long, OhlcBarRow, O] {
+  @transient private var acc: ValueState[A] = _
+
+  protected def step(st: Option[A], b: OhlcBarRow): A
+  protected def score(user: Long, b: OhlcBarRow, a: A): O
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState[A](stateName, enc, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, bars: Iterator[OhlcBarRow],
+                               timerValues: TimerValues): Iterator[O] = {
+    var st = if (acc.exists()) Some(acc.get()) else None
+    val out = Seq.newBuilder[O]
+    bars.toSeq.sortBy(_.day.toEpochDay).foreach { b =>
+      val a = step(st, b)
+      st = Some(a)
+      out += score(user, b, a)
+    }
+    st.foreach(acc.update)
+    out.result().iterator
+  }
+}
+
+/** Keyed processor behind [[Streams.streamingAdx]] — the batch step and
+  * emit expressions verbatim (graft.queries.Breadth22). */
+class AdxProcessor
+    extends OhlcBarFoldProcessor[graft.queries.Breadth22.AdxAcc, AdxScored](
+      "adx", org.apache.spark.sql.Encoders.product[graft.queries.Breadth22.AdxAcc]) {
+  protected def step(st: Option[graft.queries.Breadth22.AdxAcc],
+                     b: OhlcBarRow): graft.queries.Breadth22.AdxAcc =
+    graft.queries.Breadth22.adxStep(st, b.high_cents, b.low_cents, b.close_cents)
+  protected def score(user: Long, b: OhlcBarRow,
+                      a: graft.queries.Breadth22.AdxAcc): AdxScored = {
+    val (dip, dim, dx, adx) = graft.queries.Breadth22.adxOut(a)
+    AdxScored(user, b.day, dip, dim, dx, adx)
   }
 }
 

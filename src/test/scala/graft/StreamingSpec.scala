@@ -913,6 +913,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingAdx == batch q_adx bit-for-bit, the bar series split " +
+    "across micro-batches (incl. the DX and ADX warm-up boundaries)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.OhlcBarRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // 10 OHLC day bars with direction reversals (h >= c >= l so a
+      // three-tick day reproduces the bar exactly: high, low, close)
+      val bars = Seq( // (close, high, low) cents
+        (1000L, 1050L, 980L), (1100L, 1120L, 990L), (1050L, 1130L, 1040L),
+        (1200L, 1210L, 1000L), (1150L, 1260L, 1100L), (1080L, 1160L, 1020L),
+        (1220L, 1230L, 1060L), (1310L, 1340L, 1200L), (1260L, 1330L, 1220L),
+        (1380L, 1400L, 1250L))
+      val rows = bars.zipWithIndex.map { case ((c, h, l), i) =>
+        OhlcBarRow(1L, java.time.LocalDate.of(2024, 1, i + 1), c, h, l) }
+      val mem = MemoryStream[OhlcBarRow]
+      val q = Streams.streamingAdx(mem.toDS())
+        .writeStream.format("memory").queryName("adx_snap")
+        .outputMode("append").start()
+      // split 3/4/3 — the DX seed (bar 4) and ADX seed (bar 6) land on
+      // and inside batch 2
+      Seq(rows.take(3), rows.slice(3, 7), rows.drop(7)).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table("adx_snap")
+        .select("day", "di_plus", "di_minus", "dx", "adx")
+        .collect().map(r => (r.getDate(0).toString,
+          (1 to 4).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i)))))
+        .sortBy(_._1).toSeq
+      // the batch form over three-tick days: high first, low second,
+      // close last (so last_value = close, max = high, min = low)
+      val ticks = bars.zipWithIndex.flatMap { case ((c, h, l), i) =>
+        Seq((1L, h.toDouble / 100.0, i * 10L + 1, f"2024-01-${i + 1}%02d 09:00:00"),
+          (1L, l.toDouble / 100.0, i * 10L + 2, f"2024-01-${i + 1}%02d 12:00:00"),
+          (1L, c.toDouble / 100.0, i * 10L + 3, f"2024-01-${i + 1}%02d 15:00:00"))
+      }.toDF("user_id", "value", "event_id", "at")
+        .withColumn("ts", to_timestamp_ntz(col("at"))).drop("at")
+      val want = Graft.adx(ticks, "user_id", "ts", "value", "event_id")
+        .select("day", "di_plus", "di_minus", "dx", "adx")
+        .collect().map(r => (r.getDate(0).toString,
+          (1 to 4).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i)))))
+        .sortBy(_._1).toSeq
+      assert(got === want, "adx stream vs batch")
+      // boundary sanity: DX first defined at bar 4, ADX at bar 6
+      assert(got.take(3).forall(_._2(2).isEmpty))
+      assert(got(3)._2(2).isDefined && got(4)._2(3).isEmpty && got(5)._2(3).isDefined)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streamingEmaMacd / streamingWilderRsi == batch recurrences bit-for-bit, " +
     "the series split across micro-batches (incl. the RSI warm-up boundary)") {
     implicit val sqlCtx = spark.sqlContext
