@@ -578,6 +578,27 @@ object Graft {
       : org.apache.spark.sql.Dataset[streaming.AdxScored] =
     streaming.Streams.streamingAdx(bars)
 
+  /** Fixed-iteration integer PageRank over a (src, dst) edge frame —
+    * micro-rank units, floor-division damping, bit-exact on any
+    * cluster (no float mass to drift). */
+  def pageRank(edges: DataFrame, iters: Int = queries.Extensions11.PrIters)
+      : DataFrame =
+    queries.Extensions11.pageRank(edges, iters)
+
+  /** Int8 scalar quantization of an embedding column (per-vector
+    * max-abs scale): emits the dequantized double vectors the scoring
+    * math runs on — the 4× ANN memory cut. */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    queries.Extensions11.quantizeInt8(emb, idCol, vecCol)
+
+  /** Signed feature hashing of token streams into a fixed bucket
+    * space — sparse (doc, bucket, weight) rows, no vocabulary build. */
+  def featureHash(docs: DataFrame, textCol: String = "text",
+                  idCol: String = "doc_id",
+                  buckets: Long = queries.Extensions11.FeatBuckets): DataFrame =
+    queries.Extensions11.featureHash(docs, textCol, idCol, buckets)
+
   // ---- live quote pipeline (the reference ETL, end to end) ------------
 
   /** One poll of the upstream quote API staged into the tick log the

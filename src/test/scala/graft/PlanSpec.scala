@@ -368,4 +368,54 @@ class PlanSpec extends SparkSpec {
         s"$q: single-partition window not fed by an aggregate\n${p.take(800)}")
     }
   }
+
+  test("wave-21 channel/oscillator indicators shuffle the series key at " +
+    "most twice and never through a single-partition stage") {
+    for (q <- Seq("q_donchian", "q_williams_r", "q_vortex", "q_cci")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf0001))
+      // one (key, day) exchange for the bar build, one key exchange for
+      // the indicator window; the orderBy adds a range exchange only
+      val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+      assert(hashEx <= 2, s"$q: expected <=2 key hash exchanges, got $hashEx\n${p.take(800)}")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q: indicator must stay per-key distributed\n${p.take(800)}")
+    }
+    // mfi adds the (key, day) quantity equi-join — still key-distributed
+    val p = plan(SparkEntry.queries("q_mfi")(spark, sf0001))
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+  }
+
+  test("q_adx folds per key like the EMA family: <=2 key exchanges, " +
+    "no single-partition stage") {
+    val p = plan(SparkEntry.queries("q_adx")(spark, sf0001))
+    val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(hashEx <= 2, s"expected <=2 key hash exchanges, got $hashEx\n${p.take(800)}")
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+  }
+
+  test("q_pagerank_int reuses the persisted edge/outdeg frames across " +
+    "iterations and broadcasts the dangling-mass scalar") {
+    val p = plan(SparkEntry.queries("q_pagerank_int")(spark, sf0001))
+    // persisted edges surface as InMemoryTableScan wherever an iteration
+    // consumes them (the InMemoryRelation repr embeds the original scan,
+    // so a raw "Scan parquet" count is not meaningful here)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 5, p.take(800))
+    // the one-row dangling-mass / N frames ride broadcast joins
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("q_embed_quant broadcasts the probe side like the other ANN " +
+    "queries — never a shuffled cartesian") {
+    val p = plan(SparkEntry.queries("q_embed_quant")(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("q_feat_hash aggregates with a map-side partial and exactly one " +
+    "(doc, bucket) exchange — the hashing trick is one pass") {
+    val p = plan(SparkEntry.queries("q_feat_hash")(spark, sf0001))
+    assert(p.contains("partial_sum"), s"no map-side partial\n${p.take(800)}")
+    val hashEx = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(hashEx === 1, s"expected 1 (doc,bucket) exchange, got $hashEx\n${p.take(800)}")
+  }
 }
