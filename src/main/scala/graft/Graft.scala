@@ -592,6 +592,31 @@ object Graft {
                    vecCol: String = "embedding"): DataFrame =
     queries.Extensions11.quantizeInt8(emb, idCol, vecCol)
 
+  /** True strength index per key: double EMA smoothing (13, 25) of the
+    * day-over-day momentum and its absolute value, one O(L) fold per
+    * key over calendar-bounded day bars. */
+  def tsi(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+          tieBreak: String): DataFrame =
+    queries.Breadth23.tsiSeries(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Supertrend per key: Wilder ATR-3 bands with the classic ratchet
+    * and flip rule — the trailing-stop overlay. */
+  def supertrend(df: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth23.supertrendSeries(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Streaming twin of [[tsi]] over the finalized day-bar stream —
+    * runs the SAME step function as the batch fold. Spec-pinned. */
+  def liveTsi(bars: org.apache.spark.sql.Dataset[streaming.BarRow])
+      : org.apache.spark.sql.Dataset[streaming.TsiScored] =
+    streaming.Streams.streamingTsi(bars)
+
+  /** Streaming twin of [[supertrend]] over the finalized OHLC day-bar
+    * stream — the SAME step function as the batch fold. Spec-pinned. */
+  def liveSupertrend(bars: org.apache.spark.sql.Dataset[streaming.OhlcBarRow])
+      : org.apache.spark.sql.Dataset[streaming.SupertrendScored] =
+    streaming.Streams.streamingSupertrend(bars)
+
   /** Signed feature hashing of token streams into a fixed bucket
     * space — sparse (doc, bucket, weight) rows, no vocabulary build. */
   def featureHash(docs: DataFrame, textCol: String = "text",

@@ -139,6 +139,21 @@ case class AdxScored(user_id: Long, day: java.time.LocalDate,
                      di_plus: Option[Double], di_minus: Option[Double],
                      dx: Option[Double], adx: Option[Double])
 
+/** One scored bar from the live TSI screen (append stream); None on the
+  * first bar and for flat histories — the batch q_tsi null. */
+case class TsiScored(user_id: Long, day: java.time.LocalDate,
+                     close_cents: Long, tsi: Option[Double])
+
+/** One scored bar from the live Supertrend screen (append stream); all
+  * None during the ATR warm-up (the batch form DROPS those rows — filter
+  * on atr.isDefined to align row sets). */
+case class SupertrendScored(user_id: Long, day: java.time.LocalDate,
+                            close_cents: Long, atr: Option[Double],
+                            band_upper: Option[Double],
+                            band_lower: Option[Double],
+                            trend: Option[String],
+                            supertrend: Option[Double])
+
 /** One scored bar from the live Wilder-RSI screen (append stream);
   * rsi_wilder is None during the 14-diff warm-up — the batch null. */
 case class WilderScored(user_id: Long, day: java.time.LocalDate,
@@ -696,6 +711,27 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Streaming twin of the batch q_tsi double-smoothed momentum: one
+    * TsiAcc per key (previous close + four EMA values), the SAME step
+    * function as the batch fold (append mode — one row per bar). */
+  def streamingTsi(ds: Dataset[BarRow]): Dataset[TsiScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new TsiProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Streaming twin of the batch q_supertrend ratcheted bands: one
+    * StAcc per key over the OHLC day-bar stream, the SAME step function
+    * as the batch fold (append mode — one row per bar, warm-up rows
+    * all-None). */
+  def streamingSupertrend(ds: Dataset[OhlcBarRow]): Dataset[SupertrendScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new SupertrendProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** One keyed step of the Sharpe fold (integer moments only). */
   private[graft] def sharpeStep(st: Option[SharpeAcc], closeCents: Long): SharpeAcc =
     st match {
@@ -1136,6 +1172,35 @@ class AdxProcessor
     val (dip, dim, dx, adx) = graft.queries.Breadth22.adxOut(a)
     AdxScored(user, b.day, dip, dim, dx, adx)
   }
+}
+
+/** Keyed processor behind [[Streams.streamingTsi]] — the batch step and
+  * emit expressions verbatim (graft.queries.Breadth23). */
+class TsiProcessor
+    extends BarFoldProcessor[graft.queries.Breadth23.TsiAcc, TsiScored](
+      "tsi", org.apache.spark.sql.Encoders.product[graft.queries.Breadth23.TsiAcc]) {
+  protected def step(st: Option[graft.queries.Breadth23.TsiAcc],
+                     closeCents: Long): graft.queries.Breadth23.TsiAcc =
+    graft.queries.Breadth23.tsiStep(st, closeCents)
+  protected def score(user: Long, b: BarRow,
+                      a: graft.queries.Breadth23.TsiAcc): TsiScored =
+    TsiScored(user, b.day, b.close_cents, graft.queries.Breadth23.tsiOut(a))
+}
+
+/** Keyed processor behind [[Streams.streamingSupertrend]] — the batch
+  * step and emit expressions verbatim (graft.queries.Breadth23). */
+class SupertrendProcessor
+    extends OhlcBarFoldProcessor[graft.queries.Breadth23.StAcc, SupertrendScored](
+      "supertrend", org.apache.spark.sql.Encoders.product[graft.queries.Breadth23.StAcc]) {
+  protected def step(st: Option[graft.queries.Breadth23.StAcc],
+                     b: OhlcBarRow): graft.queries.Breadth23.StAcc =
+    graft.queries.Breadth23.supertrendStep(st, b.high_cents, b.low_cents,
+      b.close_cents)
+  protected def score(user: Long, b: OhlcBarRow,
+                      a: graft.queries.Breadth23.StAcc): SupertrendScored =
+    SupertrendScored(user, b.day, b.close_cents, a.atr, a.fub, a.flb,
+      a.up.map(u => if (u) "up" else "down"),
+      a.up.map(u => if (u) a.flb.get else a.fub.get))
 }
 
 /** Keyed processor behind [[Streams.streamingZscore]]: ONE ≤6-deep value

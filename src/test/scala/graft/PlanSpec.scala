@@ -385,12 +385,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p.take(800))
   }
 
-  test("q_adx folds per key like the EMA family: <=2 key exchanges, " +
-    "no single-partition stage") {
-    val p = plan(SparkEntry.queries("q_adx")(spark, sf0001))
-    val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
-    assert(hashEx <= 2, s"expected <=2 key hash exchanges, got $hashEx\n${p.take(800)}")
-    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+  test("q_adx, q_tsi and q_supertrend fold per key like the EMA family: " +
+    "<=2 key exchanges, no single-partition stage") {
+    for (q <- Seq("q_adx", "q_tsi", "q_supertrend")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf0001))
+      val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+      assert(hashEx <= 2, s"$q: expected <=2 key hash exchanges, got $hashEx\n${p.take(800)}")
+      assert(!p.contains("Exchange SinglePartition"), s"$q\n${p.take(800)}")
+    }
   }
 
   test("q_pagerank_int reuses the persisted edge/outdeg frames across " +

@@ -970,6 +970,72 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingTsi / streamingSupertrend == batch recurrences bit-for-bit " +
+    "across micro-batch splits (incl. the supertrend band seed boundary)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{BarRow, OhlcBarRow}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val bars = Seq( // (close, high, low) cents, with reversals
+        (1000L, 1050L, 980L), (1100L, 1120L, 990L), (1050L, 1130L, 1040L),
+        (1200L, 1210L, 1000L), (1150L, 1260L, 1100L), (1080L, 1160L, 1020L),
+        (1220L, 1230L, 1060L), (1310L, 1340L, 1200L), (1260L, 1330L, 1220L),
+        (1380L, 1400L, 1250L))
+      val tsiRows = bars.zipWithIndex.map { case ((c, _, _), i) =>
+        BarRow(1L, java.time.LocalDate.of(2024, 1, i + 1), c) }
+      val stRows = bars.zipWithIndex.map { case ((c, h, l), i) =>
+        OhlcBarRow(1L, java.time.LocalDate.of(2024, 1, i + 1), c, h, l) }
+      val memT = MemoryStream[BarRow]
+      val qt = Streams.streamingTsi(memT.toDS())
+        .writeStream.format("memory").queryName("tsi_snap")
+        .outputMode("append").start()
+      val memS = MemoryStream[OhlcBarRow]
+      val qs = Streams.streamingSupertrend(memS.toDS())
+        .writeStream.format("memory").queryName("st_snap")
+        .outputMode("append").start()
+      // split 2/5/3 — the ATR/band seed (bar 3) lands at a batch head
+      Seq(0 until 2, 2 until 7, 7 until 10).foreach { rg =>
+        memT.addData(rg.map(tsiRows): _*); qt.processAllAvailable()
+        memS.addData(rg.map(stRows): _*); qs.processAllAvailable()
+      }
+      qt.stop(); qs.stop()
+      val ticks = bars.zipWithIndex.flatMap { case ((c, h, l), i) =>
+        Seq((1L, h.toDouble / 100.0, i * 10L + 1, f"2024-01-${i + 1}%02d 09:00:00"),
+          (1L, l.toDouble / 100.0, i * 10L + 2, f"2024-01-${i + 1}%02d 12:00:00"),
+          (1L, c.toDouble / 100.0, i * 10L + 3, f"2024-01-${i + 1}%02d 15:00:00"))
+      }.toDF("user_id", "value", "event_id", "at")
+        .withColumn("ts", to_timestamp_ntz(col("at"))).drop("at")
+      val gotT = spark.table("tsi_snap").select("day", "tsi")
+        .collect().map(r => (r.getDate(0).toString,
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)))).sortBy(_._1).toSeq
+      val wantT = Graft.tsi(ticks, "user_id", "ts", "value", "event_id")
+        .select("day", "tsi")
+        .collect().map(r => (r.getDate(0).toString,
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)))).sortBy(_._1).toSeq
+      assert(gotT === wantT, "tsi stream vs batch")
+      // batch supertrend drops warm-up rows; align by filtering the stream
+      val gotS = spark.table("st_snap").filter(col("atr").isNotNull)
+        .select("day", "atr", "band_upper", "band_lower", "trend", "supertrend")
+        .collect().map(r => (r.getDate(0).toString, r.getDouble(1),
+          r.getDouble(2), r.getDouble(3), r.getString(4), r.getDouble(5)))
+        .sortBy(_._1).toSeq
+      val wantS = Graft.supertrend(ticks, "user_id", "ts", "value", "event_id")
+        .select("day", "atr", "band_upper", "band_lower", "trend", "supertrend")
+        .collect().map(r => (r.getDate(0).toString, r.getDouble(1),
+          r.getDouble(2), r.getDouble(3), r.getString(4), r.getDouble(5)))
+        .sortBy(_._1).toSeq
+      assert(gotS === wantS, "supertrend stream vs batch")
+      assert(gotS.nonEmpty && gotS.size === 8) // 10 bars - 2 warm-up
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streamingEmaMacd / streamingWilderRsi == batch recurrences bit-for-bit, " +
     "the series split across micro-batches (incl. the RSI warm-up boundary)") {
     implicit val sqlCtx = spark.sqlContext
