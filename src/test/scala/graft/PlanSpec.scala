@@ -395,15 +395,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q_pagerank_int reuses the persisted edge/outdeg frames across " +
-    "iterations and broadcasts the dangling-mass scalar") {
+  test("q_pagerank_int truncates every iteration's lineage to a " +
+    "checkpointed rank frame — the final plan is a sort over a LogicalRDD, " +
+    "never the unrolled 5-deep join tree") {
     val p = plan(SparkEntry.queries("q_pagerank_int")(spark, sf0001))
-    // persisted edges surface as InMemoryTableScan wherever an iteration
-    // consumes them (the InMemoryRelation repr embeds the original scan,
-    // so a raw "Scan parquet" count is not meaningful here)
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 5, p.take(800))
-    // the one-row dangling-mass / N frames ride broadcast joins
-    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the rank frame the query sorts is the last iteration's local
+    // checkpoint: its plan shows ONLY the checkpoint scan — the join/agg
+    // machinery of the five iterations ran as bounded per-iteration jobs
+    // and must not survive into (= be re-derivable from) the final plan
+    assert(p.contains("Scan ExistingRDD"), p.take(800))
+    for (bad <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "InMemoryTableScan"))
+      assert(!p.contains(bad), s"$bad leaked into the final plan\n${p.take(800)}")
   }
 
   test("q_embed_quant broadcasts the probe side like the other ANN " +
