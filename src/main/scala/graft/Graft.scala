@@ -617,6 +617,36 @@ object Graft {
       : org.apache.spark.sql.Dataset[streaming.SupertrendScored] =
     streaming.Streams.streamingSupertrend(bars)
 
+  /** Ichimoku cloud per key: integer tenkan/kijun midlines, displaced
+    * senkou spans, lagging chikou close — pure windows over day bars. */
+  def ichimoku(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+               tieBreak: String): DataFrame =
+    queries.Breadth24.ichimoku(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Aroon up/down/oscillator per key: bars since the window's most
+    * recent highest high / lowest low, scaled to 0..100 integers. */
+  def aroon(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+            tieBreak: String): DataFrame =
+    queries.Breadth24.aroon(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Heikin-Ashi smoothed candles per key: the dyadic midpoint
+    * recurrence, one O(L) fold per key over daily bars. */
+  def heikinAshi(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                 tieBreak: String): DataFrame =
+    queries.Breadth24.heikinAshi(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Ulcer index per key: RMS percent drawdown from each window's
+    * running peak, integer-quantized squared drawdowns. */
+  def ulcer(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+            tieBreak: String): DataFrame =
+    queries.Breadth24.ulcer(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Streaming twin of [[heikinAshi]] over the open-carrying day-bar
+    * stream — the SAME step function as the batch fold. Spec-pinned. */
+  def liveHeikinAshi(bars: org.apache.spark.sql.Dataset[streaming.Ohlc4BarRow])
+      : org.apache.spark.sql.Dataset[streaming.HaScored] =
+    streaming.Streams.streamingHeikinAshi(bars)
+
   /** Signed feature hashing of token streams into a fixed bucket
     * space — sparse (doc, bucket, weight) rows, no vocabulary build. */
   def featureHash(docs: DataFrame, textCol: String = "text",

@@ -154,6 +154,18 @@ case class SupertrendScored(user_id: Long, day: java.time.LocalDate,
                             trend: Option[String],
                             supertrend: Option[Double])
 
+/** One finalized daily OHLC bar WITH open — the Heikin-Ashi recurrence
+  * is the one screen whose state needs the bar's first tick too. */
+case class Ohlc4BarRow(user_id: Long, day: java.time.LocalDate,
+                       open_cents: Long, high_cents: Long, low_cents: Long,
+                       close_cents: Long)
+
+/** One smoothed candle from the live Heikin-Ashi screen (append
+  * stream); scores from the first bar — no warm-up nulls. */
+case class HaScored(user_id: Long, day: java.time.LocalDate,
+                    ha_open: Double, ha_high: Double, ha_low: Double,
+                    ha_close: Double)
+
 /** One scored bar from the live Wilder-RSI screen (append stream);
   * rsi_wilder is None during the 14-diff warm-up — the batch null. */
 case class WilderScored(user_id: Long, day: java.time.LocalDate,
@@ -732,6 +744,16 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Streaming twin of the batch q_heikin_ashi smoothed candles: one
+    * HaAcc per key over the open-carrying day-bar stream, the SAME step
+    * function as the batch fold (append mode — one row per bar). */
+  def streamingHeikinAshi(ds: Dataset[Ohlc4BarRow]): Dataset[HaScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new HaProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** One keyed step of the Sharpe fold (integer moments only). */
   private[graft] def sharpeStep(st: Option[SharpeAcc], closeCents: Long): SharpeAcc =
     st match {
@@ -1153,6 +1175,35 @@ abstract class OhlcBarFoldProcessor[A, O](stateName: String,
       val a = step(st, b)
       st = Some(a)
       out += score(user, b, a)
+    }
+    st.foreach(acc.update)
+    out.result().iterator
+  }
+}
+
+/** Keyed processor behind [[Streams.streamingHeikinAshi]] — the batch
+  * step and emit expressions verbatim (graft.queries.Breadth24). The
+  * one fold whose bar carries the OPEN, so it folds [[Ohlc4BarRow]]
+  * directly rather than through the OHLC sibling. */
+class HaProcessor
+    extends StatefulProcessor[Long, Ohlc4BarRow, HaScored] {
+  @transient private var acc: ValueState[graft.queries.Breadth24.HaAcc] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState[graft.queries.Breadth24.HaAcc]("heikin",
+      org.apache.spark.sql.Encoders.product[graft.queries.Breadth24.HaAcc],
+      TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, bars: Iterator[Ohlc4BarRow],
+                               timerValues: TimerValues): Iterator[HaScored] = {
+    var st = if (acc.exists()) Some(acc.get()) else None
+    val out = Seq.newBuilder[HaScored]
+    bars.toSeq.sortBy(_.day.toEpochDay).foreach { b =>
+      val a = graft.queries.Breadth24.haStep(st, b.open_cents, b.high_cents,
+        b.low_cents, b.close_cents)
+      st = Some(a)
+      val r = graft.queries.Breadth24.haOut(a, b.high_cents, b.low_cents)
+      out += HaScored(user, b.day, r.ha_open, r.ha_high, r.ha_low, r.ha_close)
     }
     st.foreach(acc.update)
     out.result().iterator

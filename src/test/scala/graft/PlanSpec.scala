@@ -385,9 +385,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p.take(800))
   }
 
-  test("q_adx, q_tsi and q_supertrend fold per key like the EMA family: " +
-    "<=2 key exchanges, no single-partition stage") {
-    for (q <- Seq("q_adx", "q_tsi", "q_supertrend")) {
+  test("q_ichimoku, q_aroon and q_ulcer window per key like the wave-21 " +
+    "indicators: <=2 key exchanges, no single-partition stage") {
+    for (q <- Seq("q_ichimoku", "q_aroon", "q_ulcer")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf0001))
+      val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+      assert(hashEx <= 2, s"$q: expected <=2 key hash exchanges, got $hashEx\n${p.take(800)}")
+      assert(!p.contains("Exchange SinglePartition"), s"$q\n${p.take(800)}")
+    }
+  }
+
+  test("q_adx, q_tsi, q_supertrend and q_heikin_ashi fold per key like " +
+    "the EMA family: <=2 key exchanges, no single-partition stage") {
+    for (q <- Seq("q_adx", "q_tsi", "q_supertrend", "q_heikin_ashi")) {
       val p = plan(SparkEntry.queries(q)(spark, sf0001))
       val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
       assert(hashEx <= 2, s"$q: expected <=2 key hash exchanges, got $hashEx\n${p.take(800)}")

@@ -1036,6 +1036,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingHeikinAshi == batch recurrence bit-for-bit across " +
+    "micro-batch splits (the open-carrying bar stream)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Ohlc4BarRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val bars = Seq( // (o, h, l, c) cents
+        (1000L, 1060L, 950L, 1040L), (1040L, 1100L, 1000L, 1020L),
+        (1020L, 1150L, 1010L, 1140L), (1140L, 1160L, 1050L, 1060L),
+        (1060L, 1120L, 1040L, 1100L), (1100L, 1300L, 1090L, 1280L),
+        (1280L, 1310L, 1150L, 1170L))
+      val rows = bars.zipWithIndex.map { case ((o, h, l, c), i) =>
+        Ohlc4BarRow(1L, java.time.LocalDate.of(2024, 1, i + 1), o, h, l, c) }
+      val mem = MemoryStream[Ohlc4BarRow]
+      val q = Streams.streamingHeikinAshi(mem.toDS())
+        .writeStream.format("memory").queryName("ha_snap")
+        .outputMode("append").start()
+      // split 1/4/2 — the seed bar rides alone in the first batch
+      Seq(0 until 1, 1 until 5, 5 until 7).foreach { rg =>
+        mem.addData(rg.map(rows): _*); q.processAllAvailable()
+      }
+      q.stop()
+      val tick = bars.zipWithIndex.flatMap { case ((o, h, l, c), i) =>
+        Seq((1L, o.toDouble / 100.0, i * 10L + 1, f"2024-01-${i + 1}%02d 09:00:00"),
+          (1L, h.toDouble / 100.0, i * 10L + 2, f"2024-01-${i + 1}%02d 10:00:00"),
+          (1L, l.toDouble / 100.0, i * 10L + 3, f"2024-01-${i + 1}%02d 12:00:00"),
+          (1L, c.toDouble / 100.0, i * 10L + 4, f"2024-01-${i + 1}%02d 15:00:00"))
+      }.toDF("user_id", "value", "event_id", "at")
+        .withColumn("ts", to_timestamp_ntz(col("at"))).drop("at")
+      val cols = Seq("ha_open", "ha_high", "ha_low", "ha_close")
+      val got = spark.table("ha_snap")
+        .select("day", cols: _*)
+        .collect().map(r => (r.getDate(0).toString, r.getDouble(1),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+      val want = Graft.heikinAshi(tick, "user_id", "ts", "value", "event_id")
+        .select("day", cols: _*)
+        .collect().map(r => (r.getDate(0).toString, r.getDouble(1),
+          r.getDouble(2), r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+      assert(got === want, "heikin-ashi stream vs batch")
+      assert(got.size === 7)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streamingEmaMacd / streamingWilderRsi == batch recurrences bit-for-bit, " +
     "the series split across micro-batches (incl. the RSI warm-up boundary)") {
     implicit val sqlCtx = spark.sqlContext
