@@ -23,14 +23,22 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is TIMESTAMP(NANOS) parquet; read as long ns (runtime conf,
-    * session-local) and truncate to µs — the data is µs-precision, so this
-    * is lossless. Integer `div`, not double division: ns-since-epoch
-    * exceeds 2^53. */
+  /** events.ts has shipped as BOTH µs-precision naive parquet (reads
+    * directly as TIMESTAMP_NTZ) and TIMESTAMP(NANOS) parquet (only
+    * readable as long ns via `spark.sql.legacy.parquet.nanosAsLong`,
+    * truncated here to µs — lossless, the data is µs-precision; integer
+    * `div`, not double division: ns-since-epoch exceeds 2^53). Dispatch
+    * on the read schema so either generation of the testdata loads; the
+    * conf is harmless for non-nano files. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   // orders.o_orderdate / lineitem.l_shipdate are ms-precision naive parquet
