@@ -17,15 +17,31 @@ class PlanSpec extends SparkSpec {
     qe.executedPlan.toString()
   }
 
-  test("q_history pushes both ts bounds (ns domain, via NanosPushdown) " +
-    "and the key filter into the scan") {
+  test("q_history pushes both ts bounds and the key filter into the scan " +
+    "(ns-domain via NanosPushdown on nano parquet, native on µs parquet)") {
     val p = plan(SparkEntry.queries("q_history")(spark, sf0001))
     assert(p.contains("PushedFilters:"), p.take(400))
-    // filters must be rewritten to the raw long ns column (18-digit epochs)
-    assert("ts#\\d+L? >= \\d{15,}".r.findFirstIn(p).isDefined,
-      "ts lower bound not in ns domain")
-    assert("ts#\\d+L? < \\d{15,}".r.findFirstIn(p).isDefined,
-      "ts upper bound not in ns domain")
+    // the testdata has shipped events.ts as both TIMESTAMP(NANOS) (reads
+    // as long ns under nanosAsLong — filters must be rewritten to the raw
+    // ns column) and µs-precision naive parquet (reads as TIMESTAMP_NTZ —
+    // filters push natively); assert the path matching the data on disk
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanoTs = spark.read.parquet(s"$sf0001/events.parquet")
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    if (nanoTs) {
+      // 18-digit ns epochs in the rewritten scan predicates
+      assert("ts#\\d+L? >= \\d{15,}".r.findFirstIn(p).isDefined,
+        "ts lower bound not in ns domain")
+      assert("ts#\\d+L? < \\d{15,}".r.findFirstIn(p).isDefined,
+        "ts upper bound not in ns domain")
+    } else {
+      // the PushedFilters display truncates at maxMetadataStringLength —
+      // assert the bounds on the scan's DataFilters / pushed prefix
+      assert(p.contains("GreaterThanOrEqual(ts,"),
+        s"ts lower bound not pushed:\n${p.take(600)}")
+      assert("ts#\\d+ < \\d{4}-".r.findFirstIn(p).isDefined,
+        s"ts upper bound not in the scan filters:\n${p.take(600)}")
+    }
     assert(p.contains("EqualTo(user_id,7"), "key filter not pushed")
     assert(p.contains("GreaterThanOrEqual(ts,"), "ts bound not in PushedFilters")
   }
@@ -432,5 +448,52 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"no map-side partial\n${p.take(800)}")
     val hashEx = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
     assert(hashEx === 1, s"expected 1 (doc,bucket) exchange, got $hashEx\n${p.take(800)}")
+  }
+
+  test("wave-25 risk statistics stay key-distributed: <=3 key exchanges " +
+    "(bars, rank windows, final fold), no single-partition stage") {
+    for (q <- Seq("q_var_es", "q_spearman", "q_kendall", "q_hurst")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf0001))
+      val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+      assert(hashEx <= 3, s"$q: expected <=3 key hash exchanges, got $hashEx\n${p.take(800)}")
+      assert(!p.contains("Exchange SinglePartition"), s"$q\n${p.take(800)}")
+    }
+  }
+
+  test("q_mode ranks over the (type, value) COUNT table — the window input " +
+    "is an aggregate, and the aggregate has a map-side partial") {
+    val p = plan(SparkEntry.queries("q_mode")(spark, sf0001))
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"no map-side partial under the mode window\n${p.take(800)}")
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+  }
+
+  test("q_string_agg and q_bitwise_agg are single-exchange hash aggregates " +
+    "with map-side partials") {
+    for ((q, key) <- Seq("q_string_agg" -> "user_id",
+        "q_bitwise_agg" -> "event_type")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf0001))
+      assert(p.contains("partial_"), s"$q: no map-side partial\n${p.take(800)}")
+      assert(!p.contains("Exchange SinglePartition"), s"$q\n${p.take(800)}")
+    }
+  }
+
+  test("q_kmeans assigns through BROADCAST centroid joins — never a " +
+    "shuffled cartesian — and the update aggregate has a map-side partial") {
+    val p = plan(SparkEntry.queries("q_kmeans")(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("partial_"), s"no map-side partial in update\n${p.take(800)}")
+  }
+
+  test("q_dsir joins doc tokens against the vocab-sized term table with " +
+    "broadcast scalar totals — no single-partition stage except the " +
+    "scalar aggregates themselves") {
+    val p = plan(SparkEntry.queries("q_dsir")(spark, sf0001))
+    // the two corpus-total scalars are one-row frames; everything else
+    // must stay distributed: no cartesian over data-sized inputs
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2,
+      s"scalar totals not broadcast\n${p.take(800)}")
   }
 }
