@@ -647,6 +647,102 @@ object Graft {
       : org.apache.spark.sql.Dataset[streaming.HaScored] =
     streaming.Streams.streamingHeikinAshi(bars)
 
+  /** Historical VaR + expected shortfall per key from the exact
+    * ceil(n/5) day-move tail — order statistics, no interpolation. */
+  def varEs(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+            tieBreak: String): DataFrame =
+    queries.Breadth25.varEs(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Spearman rank correlation per key between daily close and traded
+    * quantity (tie-free rank permutations, one terminal division). */
+  def spearman(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+               tieBreak: String, qtyJsonField: String = "k"): DataFrame =
+    queries.Breadth25.spearman(df, keyCol, tsCol, valCol, tieBreak,
+      qtyJsonField)
+
+  /** Kendall tau per key between daily close and traded quantity, via
+    * the O(L log L) merge-sort inversion count. */
+  def kendall(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+              tieBreak: String, qtyJsonField: String = "k"): DataFrame =
+    queries.Breadth25.kendall(df, keyCol, tsCol, valCol, tieBreak,
+      qtyJsonField)
+
+  /** Rescaled-range (Hurst R/S) statistic per key over day moves, with
+    * the single-window exponent proxy. */
+  def hurstRs(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+              tieBreak: String): DataFrame =
+    queries.Breadth25.hurstRs(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Modal cent value per group with the deterministic smallest-value
+    * tie stance. */
+  def modeBy(df: DataFrame, grpCol: String, valCol: String): DataFrame =
+    queries.Breadth26.modeBy(df, grpCol, valCol)
+
+  /** Ordered LISTAGG of the distinct tags per key (sorted, comma-joined
+    * — the order-free distributed form). */
+  def stringAgg(df: DataFrame, keyCol: String, tagCol: String): DataFrame =
+    queries.Breadth26.stringAgg(df, keyCol, tagCol)
+
+  /** BIT_AND / BIT_OR / BIT_XOR folds per group over integer cents. */
+  def bitwiseAgg(df: DataFrame, grpCol: String, valCol: String): DataFrame =
+    queries.Breadth26.bitwiseAgg(df, grpCol, valCol)
+
+  /** Per-key OLS trend of daily closes vs the day index: slope,
+    * intercept, r² from re-based integer co-moments. */
+  def olsTrend(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+               tieBreak: String): DataFrame =
+    queries.Breadth26.olsTrend(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Deterministic two-round quantized k-means over an embedding table
+    * (md5-ordered seeds, integer distances, broadcast centroids). */
+  def kmeansAssign(embeddings: DataFrame): DataFrame =
+    queries.Extensions12.kmeansAssign(embeddings)
+
+  /** DSIR-style importance weights toward a target language slice (the
+    * add-one-smoothed per-token log likelihood ratio, summed per doc). */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en"): DataFrame =
+    queries.Extensions12.dsirWeights(docs, targetLang)
+
+  /** Chaikin money flow per key: windowed quantized money-flow volume
+    * over volume (doji bars contribute zero). */
+  def cmf(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+          tieBreak: String, qtyJsonField: String = "k"): DataFrame =
+    queries.Breadth27.cmf(df, keyCol, tsCol, valCol, tieBreak, qtyJsonField)
+
+  /** Detrended price oscillator per key: half-window-lagged close minus
+    * the window SMA, integer until one terminal division. */
+  def dpo(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+          tieBreak: String): DataFrame =
+    queries.Breadth27.dpo(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Elder force index per key: day move × volume with its EMA13, one
+    * O(L) fold per key over volume-carrying daily bars. */
+  def forceIndex(df: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String, tieBreak: String,
+                 qtyJsonField: String = "k"): DataFrame =
+    queries.Breadth27.forceIndex(df, keyCol, tsCol, valCol, tieBreak,
+      qtyJsonField)
+
+  /** Accumulation/distribution line + Chaikin oscillator per key: the
+    * integer ADL running sum and EMA3−EMA10 over it. */
+  def adlChaikin(df: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String, tieBreak: String,
+                 qtyJsonField: String = "k"): DataFrame =
+    queries.Breadth27.adlChaikin(df, keyCol, tsCol, valCol, tieBreak,
+      qtyJsonField)
+
+  /** Streaming twin of [[forceIndex]] over the volume-carrying day-bar
+    * stream — the SAME step function as the batch fold. Spec-pinned. */
+  def liveForceIndex(bars: org.apache.spark.sql.Dataset[streaming.VolBarRow])
+      : org.apache.spark.sql.Dataset[streaming.FiScored] =
+    streaming.Streams.streamingForceIndex(bars)
+
+  /** Streaming twin of [[adlChaikin]] — the SAME money-flow quantum and
+    * fold step as the batch form. Spec-pinned. */
+  def liveChaikinOsc(bars: org.apache.spark.sql.Dataset[streaming.VolBarRow])
+      : org.apache.spark.sql.Dataset[streaming.AdlScored] =
+    streaming.Streams.streamingChaikinOsc(bars)
+
   /** Signed feature hashing of token streams into a fixed bucket
     * space — sparse (doc, bucket, weight) rows, no vocabulary build. */
   def featureHash(docs: DataFrame, textCol: String = "text",

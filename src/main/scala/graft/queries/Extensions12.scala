@@ -212,8 +212,8 @@ object Extensions12 {
          |mt AS (SELECT CAST(sum(ct) AS BIGINT) AS nt FROM ct),
          |term AS (
          |  SELECT cs.tok,
-         |    ln(((coalesce(ct.ct, 0) + 1.0) / (mt.nt + m.v))
-         |      / ((cs.cs + 1.0) / (m.ns + m.v))) AS w
+         |    ln((CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE) / (mt.nt + m.v))
+         |      / (CAST(cs.cs + 1 AS DOUBLE) / (m.ns + m.v))) AS w
          |  FROM cs LEFT JOIN ct USING (tok), m, mt)
          |SELECT dt.doc_id, dt.lang, CAST(sum(dt.c) AS BIGINT) AS n_tokens,
          |  round(sum(dt.c * t.w), 4) AS dsir_w

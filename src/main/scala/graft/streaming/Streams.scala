@@ -171,6 +171,25 @@ case class HaScored(user_id: Long, day: java.time.LocalDate,
 case class WilderScored(user_id: Long, day: java.time.LocalDate,
                         close_cents: Long, rsi_wilder: Option[Double])
 
+/** One finalized day bar with its traded volume — the input row of the
+  * volume-flow recurrence twins (force index reads close+vol, the
+  * ADL/Chaikin oscillator reads high/low/close+vol). */
+case class VolBarRow(user_id: Long, day: java.time.LocalDate,
+                     high_cents: Long, low_cents: Long, close_cents: Long,
+                     vol: Long)
+
+/** One scored bar from the live force-index screen (append stream);
+  * None on the seed bar — the batch form drops that row (filter on
+  * fi_raw.isDefined to align row sets). */
+case class FiScored(user_id: Long, day: java.time.LocalDate,
+                    close_cents: Long, fi_raw: Option[Long],
+                    fi_ema13: Option[Double])
+
+/** One scored bar from the live ADL/Chaikin screen (append stream);
+  * scores from the first bar (osc seeds at 0). */
+case class AdlScored(user_id: Long, day: java.time.LocalDate,
+                     adl_q: Long, adl: Double, chaikin_osc: Double)
+
 /** Structured Streaming layer. The reference is a hand-rolled micro-batch
   * pipeline — fetch every 300 s, append one batch-stamped tick, notify,
   * re-query latest snapshot, broadcast (`etl/crypto_etl.py:150-157`,
@@ -744,6 +763,28 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Streaming twin of the batch q_force_index recurrence: one FiAcc
+    * per key (previous close + EMA13) over the volume-carrying day-bar
+    * stream, the SAME step function as the batch fold (append mode —
+    * one row per bar, the seed bar all-None). */
+  def streamingForceIndex(ds: Dataset[VolBarRow]): Dataset[FiScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new FiProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Streaming twin of the batch q_adl_chaikin recurrence: one AdlAcc
+    * per key (integer ADL quantum + both EMAs), the SAME step function
+    * and money-flow quantum as the batch fold (append mode — one row
+    * per bar). */
+  def streamingChaikinOsc(ds: Dataset[VolBarRow]): Dataset[AdlScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new AdlOscProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming twin of the batch q_heikin_ashi smoothed candles: one
     * HaAcc per key over the open-carrying day-bar stream, the SAME step
     * function as the batch fold (append mode — one row per bar). */
@@ -1179,6 +1220,66 @@ abstract class OhlcBarFoldProcessor[A, O](stateName: String,
     st.foreach(acc.update)
     out.result().iterator
   }
+}
+
+/** BarFoldProcessor's volume-carrying sibling: the same
+  * scalar-accumulator-per-key shape over [[VolBarRow]] bars (for
+  * recurrences that read the bar's traded volume). */
+abstract class VolBarFoldProcessor[A, O](stateName: String,
+    enc: org.apache.spark.sql.Encoder[A])
+    extends StatefulProcessor[Long, VolBarRow, O] {
+  @transient private var acc: ValueState[A] = _
+
+  protected def step(st: Option[A], b: VolBarRow): A
+  protected def score(user: Long, b: VolBarRow, a: A): O
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState[A](stateName, enc, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, bars: Iterator[VolBarRow],
+                               timerValues: TimerValues): Iterator[O] = {
+    var st = if (acc.exists()) Some(acc.get()) else None
+    val out = Seq.newBuilder[O]
+    bars.toSeq.sortBy(_.day.toEpochDay).foreach { b =>
+      val a = step(st, b)
+      st = Some(a)
+      out += score(user, b, a)
+    }
+    st.foreach(acc.update)
+    out.result().iterator
+  }
+}
+
+/** Keyed processor behind [[Streams.streamingForceIndex]] — the batch
+  * step verbatim (graft.queries.Breadth27.fiStep). */
+class FiProcessor
+    extends VolBarFoldProcessor[graft.queries.Breadth27.FiAcc, FiScored](
+      "force_index",
+      org.apache.spark.sql.Encoders.product[graft.queries.Breadth27.FiAcc]) {
+  protected def step(st: Option[graft.queries.Breadth27.FiAcc],
+                     b: VolBarRow): graft.queries.Breadth27.FiAcc =
+    graft.queries.Breadth27.fiStep(st, b.close_cents, b.vol)
+  protected def score(user: Long, b: VolBarRow,
+                      a: graft.queries.Breadth27.FiAcc): FiScored =
+    FiScored(user, b.day, b.close_cents, a.fi, a.ema)
+}
+
+/** Keyed processor behind [[Streams.streamingChaikinOsc]] — the batch
+  * money-flow quantum and fold step verbatim (graft.queries.Breadth27
+  * .mfvQuantum / .adlStep). */
+class AdlOscProcessor
+    extends VolBarFoldProcessor[graft.queries.Breadth27.AdlAcc, AdlScored](
+      "adl_osc",
+      org.apache.spark.sql.Encoders.product[graft.queries.Breadth27.AdlAcc]) {
+  protected def step(st: Option[graft.queries.Breadth27.AdlAcc],
+                     b: VolBarRow): graft.queries.Breadth27.AdlAcc =
+    graft.queries.Breadth27.adlStep(st,
+      graft.queries.Breadth27.mfvQuantum(b.high_cents, b.low_cents,
+        b.close_cents, b.vol))
+  protected def score(user: Long, b: VolBarRow,
+                      a: graft.queries.Breadth27.AdlAcc): AdlScored =
+    AdlScored(user, b.day, a.adlQ, a.adlQ.toDouble / 1.0e6,
+      (a.e3 - a.e10) / 1.0e6)
 }
 
 /** Keyed processor behind [[Streams.streamingHeikinAshi]] — the batch

@@ -179,4 +179,41 @@ class GraftFacadeSpec extends SparkSpec {
       .select("k", "changed").as[(Long, Boolean)].collect().toMap
     assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true))
   }
+
+  test("Graft round-8 facades (varEs / spearman / kendall / hurstRs / " +
+    "modeBy / stringAgg / bitwiseAgg / olsTrend / kmeansAssign / " +
+    "dsirWeights / cmf / dpo / forceIndex / adlChaikin) match their " +
+    "oracle-checked queries") {
+    val e = Tables.events(spark, sf0001)
+    val byKey = Seq("user_id", "ts", "value", "event_id")
+    def q(name: String) = rows(SparkEntry.queries(name)(spark, sf0001))
+    assert(rows(Graft.varEs(e, byKey(0), byKey(1), byKey(2), byKey(3))
+      .orderBy(col("user_id").asc)) == q("q_var_es"))
+    assert(rows(Graft.spearman(e, byKey(0), byKey(1), byKey(2), byKey(3))
+      .orderBy(col("user_id").asc)) == q("q_spearman"))
+    assert(rows(Graft.kendall(e, byKey(0), byKey(1), byKey(2), byKey(3))
+      .orderBy(col("user_id").asc)) == q("q_kendall"))
+    assert(rows(Graft.hurstRs(e, byKey(0), byKey(1), byKey(2), byKey(3))
+      .orderBy(col("user_id").asc)) == q("q_hurst"))
+    assert(rows(Graft.modeBy(e, "event_type", "value")
+      .orderBy(col("event_type").asc)) == q("q_mode"))
+    assert(rows(Graft.stringAgg(e, "user_id", "event_type")
+      .orderBy(col("user_id").asc)) == q("q_string_agg"))
+    assert(rows(Graft.bitwiseAgg(e, "event_type", "value")
+      .orderBy(col("event_type").asc)) == q("q_bitwise_agg"))
+    assert(rows(Graft.olsTrend(e, byKey(0), byKey(1), byKey(2), byKey(3))
+      .orderBy(col("user_id").asc)) == q("q_regr"))
+    assert(rows(Graft.kmeansAssign(Tables.embeddings(spark, sf0001))
+      .orderBy(col("vec_id").asc)) == q("q_kmeans"))
+    assert(rows(Graft.dsirWeights(Tables.documents(spark, sf0001))
+      .orderBy(col("doc_id").asc)) == q("q_dsir"))
+    assert(rows(Graft.cmf(e, byKey(0), byKey(1), byKey(2), byKey(3))
+      .orderBy(col("user_id").asc, col("day").asc)) == q("q_cmf"))
+    assert(rows(Graft.dpo(e, byKey(0), byKey(1), byKey(2), byKey(3))
+      .orderBy(col("user_id").asc, col("day").asc)) == q("q_dpo"))
+    assert(rows(Graft.forceIndex(e, byKey(0), byKey(1), byKey(2), byKey(3))
+      .orderBy(col("user_id").asc, col("day").asc)) == q("q_force_index"))
+    assert(rows(Graft.adlChaikin(e, byKey(0), byKey(1), byKey(2), byKey(3))
+      .orderBy(col("user_id").asc, col("day").asc)) == q("q_adl_chaikin"))
+  }
 }

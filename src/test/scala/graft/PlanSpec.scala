@@ -486,6 +486,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no map-side partial in update\n${p.take(800)}")
   }
 
+  test("wave-28 volume-flow indicators stay key-distributed: <=3 key " +
+    "exchanges (bar build, vol join, window/fold), no single-partition " +
+    "stage") {
+    for (q <- Seq("q_cmf", "q_dpo", "q_force_index", "q_adl_chaikin")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf0001))
+      val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+      assert(hashEx <= 3, s"$q: expected <=3 key hash exchanges, got $hashEx\n${p.take(800)}")
+      assert(!p.contains("Exchange SinglePartition"), s"$q\n${p.take(800)}")
+    }
+  }
+
   test("q_dsir joins doc tokens against the vocab-sized term table with " +
     "broadcast scalar totals — no single-partition stage except the " +
     "scalar aggregates themselves") {

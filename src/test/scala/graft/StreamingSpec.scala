@@ -1086,6 +1086,77 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingForceIndex / streamingChaikinOsc == batch volume-flow " +
+    "recurrences bit-for-bit across micro-batch splits (incl. a doji bar)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.VolBarRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val bars = Seq( // (h, l, c, vol) cents; bar 4 is a doji (h == l)
+        (1060L, 950L, 1040L, 10L), (1100L, 1000L, 1020L, 25L),
+        (1150L, 1010L, 1140L, 7L), (1100L, 1100L, 1100L, 12L),
+        (1120L, 1040L, 1100L, 31L), (1300L, 1090L, 1280L, 4L),
+        (1310L, 1150L, 1170L, 18L))
+      val rows = bars.zipWithIndex.map { case ((h, l, c, v), i) =>
+        VolBarRow(1L, java.time.LocalDate.of(2024, 1, i + 1), h, l, c, v) }
+      val memF = MemoryStream[VolBarRow]
+      val qf = Streams.streamingForceIndex(memF.toDS())
+        .writeStream.format("memory").queryName("fi_snap")
+        .outputMode("append").start()
+      val memA = MemoryStream[VolBarRow]
+      val qa = Streams.streamingChaikinOsc(memA.toDS())
+        .writeStream.format("memory").queryName("adl_snap")
+        .outputMode("append").start()
+      // split 1/4/2 — the seed bar rides alone in the first batch
+      Seq(0 until 1, 1 until 5, 5 until 7).foreach { rg =>
+        memF.addData(rg.map(rows): _*); qf.processAllAvailable()
+        memA.addData(rg.map(rows): _*); qa.processAllAvailable()
+      }
+      qf.stop(); qa.stop()
+      // equivalent ticks: h@10, l@12, c@15 per day; the day's volume is
+      // the JSON-k sum across all three ticks
+      val tick = bars.zipWithIndex.flatMap { case ((h, l, c, v), i) =>
+        Seq((1L, h.toDouble / 100.0, i * 10L + 1, f"2024-01-${i + 1}%02d 10:00:00", v - 2),
+          (1L, l.toDouble / 100.0, i * 10L + 2, f"2024-01-${i + 1}%02d 12:00:00", 1L),
+          (1L, c.toDouble / 100.0, i * 10L + 3, f"2024-01-${i + 1}%02d 15:00:00", 1L))
+      }.toDF("user_id", "value", "event_id", "at", "k")
+        .withColumn("ts", to_timestamp_ntz(col("at"))).drop("at")
+        .withColumn("props", concat(lit("{\"k\":"), col("k"), lit("}")))
+        .drop("k")
+      // force index: the batch form drops the seed bar — align on fi_raw
+      val gotF = spark.table("fi_snap").filter(col("fi_raw").isNotNull)
+        .select("day", "fi_raw", "fi_ema13")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+          r.getDouble(2))).sortBy(_._1).toSeq
+      val wantF = Graft.forceIndex(tick, "user_id", "ts", "value", "event_id")
+        .select("day", "fi_raw", "fi_ema13")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+          r.getDouble(2))).sortBy(_._1).toSeq
+      assert(gotF === wantF, "force index stream vs batch")
+      assert(gotF.size === 6)
+      val gotA = spark.table("adl_snap")
+        .select("day", "adl_q", "adl", "chaikin_osc")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+          r.getDouble(2), r.getDouble(3))).sortBy(_._1).toSeq
+      val wantA = Graft.adlChaikin(tick, "user_id", "ts", "value", "event_id")
+        .select("day", "adl_q", "adl", "chaikin_osc")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+          r.getDouble(2), r.getDouble(3))).sortBy(_._1).toSeq
+      assert(gotA === wantA, "adl/chaikin stream vs batch")
+      assert(gotA.size === 7)
+      // the doji bar contributed exactly zero flow: its adl_q equals the
+      // previous bar's
+      assert(gotA(3)._2 === gotA(2)._2)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streamingEmaMacd / streamingWilderRsi == batch recurrences bit-for-bit, " +
     "the series split across micro-batches (incl. the RSI warm-up boundary)") {
     implicit val sqlCtx = spark.sqlContext
