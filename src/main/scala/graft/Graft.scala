@@ -743,6 +743,45 @@ object Graft {
       : org.apache.spark.sql.Dataset[streaming.AdlScored] =
     streaming.Streams.streamingChaikinOsc(bars)
 
+  /** Fosback NVI/PVI per key: volume-direction-gated multiplicative
+    * indices over daily bars, both seeded at 1000. */
+  def nviPvi(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+             tieBreak: String, qtyJsonField: String = "k"): DataFrame =
+    queries.Breadth28.nviPvi(df, keyCol, tsCol, valCol, tieBreak,
+      qtyJsonField)
+
+  /** TRIX per key: triple-EMA rate of change (null on the seed bar). */
+  def trix(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+           tieBreak: String): DataFrame =
+    queries.Breadth28.trix(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** KAMA per key: efficiency-ratio-adaptive moving average (null
+    * during the w-bar warm-up). */
+  def kama(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+           tieBreak: String): DataFrame =
+    queries.Breadth28.kama(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Mass index per key: window-summed EMA-ratio of bar ranges. */
+  def massIndex(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                tieBreak: String): DataFrame =
+    queries.Breadth28.massIndex(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Streaming twin of [[nviPvi]] — the SAME step function as the
+    * batch fold. Spec-pinned. */
+  def liveNviPvi(bars: org.apache.spark.sql.Dataset[streaming.VolBarRow])
+      : org.apache.spark.sql.Dataset[streaming.NviScored] =
+    streaming.Streams.streamingNviPvi(bars)
+
+  /** Streaming twin of [[trix]]. Spec-pinned. */
+  def liveTrix(bars: org.apache.spark.sql.Dataset[streaming.BarRow])
+      : org.apache.spark.sql.Dataset[streaming.TrixScored28] =
+    streaming.Streams.streamingTrix(bars)
+
+  /** Streaming twin of [[kama]]. Spec-pinned. */
+  def liveKama(bars: org.apache.spark.sql.Dataset[streaming.BarRow])
+      : org.apache.spark.sql.Dataset[streaming.KamaScored] =
+    streaming.Streams.streamingKama(bars)
+
   /** Signed feature hashing of token streams into a fixed bucket
     * space — sparse (doc, bucket, weight) rows, no vocabulary build. */
   def featureHash(docs: DataFrame, textCol: String = "text",

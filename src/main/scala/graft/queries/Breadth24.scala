@@ -172,15 +172,19 @@ object Breadth24 {
                            valCol: String, tieBreak: String): DataFrame = {
     val days = Window.partitionBy(col(keyCol)).orderBy(col("day").asc)
     val f = days.rowsBetween(-(UlcerW - 1), 0)
-    // left fold over the frame list: (running peak m, Σ quantized dd²)
+    // left fold over the frame list: (running peak m, Σ quantized dd²).
+    // A zero peak (every close so far 0 cents — present in the
+    // regenerated sf0.1 data) forces dd = 0 too; contribute 0 rather
+    // than evaluate 0/0 (ANSI raises on double division by zero).
     val fold = aggregate(col("__cs"),
       struct(lit(0L).as("m"), lit(0L).as("s")),
       (acc, c) => {
         val m = greatest(acc.getField("m"), c)
         val dd = (m - c).cast("double")
         struct(m.as("m"),
-          (acc.getField("s") + floor(lit(1.0e8) * dd * dd /
-            (m.cast("double") * m.cast("double"))).cast("long")).as("s"))
+          (acc.getField("s") + when(m > 0, floor(lit(1.0e8) * dd * dd /
+            (m.cast("double") * m.cast("double"))).cast("long"))
+            .otherwise(lit(0L))).as("s"))
       })
     Breadth13.dayBarsCents(df, keyCol, tsCol, valCol, tieBreak)
       .withColumn("__cs", collect_list(col("close")).over(f))
@@ -316,8 +320,10 @@ object Breadth24 {
          |  WHERE a.n = $UlcerW),
          |summed AS (
          |  SELECT user_id, anchor_day AS day, anchor_close AS close_cents,
-         |    CAST(sum(CAST(floor(1.0e8 * CAST(m - c AS DOUBLE) * CAST(m - c AS DOUBLE)
-         |      / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE))) AS BIGINT)) AS BIGINT) AS sum_dd2_q
+         |    CAST(sum(CASE WHEN m > 0
+         |      THEN CAST(floor(1.0e8 * CAST(m - c AS DOUBLE) * CAST(m - c AS DOUBLE)
+         |        / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE))) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS sum_dd2_q
          |  FROM member GROUP BY user_id, anchor_day, anchor_close)
          |SELECT user_id, day, close_cents, sum_dd2_q,
          |  sqrt(CAST(sum_dd2_q AS DOUBLE) / ${UlcerW}.0e8 * 1.0e4) AS ulcer

@@ -190,6 +190,22 @@ case class FiScored(user_id: Long, day: java.time.LocalDate,
 case class AdlScored(user_id: Long, day: java.time.LocalDate,
                      adl_q: Long, adl: Double, chaikin_osc: Double)
 
+/** One scored bar from the live NVI/PVI screen (append stream); both
+  * indices seed at 1000 on the first bar. */
+case class NviScored(user_id: Long, day: java.time.LocalDate,
+                     close_cents: Long, nvi: Double, pvi: Double)
+
+/** One scored bar from the live TRIX screen (append stream); trix is
+  * None on the seed bar — the batch null. */
+case class TrixScored28(user_id: Long, day: java.time.LocalDate,
+                        close_cents: Long, e3: Double, trix: Option[Double])
+
+/** One scored bar from the live KAMA screen (append stream); kama is
+  * None during the w-bar warm-up (the batch form DROPS those rows —
+  * filter on kama.isDefined to align row sets). */
+case class KamaScored(user_id: Long, day: java.time.LocalDate,
+                      close_cents: Long, kama: Option[Double])
+
 /** Structured Streaming layer. The reference is a hand-rolled micro-batch
   * pipeline — fetch every 300 s, append one batch-stamped tick, notify,
   * re-query latest snapshot, broadcast (`etl/crypto_etl.py:150-157`,
@@ -785,6 +801,36 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Streaming twin of the batch q_nvi_pvi recurrence: one NviAcc per
+    * key (previous close/volume + both indices), the SAME step function
+    * as the batch fold (append mode — one row per bar). */
+  def streamingNviPvi(ds: Dataset[VolBarRow]): Dataset[NviScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new NviPviProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Streaming twin of the batch q_trix recurrence: one TrixAcc per
+    * key (the three EMA stages + previous e3), the SAME step function
+    * as the batch fold (append mode — one row per bar). */
+  def streamingTrix(ds: Dataset[BarRow]): Dataset[TrixScored28] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new TrixProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Streaming twin of the batch q_kama recurrence: one KamaAcc per
+    * key (the O(w) close ring + the adaptive MA), the SAME step
+    * function as the batch fold (append mode — warm-up rows None). */
+  def streamingKama(ds: Dataset[BarRow]): Dataset[KamaScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new KamaProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming twin of the batch q_heikin_ashi smoothed candles: one
     * HaAcc per key over the open-carrying day-bar stream, the SAME step
     * function as the batch fold (append mode — one row per bar). */
@@ -1280,6 +1326,65 @@ class AdlOscProcessor
                       a: graft.queries.Breadth27.AdlAcc): AdlScored =
     AdlScored(user, b.day, a.adlQ, a.adlQ.toDouble / 1.0e6,
       (a.e3 - a.e10) / 1.0e6)
+}
+
+/** Keyed processor behind [[Streams.streamingNviPvi]] — the batch step
+  * verbatim (graft.queries.Breadth28.nviStep). */
+class NviPviProcessor
+    extends VolBarFoldProcessor[graft.queries.Breadth28.NviAcc, NviScored](
+      "nvi_pvi",
+      org.apache.spark.sql.Encoders.product[graft.queries.Breadth28.NviAcc]) {
+  protected def step(st: Option[graft.queries.Breadth28.NviAcc],
+                     b: VolBarRow): graft.queries.Breadth28.NviAcc =
+    graft.queries.Breadth28.nviStep(st, b.close_cents, b.vol)
+  protected def score(user: Long, b: VolBarRow,
+                      a: graft.queries.Breadth28.NviAcc): NviScored =
+    NviScored(user, b.day, b.close_cents, a.nvi, a.pvi)
+}
+
+/** Keyed processor behind [[Streams.streamingTrix]] — the batch step
+  * verbatim (graft.queries.Breadth28.trixStep / trixOut). Implemented
+  * directly (not via BarFoldProcessor) because the emitted
+  * rate-of-change needs the PRE-step state to distinguish the seed
+  * bar. */
+class TrixProcessor
+    extends StatefulProcessor[Long, BarRow, TrixScored28] {
+  @transient private var acc: ValueState[graft.queries.Breadth28.TrixAcc] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState[graft.queries.Breadth28.TrixAcc]("trix",
+      org.apache.spark.sql.Encoders.product[graft.queries.Breadth28.TrixAcc],
+      TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, bars: Iterator[BarRow],
+                               timerValues: TimerValues)
+      : Iterator[TrixScored28] = {
+    var st = if (acc.exists()) Some(acc.get()) else None
+    val out = Seq.newBuilder[TrixScored28]
+    bars.toSeq.sortBy(_.day.toEpochDay).foreach { b =>
+      val a = graft.queries.Breadth28.trixStep(st, b.close_cents)
+      out += TrixScored28(user, b.day, b.close_cents, a.e3,
+        graft.queries.Breadth28.trixOut(st, a))
+      st = Some(a)
+    }
+    st.foreach(acc.update)
+    out.result().iterator
+  }
+}
+
+/** Keyed processor behind [[Streams.streamingKama]] — the batch step
+  * verbatim (graft.queries.Breadth28.kamaStep; the acc's Option field
+  * already encodes the warm-up, so the plain bar scaffold fits). */
+class KamaProcessor
+    extends BarFoldProcessor[graft.queries.Breadth28.KamaAcc, KamaScored](
+      "kama",
+      org.apache.spark.sql.Encoders.product[graft.queries.Breadth28.KamaAcc]) {
+  protected def step(st: Option[graft.queries.Breadth28.KamaAcc],
+                     closeCents: Long): graft.queries.Breadth28.KamaAcc =
+    graft.queries.Breadth28.kamaStep(st, closeCents)
+  protected def score(user: Long, b: BarRow,
+                      a: graft.queries.Breadth28.KamaAcc): KamaScored =
+    KamaScored(user, b.day, b.close_cents, a.kama.map(_ / 100.0))
 }
 
 /** Keyed processor behind [[Streams.streamingHeikinAshi]] — the batch

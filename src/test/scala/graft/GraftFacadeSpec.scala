@@ -215,5 +215,13 @@ class GraftFacadeSpec extends SparkSpec {
       .orderBy(col("user_id").asc, col("day").asc)) == q("q_force_index"))
     assert(rows(Graft.adlChaikin(e, byKey(0), byKey(1), byKey(2), byKey(3))
       .orderBy(col("user_id").asc, col("day").asc)) == q("q_adl_chaikin"))
+    assert(rows(Graft.nviPvi(e, byKey(0), byKey(1), byKey(2), byKey(3))
+      .orderBy(col("user_id").asc, col("day").asc)) == q("q_nvi_pvi"))
+    assert(rows(Graft.trix(e, byKey(0), byKey(1), byKey(2), byKey(3))
+      .orderBy(col("user_id").asc, col("day").asc)) == q("q_trix"))
+    assert(rows(Graft.kama(e, byKey(0), byKey(1), byKey(2), byKey(3))
+      .orderBy(col("user_id").asc, col("day").asc)) == q("q_kama"))
+    assert(rows(Graft.massIndex(e, byKey(0), byKey(1), byKey(2), byKey(3))
+      .orderBy(col("user_id").asc, col("day").asc)) == q("q_mass_index"))
   }
 }

@@ -1157,6 +1157,83 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingNviPvi / streamingTrix / streamingKama == batch " +
+    "recurrences bit-for-bit across micro-batch splits (incl. the KAMA " +
+    "warm-up boundary and a volume tie)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{BarRow, VolBarRow}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val bars = Seq( // (close, vol) — vol down/up/tie transitions included
+        (1000L, 10L), (1100L, 5L), (1210L, 20L), (1100L, 20L),
+        (1155L, 8L), (1270L, 30L), (1200L, 2L), (1320L, 2L), (1250L, 40L))
+      val volRows = bars.zipWithIndex.map { case ((c, v), i) =>
+        VolBarRow(1L, java.time.LocalDate.of(2024, 1, i + 1), c, c, c, v) }
+      val barRows = bars.zipWithIndex.map { case ((c, _), i) =>
+        BarRow(1L, java.time.LocalDate.of(2024, 1, i + 1), c) }
+      val memN = MemoryStream[VolBarRow]
+      val qn = Streams.streamingNviPvi(memN.toDS())
+        .writeStream.format("memory").queryName("nvi_snap")
+        .outputMode("append").start()
+      val memT = MemoryStream[BarRow]
+      val qt = Streams.streamingTrix(memT.toDS())
+        .writeStream.format("memory").queryName("trix_snap")
+        .outputMode("append").start()
+      val memK = MemoryStream[BarRow]
+      val qk = Streams.streamingKama(memK.toDS())
+        .writeStream.format("memory").queryName("kama_snap")
+        .outputMode("append").start()
+      // split 2/4/3 — the KAMA seed (bar 6) lands mid-batch, the ring
+      // carries across the second boundary
+      Seq(0 until 2, 2 until 6, 6 until 9).foreach { rg =>
+        memN.addData(rg.map(volRows): _*); qn.processAllAvailable()
+        memT.addData(rg.map(barRows): _*); qt.processAllAvailable()
+        memK.addData(rg.map(barRows): _*); qk.processAllAvailable()
+      }
+      qn.stop(); qt.stop(); qk.stop()
+      val tick = bars.zipWithIndex.map { case ((c, v), i) =>
+        (1L, c.toDouble / 100.0, i * 10L + 1, f"2024-01-${i + 1}%02d 15:00:00", v)
+      }.toDF("user_id", "value", "event_id", "at", "k")
+        .withColumn("ts", to_timestamp_ntz(col("at"))).drop("at")
+        .withColumn("props", concat(lit("{\"k\":"), col("k"), lit("}")))
+        .drop("k")
+      val gotN = spark.table("nvi_snap").select("day", "nvi", "pvi")
+        .collect().map(r => (r.getDate(0).toString, r.getDouble(1),
+          r.getDouble(2))).sortBy(_._1).toSeq
+      val wantN = Graft.nviPvi(tick, "user_id", "ts", "value", "event_id")
+        .select("day", "nvi", "pvi")
+        .collect().map(r => (r.getDate(0).toString, r.getDouble(1),
+          r.getDouble(2))).sortBy(_._1).toSeq
+      assert(gotN === wantN, "nvi/pvi stream vs batch")
+      val gotT = spark.table("trix_snap").select("day", "e3", "trix")
+        .collect().map(r => (r.getDate(0).toString, r.getDouble(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1).toSeq
+      val wantT = Graft.trix(tick, "user_id", "ts", "value", "event_id")
+        .select("day", "e3", "trix")
+        .collect().map(r => (r.getDate(0).toString, r.getDouble(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1).toSeq
+      assert(gotT === wantT, "trix stream vs batch")
+      // batch kama drops warm-up rows; align by filtering the stream
+      val gotK = spark.table("kama_snap").filter(col("kama").isNotNull)
+        .select("day", "kama")
+        .collect().map(r => (r.getDate(0).toString, r.getDouble(1)))
+        .sortBy(_._1).toSeq
+      val wantK = Graft.kama(tick, "user_id", "ts", "value", "event_id")
+        .select("day", "kama")
+        .collect().map(r => (r.getDate(0).toString, r.getDouble(1)))
+        .sortBy(_._1).toSeq
+      assert(gotK === wantK, "kama stream vs batch")
+      assert(gotK.size === 4) // 9 bars, w = 5 -> seeds at bar 6
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streamingEmaMacd / streamingWilderRsi == batch recurrences bit-for-bit, " +
     "the series split across micro-batches (incl. the RSI warm-up boundary)") {
     implicit val sqlCtx = spark.sqlContext
