@@ -497,6 +497,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("wave-29 adaptive-momentum folds stay key-distributed: <=3 key " +
+    "exchanges, no single-partition stage") {
+    for (q <- Seq("q_nvi_pvi", "q_trix", "q_kama", "q_mass_index")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf0001))
+      val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+      assert(hashEx <= 3, s"$q: expected <=3 key hash exchanges, got $hashEx\n${p.take(800)}")
+      assert(!p.contains("Exchange SinglePartition"), s"$q\n${p.take(800)}")
+    }
+  }
+
   test("q_dsir joins doc tokens against the vocab-sized term table with " +
     "broadcast scalar totals — no single-partition stage except the " +
     "scalar aggregates themselves") {
