@@ -782,6 +782,31 @@ object Graft {
       : org.apache.spark.sql.Dataset[streaming.KamaScored] =
     streaming.Streams.streamingKama(bars)
 
+  /** Parkinson range volatility per key (quantized log-range terms). */
+  def parkinson(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                tieBreak: String, qtyJsonField: String = "k"): DataFrame =
+    queries.Breadth29.parkinson(df, keyCol, tsCol, valCol, tieBreak,
+      qtyJsonField)
+
+  /** Garman–Klass range+body volatility per key. */
+  def garmanKlass(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, tieBreak: String,
+                  qtyJsonField: String = "k"): DataFrame =
+    queries.Breadth29.garmanKlass(df, keyCol, tsCol, valCol, tieBreak,
+      qtyJsonField)
+
+  /** Kyle-style price-impact OLS slope per key (|Δclose| on volume). */
+  def kyleLambda(df: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String, tieBreak: String,
+                 qtyJsonField: String = "k"): DataFrame =
+    queries.Breadth29.kyleLambda(df, keyCol, tsCol, valCol, tieBreak,
+      qtyJsonField)
+
+  /** Herfindahl–Hirschman volume concentration across keys (one row). */
+  def herfindahl(df: DataFrame, keyCol: String, tsCol: String,
+                 qtyJsonField: String = "k"): DataFrame =
+    queries.Breadth29.herfindahl(df, keyCol, tsCol, qtyJsonField)
+
   /** Signed feature hashing of token streams into a fixed bucket
     * space — sparse (doc, bucket, weight) rows, no vocabulary build. */
   def featureHash(docs: DataFrame, textCol: String = "text",
