@@ -507,6 +507,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("wave-30 volatility estimators stay key-distributed (<=3 key " +
+    "exchanges, no single-partition stage) and q_herfindahl aggregates " +
+    "over the per-key totals with map-side partials") {
+    for (q <- Seq("q_parkinson", "q_garman_klass", "q_kyle_lambda")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf0001))
+      val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+      assert(hashEx <= 3, s"$q: expected <=3 key hash exchanges, got $hashEx\n${p.take(800)}")
+      assert(!p.contains("Exchange SinglePartition"), s"$q\n${p.take(800)}")
+    }
+    val p = plan(SparkEntry.queries("q_herfindahl")(spark, sf0001))
+    assert(p.contains("partial_"), s"no map-side partial\n${p.take(800)}")
+  }
+
   test("q_dsir joins doc tokens against the vocab-sized term table with " +
     "broadcast scalar totals — no single-partition stage except the " +
     "scalar aggregates themselves") {
