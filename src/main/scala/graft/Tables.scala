@@ -37,7 +37,15 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts",
           timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-      case _ => df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      case org.apache.spark.sql.types.TimestampNTZType => df
+      // fail LOUDLY on anything else (notably TIMESTAMP_LTZ, i.e. an
+      // isAdjustedToUTC=true generation): a blanket cast would be
+      // session-timezone dependent and could silently shift every
+      // timestamp in a third parquet generation.
+      case other => throw new IllegalStateException(
+        s"events.ts: expected int64-nanos or TIMESTAMP_NTZ parquet, got " +
+          s"$other — add an explicit, timezone-pinned dispatch arm for " +
+          "this generation rather than casting blindly")
     }
   }
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")

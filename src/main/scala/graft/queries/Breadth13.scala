@@ -24,22 +24,70 @@ object Breadth13 {
 
   private def cents(c: Column): Column = Breadth11.cents(c)
 
+  /** Shared materialized-intermediate cache for the (key, day) bar/vol
+    * grids, keyed on (session, canonicalized input plan, arg fingerprint)
+    * — the CacheManager lookup discipline, so ~36 indicator queries across
+    * 14 files that each derive day bars from the SAME events scan share
+    * ONE persisted |keys·days|-sized frame instead of re-running the
+    * window+aggregate per query (round-8 verdict: the single biggest
+    * recoverable chunk of the bench total, and the reason bar-family
+    * timings were noisy). Plan equality is semantic (`sameResult`), so any
+    * caller passing an equivalent scan hits the memo with zero call-site
+    * changes; a DIFFERENT input frame (tests, other tables) gets its own
+    * entry. Same staleness contract as Extensions.memoCache: one session
+    * per data generation. Bounded: past 16 entries the whole cache drops
+    * (entries are only caches — recompute is correct, just slower).
+    * Streaming frames bypass (persist is a batch-only notion; the
+    * streaming twins carry their own transformWithState state). */
+  private val planMemo = scala.collection.mutable.ArrayBuffer.empty[
+    (org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      String, DataFrame)]
+  private[graft] def memoizedOnPlan(df: DataFrame, argsKey: String)
+                                     (build: => DataFrame): DataFrame = {
+    if (df.isStreaming) return build
+    val s = df.sparkSession
+    val plan = df.queryExecution.analyzed
+    // building `build` only constructs a lazy plan and persist() marks
+    // lazily (no job), so holding the lock is cheap — the Extensions
+    // .memoCache contract
+    planMemo.synchronized {
+      planMemo.find(e => (e._1 eq s) && e._3 == argsKey &&
+          e._2.sameResult(plan)) match {
+        case Some(e) => e._4
+        case None =>
+          if (planMemo.size > 16) {
+            planMemo.foreach(e =>
+              try e._4.unpersist(blocking = false)
+              catch { case scala.util.control.NonFatal(_) => })
+            planMemo.clear()
+          }
+          val built = build.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          planMemo += ((s, plan, argsKey, built))
+          built
+      }
+    }
+  }
+
   /** Daily integer-cent OHLC bars per key: open/close via the tie-safe
     * explicit-full-frame window (q_ohlc formulation), high/low as plain
-    * min/max. One (key, day) window + one aggregate — a single shuffle. */
+    * min/max. One (key, day) window + one aggregate — a single shuffle,
+    * paid ONCE per (session, input plan) via the shared memo above. */
   private[graft] def dayBarsCents(df: DataFrame, keyCol: String, tsCol: String,
-                                  valCol: String, tieBreak: String): DataFrame = {
-    val bar = Window.partitionBy(col(keyCol), col("__day"))
-      .orderBy(col(tsCol).asc, col(tieBreak).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    df.withColumn("__day", col(tsCol).cast("date"))
-      .withColumn("__c", cents(col(valCol)))
-      .withColumn("__open", first(col("__c")).over(bar))
-      .withColumn("__close", last(col("__c")).over(bar))
-      .groupBy(col(keyCol), col("__day").as("day"))
-      .agg(max(col("__open")).as("open"), max(col("__close")).as("close"),
-        max(col("__c")).as("high"), min(col("__c")).as("low"))
-  }
+                                  valCol: String, tieBreak: String): DataFrame =
+    memoizedOnPlan(df, s"bars|$keyCol|$tsCol|$valCol|$tieBreak") {
+      val bar = Window.partitionBy(col(keyCol), col("__day"))
+        .orderBy(col(tsCol).asc, col(tieBreak).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      df.withColumn("__day", col(tsCol).cast("date"))
+        .withColumn("__c", cents(col(valCol)))
+        .withColumn("__open", first(col("__c")).over(bar))
+        .withColumn("__close", last(col("__c")).over(bar))
+        .groupBy(col(keyCol), col("__day").as("day"))
+        .agg(max(col("__open")).as("open"), max(col("__close")).as("close"),
+          max(col("__c")).as("high"), min(col("__c")).as("low"))
+    }
 
   /** Candlestick pattern flags over the daily bars — all comparisons in
     * integer cents (body·20 vs range, shadows vs body), engulfing reads

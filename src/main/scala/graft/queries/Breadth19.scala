@@ -45,13 +45,13 @@ object Breadth19 {
   private[graft] val A9 = 2.0 / 10.0
   private[graft] val RsiN = 14
 
-  /** Per-key day-sorted bar array: (key, array<struct<day,close>>), close
-    * in integer cents via the tie-safe q_ohlc last-value discipline. */
+  /** Per-key day-sorted bar array (close in integer cents via the
+    * tie-safe q_ohlc last-value discipline) — the shared, memoized
+    * Recurrence grid; sort order (by unique day) is unchanged by the
+    * extra high/low/vol fields. */
   private def barArrays(df: DataFrame, keyCol: String, tsCol: String,
                         valCol: String, tieBreak: String): DataFrame =
-    Breadth13.dayBarsCents(df, keyCol, tsCol, valCol, tieBreak)
-      .groupBy(col(keyCol))
-      .agg(sort_array(collect_list(struct(col("day"), col("close")))).as("__bars"))
+    graft.ops.Recurrence.barArrays(df, keyCol, tsCol, valCol, tieBreak)
 
   /** Per-step results of the linear folds — same field names as the HOF
     * forms' structs so both paths share one emit expression. */
@@ -78,18 +78,16 @@ object Breadth19 {
           when(size(acc) === 0, c)
             .otherwise(lit(a) * c + lit(1.0 - a) * element_at(acc, -1))))
       })
-    val loop = udf { (closes: Seq[Long]) =>
-      val out = new Array[Double](closes.length)
-      var i = 0
-      closes.foreach { cl =>
-        val c = cl.toDouble
-        out(i) = if (i == 0) c else a * c + (1.0 - a) * out(i - 1)
-        i += 1
-      }
-      out.toSeq
+    val loop = graft.ops.Recurrence.foldUdf {
+      (st: Option[Double], b: graft.ops.Bar) =>
+        val c = b.close.toDouble
+        val e = if (st.isEmpty) c else a * c + (1.0 - a) * st.get
+        (e, e)
     }
     val emas =
-      if (linear) loop(transform(col("__bars"), _.getField("close"))) else hof
+      if (linear)
+        loop.apply(graft.ops.Recurrence.foldInputs(col("__bars")): _*)
+      else hof
     barArrays(df, keyCol, tsCol, valCol, tieBreak)
       .withColumn("__e", emas)
       .select(col(keyCol), explode(zip_with(col("__bars"), col("__e"),
@@ -119,23 +117,23 @@ object Breadth19 {
           .otherwise(lit(A9) * (e12 - e26) + lit(1.0 - A9) * prev.getField("sig"))
         concat(acc, array(struct(e12.as("e12"), e26.as("e26"), sig.as("sig"))))
       })
-    val loop = udf { (closes: Seq[Long]) =>
-      var e12 = 0.0; var e26 = 0.0; var sig = 0.0
-      var i = 0
-      closes.map { cl =>
-        val c = cl.toDouble
-        if (i == 0) { e12 = c; e26 = c; sig = 0.0 }
-        else {
-          e12 = A12 * c + (1.0 - A12) * e12
-          e26 = A26 * c + (1.0 - A26) * e26
-          sig = A9 * (e12 - e26) + (1.0 - A9) * sig
+    val loop = graft.ops.Recurrence.foldUdf {
+      (st: Option[MacdStep], b: graft.ops.Bar) =>
+        val c = b.close.toDouble
+        val m = st match {
+          case None => MacdStep(c, c, 0.0)
+          case Some(p) =>
+            val e12 = A12 * c + (1.0 - A12) * p.e12
+            val e26 = A26 * c + (1.0 - A26) * p.e26
+            MacdStep(e12, e26,
+              A9 * (e12 - e26) + (1.0 - A9) * p.sig)
         }
-        i += 1
-        MacdStep(e12, e26, sig)
-      }
+        (m, m)
     }
     val macds =
-      if (linear) loop(transform(col("__bars"), _.getField("close"))) else hof
+      if (linear)
+        loop.apply(graft.ops.Recurrence.foldInputs(col("__bars")): _*)
+      else hof
     barArrays(df, keyCol, tsCol, valCol, tieBreak)
       .withColumn("__m", macds)
       .select(col(keyCol), explode(zip_with(col("__bars"), col("__m"),
@@ -184,33 +182,33 @@ object Breadth19 {
           ag.as("ag"), al.as("al"))
         concat(acc, array(when(size(acc) === 0, first).otherwise(step)))
       })
-    val loop = udf { (closes: Seq[Long]) =>
-      var lastC = 0L; var sg = 0L; var sl = 0L
-      var ag: Option[Double] = None; var al: Option[Double] = None
-      var i = 0
-      closes.map { c =>
-        if (i > 0) {
-          val d = c - lastC
-          val g = math.max(d, 0L)
-          val l = math.max(-d, 0L)
-          val j = i.toLong // 1-based diff index of this step
-          sg += g
-          sl += l
-          if (j < n) { ag = None; al = None }
-          else if (j == n) {
-            ag = Some(sg.toDouble / 14.0); al = Some(sl.toDouble / 14.0)
-          } else {
-            ag = Some((ag.get * 13.0 + g.toDouble) / 14.0)
-            al = Some((al.get * 13.0 + l.toDouble) / 14.0)
-          }
+    val loop = graft.ops.Recurrence.foldUdfIndexed {
+      (st: Option[WilderStep], b: graft.ops.Bar, i: Int) =>
+        val c = b.close
+        val w = st match {
+          case None => WilderStep(c, 0L, 0L, None, None)
+          case Some(p) =>
+            val d = c - p.c
+            val g = math.max(d, 0L)
+            val l = math.max(-d, 0L)
+            val j = i.toLong // 1-based diff index of this step
+            val sg = p.sg + g
+            val sl = p.sl + l
+            val (ag, al) =
+              if (j < n) (None, None)
+              else if (j == n)
+                (Some(sg.toDouble / 14.0), Some(sl.toDouble / 14.0))
+              else
+                (Some((p.ag.get * 13.0 + g.toDouble) / 14.0),
+                  Some((p.al.get * 13.0 + l.toDouble) / 14.0))
+            WilderStep(c, sg, sl, ag, al)
         }
-        lastC = c
-        i += 1
-        WilderStep(c, sg, sl, ag, al)
-      }
+        (w, w)
     }
     val accs =
-      if (linear) loop(transform(col("__bars"), _.getField("close"))) else hof
+      if (linear)
+        loop.apply(graft.ops.Recurrence.foldInputs(col("__bars")): _*)
+      else hof
     barArrays(df, keyCol, tsCol, valCol, tieBreak)
       .withColumn("__w", accs)
       .select(col(keyCol), explode(zip_with(col("__bars"), col("__w"),
@@ -241,10 +239,8 @@ object Breadth19 {
                                    valCol: String, tieBreak: String,
                                    linear: Boolean = true): DataFrame = {
     val n = AtrN
-    val byKey = Breadth13.dayBarsCents(df, keyCol, tsCol, valCol, tieBreak)
-      .groupBy(col(keyCol))
-      .agg(sort_array(collect_list(struct(col("day"), col("close"),
-        col("high"), col("low")))).as("__bars"))
+    val byKey =
+      graft.ops.Recurrence.barArrays(df, keyCol, tsCol, valCol, tieBreak)
     val hof = aggregate(
       col("__bars"),
       expr("CAST(array() AS ARRAY<STRUCT<c: BIGINT, ema: DOUBLE, " +
@@ -267,31 +263,27 @@ object Breadth19 {
         concat(acc, array(struct(c.as("c"), ema.as("ema"),
           trs.as("trs"), atr.as("atr"))))
       })
-    val loop = udf { (cs: Seq[Long], hs: Seq[Long], ls: Seq[Long]) =>
-      var lastC = 0L; var ema = 0.0; var trs = 0L
-      var atr: Option[Double] = None
-      var i = 0
-      cs.indices.map { k =>
-        val c = cs(k); val h = hs(k); val l = ls(k)
+    val loop = graft.ops.Recurrence.foldUdfIndexed {
+      (st: Option[KeltnerStep], b: graft.ops.Bar, i: Int) =>
+        val c = b.close; val h = b.high; val l = b.low
         val tr =
           if (i == 0) h - l
-          else math.max(h - l, math.max(math.abs(h - lastC), math.abs(l - lastC)))
-        ema = if (i == 0) c.toDouble else A20 * c.toDouble + (1.0 - A20) * ema
-        trs = if (i == 0) tr else trs + tr
-        atr =
+          else math.max(h - l,
+            math.max(math.abs(h - st.get.c), math.abs(l - st.get.c)))
+        val ema =
+          if (i == 0) c.toDouble
+          else A20 * c.toDouble + (1.0 - A20) * st.get.ema
+        val trs = if (i == 0) tr else st.get.trs + tr
+        val atr =
           if (i + 1 < n) None
           else if (i + 1 == n) Some(trs.toDouble / 10.0)
-          else Some((atr.get * 9.0 + tr.toDouble) / 10.0)
-        lastC = c
-        i += 1
-        KeltnerStep(c, ema, trs, atr)
-      }
+          else Some((st.get.atr.get * 9.0 + tr.toDouble) / 10.0)
+        val k = KeltnerStep(c, ema, trs, atr)
+        (k, k)
     }
     val accs =
-      if (linear) loop(
-        transform(col("__bars"), _.getField("close")),
-        transform(col("__bars"), _.getField("high")),
-        transform(col("__bars"), _.getField("low")))
+      if (linear)
+        loop.apply(graft.ops.Recurrence.foldInputs(col("__bars")): _*)
       else hof
     byKey.withColumn("__k", accs)
       .select(col(keyCol), explode(zip_with(col("__bars"), col("__k"),

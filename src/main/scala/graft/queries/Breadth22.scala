@@ -122,33 +122,19 @@ object Breadth22 {
   /** ADX series per key over daily bars: one row per bar (warm-up rows
     * all-null), O(L) fold per key over the collected bar array. */
   private[graft] def adxSeries(df: DataFrame, keyCol: String, tsCol: String,
-                               valCol: String, tieBreak: String): DataFrame = {
-    val byKey = Breadth13.dayBarsCents(df, keyCol, tsCol, valCol, tieBreak)
-      .groupBy(col(keyCol))
-      .agg(sort_array(collect_list(struct(col("day"), col("close"),
-        col("high"), col("low")))).as("__bars"))
-    val loop = udf { (cs: Seq[Long], hs: Seq[Long], ls: Seq[Long]) =>
-      var st: Option[AdxAcc] = None
-      cs.indices.map { i =>
-        val a = adxStep(st, hs(i), ls(i), cs(i))
-        st = Some(a)
+                               valCol: String, tieBreak: String): DataFrame =
+    graft.ops.Recurrence.series(df, keyCol, tsCol, valCol, tieBreak) {
+      (st: Option[AdxAcc], b: graft.ops.Bar) =>
+        val a = adxStep(st, b.high, b.low, b.close)
         val (dip, dim, dx, adx) = adxOut(a)
-        AdxRow(dip, dim, dx, adx)
-      }
+        (a, AdxRow(dip, dim, dx, adx))
+    } { (b, s) =>
+      struct(b.getField("day").as("day"),
+        s.getField("di_plus").as("di_plus"),
+        s.getField("di_minus").as("di_minus"),
+        s.getField("dx").as("dx"),
+        s.getField("adx").as("adx"))
     }
-    byKey.withColumn("__a", loop(
-        transform(col("__bars"), _.getField("close")),
-        transform(col("__bars"), _.getField("high")),
-        transform(col("__bars"), _.getField("low"))))
-      .select(col(keyCol), explode(zip_with(col("__bars"), col("__a"),
-        (b, s) => struct(b.getField("day").as("day"),
-          s.getField("di_plus").as("di_plus"),
-          s.getField("di_minus").as("di_minus"),
-          s.getField("dx").as("dx"),
-          s.getField("adx").as("adx")))).as("r"))
-      .select(col(keyCol), col("r.day"), col("r.di_plus"), col("r.di_minus"),
-        col("r.dx"), col("r.adx"))
-  }
 
   val defs: Map[String, Q] = Map(
     // Wilder directional movement system: DI+/DI−, DX, ADX(3).

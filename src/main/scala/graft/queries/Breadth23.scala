@@ -136,62 +136,38 @@ object Breadth23 {
   /** TSI series per key over daily bars (one row per bar, null during
     * the first bar / flat histories). */
   private[graft] def tsiSeries(df: DataFrame, keyCol: String, tsCol: String,
-                               valCol: String, tieBreak: String): DataFrame = {
-    val byKey = Breadth13.dayBarsCents(df, keyCol, tsCol, valCol, tieBreak)
-      .groupBy(col(keyCol))
-      .agg(sort_array(collect_list(struct(col("day"), col("close")))).as("__bars"))
-    val loop = udf { (cs: Seq[Long]) =>
-      var st: Option[TsiAcc] = None
-      cs.map { c =>
-        val a = tsiStep(st, c)
-        st = Some(a)
-        TsiRow(tsiOut(a))
-      }
+                               valCol: String, tieBreak: String): DataFrame =
+    graft.ops.Recurrence.series(df, keyCol, tsCol, valCol, tieBreak) {
+      (st: Option[TsiAcc], b: graft.ops.Bar) =>
+        val a = tsiStep(st, b.close)
+        (a, TsiRow(tsiOut(a)))
+    } { (b, s) =>
+      struct(b.getField("day").as("day"),
+        b.getField("close").as("close_cents"),
+        s.getField("tsi").as("tsi"))
     }
-    byKey.withColumn("__t", loop(transform(col("__bars"), _.getField("close"))))
-      .select(col(keyCol), explode(zip_with(col("__bars"), col("__t"),
-        (b, s) => struct(b.getField("day").as("day"),
-          b.getField("close").as("close_cents"),
-          s.getField("tsi").as("tsi")))).as("r"))
-      .select(col(keyCol), col("r.day"), col("r.close_cents"), col("r.tsi"))
-  }
 
   /** Supertrend series per key over daily bars — BANDED rows only (the
     * ATR warm-up is unscored and dropped, the oracle's row set). */
   private[graft] def supertrendSeries(df: DataFrame, keyCol: String,
                                       tsCol: String, valCol: String,
-                                      tieBreak: String): DataFrame = {
-    val byKey = Breadth13.dayBarsCents(df, keyCol, tsCol, valCol, tieBreak)
-      .groupBy(col(keyCol))
-      .agg(sort_array(collect_list(struct(col("day"), col("close"),
-        col("high"), col("low")))).as("__bars"))
-    val loop = udf { (cs: Seq[Long], hs: Seq[Long], ls: Seq[Long]) =>
-      var st: Option[StAcc] = None
-      cs.indices.map { k =>
-        val a = supertrendStep(st, hs(k), ls(k), cs(k))
-        st = Some(a)
-        StRow(a.atr, a.fub, a.flb,
+                                      tieBreak: String): DataFrame =
+    graft.ops.Recurrence.series(df, keyCol, tsCol, valCol, tieBreak) {
+      (st: Option[StAcc], b: graft.ops.Bar) =>
+        val a = supertrendStep(st, b.high, b.low, b.close)
+        (a, StRow(a.atr, a.fub, a.flb,
           a.up.map(u => if (u) "up" else "down"),
-          a.up.map(u => if (u) a.flb.get else a.fub.get))
-      }
+          a.up.map(u => if (u) a.flb.get else a.fub.get)))
+    } { (b, s) =>
+      struct(b.getField("day").as("day"),
+        b.getField("close").as("close_cents"),
+        s.getField("atr").as("atr"),
+        s.getField("band_upper").as("band_upper"),
+        s.getField("band_lower").as("band_lower"),
+        s.getField("trend").as("trend"),
+        s.getField("supertrend").as("supertrend"))
     }
-    byKey.withColumn("__s", loop(
-        transform(col("__bars"), _.getField("close")),
-        transform(col("__bars"), _.getField("high")),
-        transform(col("__bars"), _.getField("low"))))
-      .select(col(keyCol), explode(zip_with(col("__bars"), col("__s"),
-        (b, s) => struct(b.getField("day").as("day"),
-          b.getField("close").as("close_cents"),
-          s.getField("atr").as("atr"),
-          s.getField("band_upper").as("band_upper"),
-          s.getField("band_lower").as("band_lower"),
-          s.getField("trend").as("trend"),
-          s.getField("supertrend").as("supertrend")))).as("r"))
-      .select(col(keyCol), col("r.day"), col("r.close_cents"), col("r.atr"),
-        col("r.band_upper"), col("r.band_lower"), col("r.trend"),
-        col("r.supertrend"))
       .filter(col("atr").isNotNull)
-  }
 
   val defs: Map[String, Q] = Map(
     // True strength index: double-EMA-smoothed momentum ratio.

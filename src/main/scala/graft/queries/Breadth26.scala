@@ -62,10 +62,15 @@ object Breadth26 {
 
   /** Ordered LISTAGG per key: the DISTINCT event types, sorted, joined
     * with ','. Sorting before joining makes the fold order-free — the
-    * only way a distributed string_agg can be deterministic. */
+    * only way a distributed string_agg can be deterministic. NULL tags
+    * are excluded EXPLICITLY on both sides (here and in the oracle):
+    * collect_set drops NULLs while SELECT DISTINCT keeps a NULL row
+    * that count(*) counts but string_agg skips, so without the filter
+    * n_types would diverge the day a NULL tag ships. */
   private[graft] def stringAgg(df: DataFrame, keyCol: String,
                                tagCol: String): DataFrame =
-    df.groupBy(col(keyCol))
+    df.filter(col(tagCol).isNotNull)
+      .groupBy(col(keyCol))
       .agg(array_sort(collect_set(col(tagCol))).as("__tags"))
       .select(col(keyCol), size(col("__tags")).as("n_types"),
         array_join(col("__tags"), ",").as("type_csv"))
@@ -178,7 +183,8 @@ object Breadth26 {
         |FROM ranked WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     "q_string_agg" ->
-      """WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+      """WITH d AS (SELECT DISTINCT user_id, event_type FROM events
+        |           WHERE event_type IS NOT NULL)
         |SELECT user_id, CAST(count(*) AS INTEGER) AS n_types,
         |  string_agg(event_type, ',' ORDER BY event_type) AS type_csv
         |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,

@@ -54,15 +54,20 @@ object Breadth27 {
   private[graft] val A13 = 2.0 / 14.0
 
   /** Per-(key, day) traded volume: the summed JSON `k` prop (the
-    * q_amihud convention); days with no parseable quantity drop. */
+    * q_amihud convention); days with no parseable quantity drop. Shared
+    * across the ~15 volume-indicator queries via the plan-keyed memo
+    * (Breadth13.memoizedOnPlan) — the JSON extraction + aggregate runs
+    * once per (session, input plan), not once per query. */
   private[graft] def dayVols(df: DataFrame, keyCol: String, tsCol: String,
                              qtyJsonField: String): DataFrame =
-    df.withColumn("__day", col(tsCol).cast("date"))
-      .withColumn("__q",
-        get_json_object(col("props"), s"$$.$qtyJsonField").cast("long"))
-      .groupBy(col(keyCol), col("__day").as("day"))
-      .agg(sum(col("__q")).as("__v"))
-      .filter(col("__v").isNotNull)
+    Breadth13.memoizedOnPlan(df, s"vols|$keyCol|$tsCol|$qtyJsonField") {
+      df.withColumn("__day", col(tsCol).cast("date"))
+        .withColumn("__q",
+          get_json_object(col("props"), s"$$.$qtyJsonField").cast("long"))
+        .groupBy(col(keyCol), col("__day").as("day"))
+        .agg(sum(col("__q")).as("__v"))
+        .filter(col("__v").isNotNull)
+    }
 
   /** The per-bar money-flow quantum as a plain function — shared
     * verbatim by the streaming twin; the Column expression in

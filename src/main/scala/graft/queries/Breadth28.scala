@@ -55,13 +55,15 @@ object Breadth28 {
     * indices seed at 1000; on a volume DOWN day the NVI multiplies by
     * (1 + roc), on a volume UP day the PVI does; equal volume moves
     * neither. roc = (C_t − C_{t−1})/C_{t−1} in the cents domain; a
-    * zero previous close (zero-valued ticks exist in the testdata)
-    * leaves roc undefined — both indices freeze, same stance as a
-    * volume tie. */
+    * NON-POSITIVE previous close (zero-valued ticks exist in the
+    * testdata; `<= 0` rather than `== 0` so a hypothetical negative
+    * close takes the same freeze branch as the oracle's `close > 0`
+    * guard) leaves roc undefined — both indices freeze, same stance
+    * as a volume tie. */
   private[graft] def nviStep(st: Option[NviAcc], c: Long, v: Long): NviAcc =
     st match {
       case None => NviAcc(c, v, 1000.0, 1000.0)
-      case Some(a) if a.prevClose == 0L => NviAcc(c, v, a.nvi, a.pvi)
+      case Some(a) if a.prevClose <= 0L => NviAcc(c, v, a.nvi, a.pvi)
       case Some(a) =>
         val roc = (c - a.prevClose).toDouble / a.prevClose.toDouble
         val nvi = if (v < a.prevVol) a.nvi * (1.0 + roc) else a.nvi
@@ -121,115 +123,73 @@ object Breadth28 {
     KamaAcc(ring, kama)
   }
 
-  /** Per-key day-sorted (day, close) bar arrays. */
-  private def barArrays(df: DataFrame, keyCol: String, tsCol: String,
-                        valCol: String, tieBreak: String): DataFrame =
-    Breadth13.dayBarsCents(df, keyCol, tsCol, valCol, tieBreak)
-      .groupBy(col(keyCol))
-      .agg(sort_array(collect_list(struct(col("day"), col("close"))))
-        .as("__bars"))
-
-  /** NVI + PVI per key over volume-carrying daily bars. */
+  /** NVI + PVI per key over volume-carrying daily bars — one
+    * Recurrence.series fold (volume-joined: no-quantity days drop). */
   private[graft] def nviPvi(df: DataFrame, keyCol: String, tsCol: String,
                             valCol: String, tieBreak: String,
-                            qtyJsonField: String): DataFrame = {
-    val byKey = Breadth27.volBars(df, keyCol, tsCol, valCol, tieBreak,
-        qtyJsonField)
-      .groupBy(col(keyCol))
-      .agg(sort_array(collect_list(struct(col("day"), col("close"),
-        col("__v")))).as("__bars"))
-    val loop = udf { (cs: Seq[Long], vs: Seq[Long]) =>
-      var st: Option[NviAcc] = None
-      cs.indices.map { k =>
-        val a = nviStep(st, cs(k), vs(k))
-        st = Some(a)
-        (a.nvi, a.pvi)
-      }
+                            qtyJsonField: String): DataFrame =
+    graft.ops.Recurrence.series(df, keyCol, tsCol, valCol, tieBreak,
+        Some(qtyJsonField)) { (st: Option[NviAcc], b: graft.ops.Bar) =>
+      val a = nviStep(st, b.close, b.vol)
+      (a, (a.nvi, a.pvi))
+    } { (b, s) =>
+      struct(b.getField("day").as("day"),
+        b.getField("close").as("close_cents"),
+        s.getField("_1").as("nvi"), s.getField("_2").as("pvi"))
     }
-    byKey.withColumn("__s", loop(
-        transform(col("__bars"), _.getField("close")),
-        transform(col("__bars"), _.getField("__v"))))
-      .select(col(keyCol), explode(zip_with(col("__bars"), col("__s"),
-        (b, s) => struct(b.getField("day").as("day"),
-          b.getField("close").as("close_cents"),
-          s.getField("_1").as("nvi"), s.getField("_2").as("pvi")))).as("r"))
-      .select(col(keyCol), col("r.day"), col("r.close_cents"), col("r.nvi"),
-        col("r.pvi"))
-  }
 
   /** TRIX per key (triple-EMA rate of change; null on the seed bar). */
   private[graft] def trix(df: DataFrame, keyCol: String, tsCol: String,
-                          valCol: String, tieBreak: String): DataFrame = {
-    val loop = udf { (cs: Seq[Long]) =>
-      var st: Option[TrixAcc] = None
-      cs.map { c =>
-        val a = trixStep(st, c)
-        val out = trixOut(st, a)
-        st = Some(a)
-        (a.e3, out)
-      }
+                          valCol: String, tieBreak: String): DataFrame =
+    graft.ops.Recurrence.series(df, keyCol, tsCol, valCol, tieBreak) {
+      (st: Option[TrixAcc], b: graft.ops.Bar) =>
+        val a = trixStep(st, b.close)
+        (a, (a.e3, trixOut(st, a)))
+    } { (b, s) =>
+      struct(b.getField("day").as("day"),
+        b.getField("close").as("close_cents"),
+        s.getField("_1").as("e3"), s.getField("_2").as("trix"))
     }
-    barArrays(df, keyCol, tsCol, valCol, tieBreak)
-      .withColumn("__s", loop(transform(col("__bars"), _.getField("close"))))
-      .select(col(keyCol), explode(zip_with(col("__bars"), col("__s"),
-        (b, s) => struct(b.getField("day").as("day"),
-          b.getField("close").as("close_cents"),
-          s.getField("_1").as("e3"), s.getField("_2").as("trix")))).as("r"))
-      .select(col(keyCol), col("r.day"), col("r.close_cents"), col("r.e3"),
-        col("r.trix"))
-  }
 
   /** KAMA per key (adaptive MA; null during the w-bar warm-up). */
   private[graft] def kama(df: DataFrame, keyCol: String, tsCol: String,
-                          valCol: String, tieBreak: String): DataFrame = {
-    val loop = udf { (cs: Seq[Long]) =>
-      var st: Option[KamaAcc] = None
-      cs.map { c =>
-        val a = kamaStep(st, c)
-        st = Some(a)
-        a.kama
-      }
+                          valCol: String, tieBreak: String): DataFrame =
+    graft.ops.Recurrence.series(df, keyCol, tsCol, valCol, tieBreak) {
+      (st: Option[KamaAcc], b: graft.ops.Bar) =>
+        val a = kamaStep(st, b.close)
+        (a, a.kama)
+    } { (b, s) =>
+      struct(b.getField("day").as("day"),
+        b.getField("close").as("close_cents"), s.as("kama"))
     }
-    barArrays(df, keyCol, tsCol, valCol, tieBreak)
-      .withColumn("__s", loop(transform(col("__bars"), _.getField("close"))))
-      .select(col(keyCol), explode(zip_with(col("__bars"), col("__s"),
-        (b, s) => struct(b.getField("day").as("day"),
-          b.getField("close").as("close_cents"), s.as("kama")))).as("r"))
-      .filter(col("r.kama").isNotNull)
-      .select(col(keyCol), col("r.day"), col("r.close_cents"),
-        (col("r.kama") / lit(100.0)).as("kama"))
-  }
+      .filter(col("kama").isNotNull)
+      .select(col(keyCol), col("day"), col("close_cents"),
+        (col("kama") / lit(100.0)).as("kama"))
 
   /** Mass index per key: EMA(range) over EMA(EMA(range)), the per-bar
     * ratio quantized to integer 1e-8 units, window-summed over
     * `MassW` bars (full windows only; an all-doji EMA pair scores 0 —
-    * e2 can only be 0 when every range is 0). */
+    * e2 can only be 0 when every range is 0). The EMA pair is one
+    * Recurrence fold (e2 reads the SAME step's new e1); the window sum
+    * rides on the emitted quanta. */
   private[graft] def massIndex(df: DataFrame, keyCol: String, tsCol: String,
                                valCol: String, tieBreak: String): DataFrame = {
-    val loop = udf { (hs: Seq[Long], ls: Seq[Long]) =>
-      var e1 = 0.0; var e2 = 0.0
-      hs.indices.map { k =>
-        val rng = (hs(k) - ls(k)).toDouble
-        if (k == 0) { e1 = rng; e2 = rng }
-        else {
-          e1 = MassEmaA * rng + (1.0 - MassEmaA) * e1
-          e2 = MassEmaA * e1 + (1.0 - MassEmaA) * e2
+    val folded = graft.ops.Recurrence.series(
+        df, keyCol, tsCol, valCol, tieBreak) {
+      (st: Option[(Double, Double)], b: graft.ops.Bar) =>
+        val rng = (b.high - b.low).toDouble
+        val (e1, e2) = st match {
+          case None => (rng, rng)
+          case Some((p1, p2)) =>
+            val n1 = MassEmaA * rng + (1.0 - MassEmaA) * p1
+            (n1, MassEmaA * n1 + (1.0 - MassEmaA) * p2)
         }
-        if (e2 > 0) math.floor(1.0e8 * e1 / e2).toLong else 0L
-      }
+        ((e1, e2),
+          if (e2 > 0) math.floor(1.0e8 * e1 / e2).toLong else 0L)
+    } { (b, s) =>
+      struct(b.getField("day").as("day"),
+        b.getField("close").as("close_cents"), s.as("ratio_q"))
     }
-    val folded = Breadth13.dayBarsCents(df, keyCol, tsCol, valCol, tieBreak)
-      .groupBy(col(keyCol))
-      .agg(sort_array(collect_list(struct(col("day"), col("close"),
-        col("high"), col("low")))).as("__bars"))
-      .withColumn("__s", loop(
-        transform(col("__bars"), _.getField("high")),
-        transform(col("__bars"), _.getField("low"))))
-      .select(col(keyCol), explode(zip_with(col("__bars"), col("__s"),
-        (b, s) => struct(b.getField("day").as("day"),
-          b.getField("close").as("close_cents"), s.as("ratio_q")))).as("r"))
-      .select(col(keyCol), col("r.day"), col("r.close_cents"),
-        col("r.ratio_q"))
     val f = Window.partitionBy(col(keyCol)).orderBy(col("day").asc)
       .rowsBetween(-(MassW - 1), 0)
     folded.withColumn("__n", count(lit(1)).over(f))

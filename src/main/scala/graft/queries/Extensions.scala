@@ -124,7 +124,16 @@ object Extensions {
       : Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
     "chain_minhash_pairs" -> (() => verifiedPairs(s, dir)),
     "chain_dup_clusters" -> (() => dupClusters(s, dir)),
-    "chain_embed_pairs" -> (() => embedNearDupPairs(s, dir)))
+    "chain_embed_pairs" -> (() => embedNearDupPairs(s, dir)),
+    // The (key, day) OHLC-bar and day-volume grids every indicator query
+    // derives from the events scan — materialized through the plan-keyed
+    // memo (Breadth13.memoizedOnPlan) with the canonical arguments all
+    // ~36 call sites use, so consumer queries bench at marginal cost and
+    // the chain's one-time window+aggregate is attributed HERE.
+    "chain_day_bars" -> (() => Breadth13.dayBarsCents(
+      Tables.events(s, dir), "user_id", "ts", "value", "event_id")),
+    "chain_day_vols" -> (() => Breadth27.dayVols(
+      Tables.events(s, dir), "user_id", "ts", "k")))
 
   /** Embedding near-dup pairs (LSH-prefiltered), memoized like
     * verifiedPairs — q_embed_neardup and q_semantic_dedup consume the
@@ -264,6 +273,21 @@ object Extensions {
     "q_simhash" -> ((s, dir) => {
       Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
           "source", maxHamming = 8)
+        .orderBy(col("id_a").asc, col("id_b").asc)
+    }),
+
+    // The PRODUCTION operating point of the same operator: Manku's d=3
+    // → 4 pigeonhole bands of 16 bits each, in-block collision fraction
+    // ≈ 4/2¹⁶ ≈ 6·10⁻⁵ — the knob that keeps candidate volume linear at
+    // fixed band count as the corpus grows (d=8's 7-bit bands were the
+    // one measured super-linear cost curve at sf1; same code path, just
+    // the tighter hamming bound wide-band blocking is designed for).
+    // Exact for its bound: every hamming-≤3 pair is found (pigeonhole),
+    // so the d=8→d=3 "recall trade" is precisely the pairs with hamming
+    // 4..8 — a threshold choice, not a lost-pair risk.
+    "q_simhash_d3" -> ((s, dir) => {
+      Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+          "source", maxHamming = 3)
         .orderBy(col("id_a").asc, col("id_b").asc)
     }),
 
@@ -420,6 +444,30 @@ object Extensions {
       if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
     } ELSE 0 END")
     .mkString(" + ")
+
+  /** The source-blocked simhash near-dup oracle at hamming bound `d` —
+    * shared by q_simhash (d=8) and q_simhash_d3 (the Manku production
+    * point): the banding is an exact pigeonhole prefilter, so the
+    * oracle is the plain all-pairs self-join at the same bound. */
+  private def simhashOracleSql(d: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM documents),
+       |h AS (SELECT doc_id,
+       |  ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hvh,
+       |  ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hvl FROM toks),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $simhashBitSums
+       |  FROM h GROUP BY doc_id),
+       |sims AS (SELECT doc_id, $simhashValue AS simhash FROM bits),
+       |joined AS (SELECT s.doc_id, d.source, s.simhash FROM sims s
+       |  JOIN documents d USING (doc_id))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM joined a JOIN joined b
+       |  ON a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $d
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Embedding near-dup pairs as one (nestable) WITH-chain — the SQL
     * twin of `embedNearDupPairs`, shared by the q_embed_neardup oracle
@@ -638,25 +686,8 @@ object Extensions {
          |    / (len(sa) + len(sb) - len(list_filter(sa, x -> list_contains(sb, x)))), 4) >= 0.03
          |ORDER BY id_a, id_b""".stripMargin,
 
-    "q_simhash" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(${sqlTokens("text")}) AS tok FROM documents),
-         |h AS (SELECT doc_id,
-         |  ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hvh,
-         |  ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hvl FROM toks),
-         |bits AS (
-         |  SELECT doc_id,
-         |    $simhashBitSums
-         |  FROM h GROUP BY doc_id),
-         |sims AS (SELECT doc_id, $simhashValue AS simhash FROM bits),
-         |joined AS (SELECT s.doc_id, d.source, s.simhash FROM sims s
-         |  JOIN documents d USING (doc_id))
-         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-         |FROM joined a JOIN joined b
-         |  ON a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
-         |ORDER BY id_a, id_b""".stripMargin,
+    "q_simhash" -> simhashOracleSql(8),
+    "q_simhash_d3" -> simhashOracleSql(3),
 
     "q_embed_topk" ->
       s"""$bruteRankedSql

@@ -178,6 +178,50 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Set((1L, 2L)))
   }
 
+  test("simhash d=3 (the Manku production point): 4 bands of 16 bits, " +
+    "pigeonhole-complete at hamming 3, collisions ~4/2^16 of all-pairs") {
+    // band decomposition: 64/4 = 16-bit bands exactly
+    val bands = Dedup.simhashBandStructs(lit(-1L), 4)
+    val vals = spark.range(1).select(bands.as("b"))
+      .selectExpr("transform(b, x -> x.band_val)").as[Seq[Long]].head()
+    assert(vals == Seq.fill(4)(0xFFFFL),
+      s"d=3 bands must be four 16-bit masks, got $vals")
+    // pigeonhole at the bound: 3 flipped bits in 3 DIFFERENT bands still
+    // leave one agreeing band
+    val h2 = (1L << 0) | (1L << 16) | (1L << 32)
+    val sims = Seq((1L, 0L), (2L, h2)).toDF("doc_id", "simhash")
+      .withColumn("src", lit("s"))
+    val out = Dedup.simhashBandCandidates(sims, "doc_id", "src", 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+    // equality to all-pairs at d=3 on a corpus block (the q_simhash_d3
+    // operating point), and the wide-band candidate fraction
+    val n = 60
+    val fixture = docs((1L to n.toLong).map { i =>
+      if (i % 10 == 0)
+        i -> (1 to 50).map(j => if (j == 25) s"CHG$i" else s"tok${i - 1}_$j").mkString(" ")
+      else i -> (1 to 50).map(j => s"tok${i}_$j").mkString(" ")
+    }: _*).withColumn("src", lit("one_source"))
+    val s2 = Dedup.simhash64(fixture, "doc_id", "text")
+      .join(fixture.select(col("doc_id"), col("src")), "doc_id").persist()
+    val a = s2.select(col("src"), col("doc_id").as("id_a"), col("simhash").as("sim_a"))
+    val b = s2.select(col("src"), col("doc_id").as("id_b"), col("simhash").as("sim_b"))
+    val allPairs = a.join(b, Seq("src")).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val banded = Dedup.simhashNearDups(fixture, "doc_id", "text", "src", 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == allPairs, s"banded=$banded allPairs=$allPairs")
+    // 16-bit bands: expected random-pair collision fraction 4/65536 —
+    // candidates must be a sliver of the quadratic block (true pairs +
+    // ~0 random collisions), far tighter than d=8's 7-bit bands
+    val candidates = Dedup.simhashBandCandidates(s2, "doc_id", "src", 3).count()
+    assert(candidates <= allPairs.size + 5,
+      s"d=3 candidates $candidates should be ≈ true pairs (${allPairs.size})")
+    s2.unpersist()
+  }
+
   test("ngramContainment flags a copied eval doc as fully contaminated " +
     "and a novel one as clean") {
     val train = (1 to 40).map(i => s"tr$i").mkString(" ")
