@@ -36,12 +36,17 @@ object Bench {
     }
     def timedCold(name: String)(body: => Unit): (String, Double) =
       name -> once(name)(body)
+    // SPARK_GRAFT_BENCH_RUNS: warm repeats after the discarded cold run
+    // (default 3 → median-of-3). 0 = report the cold run itself — the
+    // scale-step harness times each query once (an sf10 query can cost
+    // minutes; medians there buy noise reduction nobody reads).
+    val warmRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     def timedWarm(name: String)(body: => Unit): (String, Double) = {
       val cold = once(name)(body)
-      if (cold < 0) name -> -1.0
+      if (cold < 0 || warmRuns == 0) name -> cold
       else {
-        val runs = (1 to 3).map(_ => once(name)(body))
-        name -> (if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1))
+        val runs = (1 to warmRuns).map(_ => once(name)(body))
+        name -> (if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(runs.size / 2))
       }
     }
     // The shared memoized dedup/ANN intermediates get their OWN bench
@@ -50,9 +55,17 @@ object Bench {
     // whichever q_* touches the memo first would mis-attribute 10×
     // a consumer's marginal cost to an arbitrary query (round-6 verdict:
     // q_dup_survivorship at 9.3 s was the chain, not the anti-join).
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b,chain_x restricts the run — the
+    // sf10 scale-step harness benches the headline subset without paying
+    // 211 queries at 100× data (unfiltered runs are unchanged).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
     val chain = graft.queries.Extensions.sharedIntermediates(spark, sfDir)
+      .filter { case (name, _) => selected(name) }
       .map { case (name, thunk) => timedCold(name) { thunk().count(): Unit } }
     val results = chain ++ SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => selected(name) }
       .map { case (name, fn) => timedWarm(name) { fn(spark, sfDir).count(): Unit } }
     // failures first (a -1.0 sentinel is the most informative line of
     // all), then slowest-first: the driver captures a bounded tail of

@@ -766,6 +766,19 @@ object Graft {
                 tieBreak: String): DataFrame =
     queries.Breadth28.massIndex(df, keyCol, tsCol, valCol, tieBreak)
 
+  /** DEMA(10) per key: Mulloy's lag-compensated double EMA — the
+    * Recurrence combinator's new-indicator template (one step function,
+    * batch + stream). Oracle-checked as q_dema. */
+  def dema(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+           tieBreak: String): DataFrame =
+    queries.Breadth28.dema(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Streaming twin of [[dema]] — the SAME step function as the batch
+    * fold. Spec-pinned. */
+  def liveDema(bars: org.apache.spark.sql.Dataset[streaming.BarRow])
+      : org.apache.spark.sql.Dataset[streaming.DemaScored] =
+    streaming.Streams.streamingDema(bars)
+
   /** Streaming twin of [[nviPvi]] — the SAME step function as the
     * batch fold. Spec-pinned. */
   def liveNviPvi(bars: org.apache.spark.sql.Dataset[streaming.VolBarRow])

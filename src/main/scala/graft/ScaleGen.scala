@@ -70,12 +70,19 @@ object ScaleGen {
           concat(lit("c"), col("__copy").cast("string"), lit("x$1")))).cast("long"))
         .as("n_chars")), "documents")
 
+    // roll modulo the vector dim (copies can exceed it at sf10's 100×);
+    // each full wrap flips the sign so no two copies are identical —
+    // norms and coordinate distribution preserved, cross-copy cosines
+    // decorrelated (or exactly −1, which near-dup thresholds ignore)
+    val dim = size(col("embedding"))
+    val roll = pmod(col("__copy"), dim.cast("long")).cast("int")
+    val rolled = concat(
+      slice(col("embedding"), roll + lit(1), (dim - roll).cast("int")),
+      slice(col("embedding"), lit(1), roll))
     write(replicated("embeddings").select(
       (col("vec_id") + col("__copy") * lit(100000000L)).as("vec_id"),
-      concat(
-        slice(col("embedding"), (col("__copy") + 1).cast("int"),
-          (size(col("embedding")) - col("__copy")).cast("int")),
-        slice(col("embedding"), lit(1), col("__copy").cast("int")))
+      when(col("__copy") < dim.cast("long"), rolled)
+        .otherwise(transform(rolled, x => -x))
         .as("embedding"),
       col("label")), "embeddings")
 

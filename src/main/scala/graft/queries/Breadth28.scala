@@ -46,6 +46,8 @@ object Breadth28 {
   private[graft] val MassEmaN = 5
   private[graft] val MassEmaA = 2.0 / (MassEmaN + 1.0)
   private[graft] val MassW = 7
+  private[graft] val DemaN = 10
+  private[graft] val DemaA = 2.0 / (DemaN + 1.0)
 
   /** NVI/PVI accumulator — the streaming twin's O(1) ValueState. */
   private[graft] case class NviAcc(prevClose: Long, prevVol: Long,
@@ -122,6 +124,37 @@ object Breadth28 {
       }
     KamaAcc(ring, kama)
   }
+
+  /** DEMA accumulator: the two chained EMA stages — the streaming
+    * twin's O(1) ValueState. */
+  private[graft] case class DemaAcc(e1: Double, e2: Double)
+
+  /** One DEMA step — shared verbatim by batch and stream. Both stages
+    * seed at the first close; e2 smooths the SAME step's new e1 (the
+    * TRIX chaining convention). DEMA = 2·e1 − e2 at emit. */
+  private[graft] def demaStep(st: Option[DemaAcc], c: Long): DemaAcc =
+    st match {
+      case None => DemaAcc(c.toDouble, c.toDouble)
+      case Some(a) =>
+        val e1 = DemaA * c + (1.0 - DemaA) * a.e1
+        DemaAcc(e1, DemaA * e1 + (1.0 - DemaA) * a.e2)
+    }
+
+  /** DEMA(10) per key — Mulloy's lag-compensated double EMA, the
+    * combinator's new-indicator demonstration: one step function + one
+    * emit struct, batch below and stream via [[graft.streaming.Streams
+    * .streamingDema]], both on the same `demaStep`. Emitted in the
+    * price domain (one terminal /100, mirrored by the oracle). */
+  private[graft] def dema(df: DataFrame, keyCol: String, tsCol: String,
+                          valCol: String, tieBreak: String): DataFrame =
+    graft.ops.Recurrence.series(df, keyCol, tsCol, valCol, tieBreak) {
+      (st: Option[DemaAcc], b: graft.ops.Bar) =>
+        val a = demaStep(st, b.close)
+        (a, (2.0 * a.e1 - a.e2) / 100.0)
+    } { (b, s) =>
+      struct(b.getField("day").as("day"),
+        b.getField("close").as("close_cents"), s.as("dema"))
+    }
 
   /** NVI + PVI per key over volume-carrying daily bars — one
     * Recurrence.series fold (volume-joined: no-quantity days drop). */
@@ -207,6 +240,11 @@ object Breadth28 {
         "k")
         .orderBy(col("user_id").asc, col("day").asc)),
 
+    // DEMA(10): Mulloy's lag-compensated double EMA.
+    "q_dema" -> ((s, dir) =>
+      dema(Tables.events(s, dir), "user_id", "ts", "value", "event_id")
+        .orderBy(col("user_id").asc, col("day").asc)),
+
     // TRIX: triple-EMA rate of change.
     "q_trix" -> ((s, dir) =>
       trix(Tables.events(s, dir), "user_id", "ts", "value", "event_id")
@@ -280,6 +318,22 @@ object Breadth28 {
          |      ELSE r.pvi END
          |  FROM r JOIN nb b ON b.user_id = r.user_id AND b.i = r.i + 1)
          |SELECT user_id, day, close AS close_cents, nvi, pvi
+         |FROM r ORDER BY user_id, day""".stripMargin,
+
+    "q_dema" ->
+      s"""WITH RECURSIVE $closeBarsSql,
+         |r AS (
+         |  SELECT user_id, day, close, i,
+         |    CAST(close AS DOUBLE) AS e1, CAST(close AS DOUBLE) AS e2
+         |  FROM nb WHERE i = 1
+         |  UNION ALL
+         |  SELECT b.user_id, b.day, b.close, b.i,
+         |    (2.0/11.0) * CAST(b.close AS DOUBLE) + (1.0 - 2.0/11.0) * r.e1,
+         |    (2.0/11.0) * ((2.0/11.0) * CAST(b.close AS DOUBLE) + (1.0 - 2.0/11.0) * r.e1)
+         |      + (1.0 - 2.0/11.0) * r.e2
+         |  FROM r JOIN nb b ON b.user_id = r.user_id AND b.i = r.i + 1)
+         |SELECT user_id, day, close AS close_cents,
+         |  (2.0 * e1 - e2) / 100.0 AS dema
          |FROM r ORDER BY user_id, day""".stripMargin,
 
     "q_trix" ->

@@ -15,6 +15,11 @@ case class EventRow(event_id: Long, ts: java.time.LocalDateTime, user_id: Long,
 /** Per-key state of the incremental latest-snapshot operator. */
 case class LatestState(maxTsMicros: Long, eventId: Long, value: Double)
 
+/** Per-key state of the schema-generic latest-snapshot operator: the
+  * full latest event row plus its pre-extracted µs timestamp (the tie
+  * key, so stale probes compare without re-deriving it). */
+case class LatestRowState(maxTsMicros: Long, row: EventRow)
+
 /** Per-key state of the streaming z-score screen: the trailing ≤6 values
   * in timeline order — O(frame) per key, the whole point of the bounded
   * ROWS-frame design (q_rolling_zscore's batch form). */
@@ -205,6 +210,11 @@ case class TrixScored28(user_id: Long, day: java.time.LocalDate,
   * filter on kama.isDefined to align row sets). */
 case class KamaScored(user_id: Long, day: java.time.LocalDate,
                       close_cents: Long, kama: Option[Double])
+
+/** One scored bar from the live DEMA screen (append stream) — price
+  * domain, like the batch q_dema. */
+case class DemaScored(user_id: Long, day: java.time.LocalDate,
+                      close_cents: Long, dema: Double)
 
 /** Structured Streaming layer. The reference is a hand-rolled micro-batch
   * pipeline — fetch every 300 s, append one batch-stamped tick, notify,
@@ -449,6 +459,18 @@ object Streams {
       if (newer) Some(cand) else None
     }
 
+  /** [[latestStep]] carrying the FULL row — the schema-generic twin,
+    * identical (ts, event_id) discipline. */
+  private[streaming] def latestRowStep(events: Iterator[EventRow],
+                                       current: Option[LatestRowState]): Option[LatestRowState] =
+    events.maxByOption(e => (eventMicros(e.ts), e.event_id)).flatMap { e =>
+      val cand = LatestRowState(eventMicros(e.ts), e)
+      val newer = current.forall(c =>
+        cand.maxTsMicros > c.maxTsMicros ||
+          (cand.maxTsMicros == c.maxTsMicros && e.event_id > c.row.event_id))
+      if (newer) Some(cand) else None
+    }
+
   /** The same incremental latest-per-key on Spark 4's
     * `transformWithState` — the state-store-NATIVE snapshot: the latest
     * row per key lives in the (RocksDB) state store, which is exactly
@@ -478,6 +500,43 @@ object Streams {
       .transformWithState(new LatestStateProcessor, TimeMode.None(),
         OutputMode.Update())
   }
+
+  /** The SCHEMA-GENERIC form of [[keyedStateLatest]]: per-key state is
+    * the ENTIRE latest event row (nested product encoder — RocksDB
+    * stores the full-width row natively), and each micro-batch emits the
+    * complete changed row, not a projection. This is what lets the
+    * keyed-state snapshot REPLACE the generation store for wide-row
+    * consumers: the delta stream carries every column the reference's
+    * WS push carries (`api/server.js:166-200`), with the same stale-
+    * event no-op and (ts, event_id) tie discipline as the narrow form.
+    * Same RocksDB-provider contract as [[keyedStateLatest]]. */
+  def keyedStateLatestRows(ds: Dataset[EventRow]): Dataset[EventRow] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new LatestRowStateProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Stream-static as-of enrichment on the NATIVE merge operator: each
+    * live probe row (key, t, …) picks up the latest static fact at or
+    * before t — the "value as of t" generalization's streaming twin
+    * (the reference's t = now lookup, `api/server.js:67-77`, asked at
+    * probe-arrival time). The custom `AsofJoin` logical node rides the
+    * streaming probe plan; the micro-batch planner re-plans it per
+    * batch through GraftStrategy, so each batch runs the same
+    * co-partitioned single-pass merge as the batch form
+    * (`AsofJoinExec`) against the static fact side — per-batch cost is
+    * O(|batch| + |facts|) merge comparisons with one buffered fact row,
+    * and the static side's exchange is reused across batches by the
+    * micro-batch planner, not rebuilt. Append-mode safe: one output row
+    * per probe row, no stream-side state. Spec-pinned equal to the
+    * batch `asOfLookupNative` across a micro-batch split
+    * (StreamingSpec). */
+  def streamStaticAsof(probes: DataFrame, facts: DataFrame, key: String,
+                       tsCol: String, probeTsCol: String,
+                       valueCols: Seq[String], tieBreak: String): DataFrame =
+    graft.ops.Latest.asOfJoinNativeValues(facts, probes, key, tsCol,
+      probeTsCol, valueCols, tieBreak)
 
   /** Streaming twin of the q_rolling_zscore anomaly screen
     * (`queries.Breadth9.rollingZscore`): each event scored against the 6
@@ -831,6 +890,16 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Streaming twin of the batch q_dema recurrence: one DemaAcc per key
+    * (two chained EMA stages), the SAME step function as the batch fold
+    * (append mode — one row per bar). */
+  def streamingDema(ds: Dataset[BarRow]): Dataset[DemaScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new DemaProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming twin of the batch q_heikin_ashi smoothed candles: one
     * HaAcc per key over the open-carrying day-bar stream, the SAME step
     * function as the batch fold (append mode — one row per bar). */
@@ -1149,6 +1218,28 @@ class LatestStateProcessor
   }
 }
 
+/** The schema-generic latest-per-key processor: full-row keyed state,
+  * full-row deltas (see [[Streams.keyedStateLatestRows]]). */
+class LatestRowStateProcessor
+    extends StatefulProcessor[Long, EventRow, EventRow] {
+  @transient private var latest: ValueState[LatestRowState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    latest = getHandle.getValueState[LatestRowState]("latest_row",
+      org.apache.spark.sql.Encoders.product[LatestRowState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, events: Iterator[EventRow],
+                               timerValues: TimerValues): Iterator[EventRow] = {
+    val current = if (latest.exists()) Some(latest.get()) else None
+    Streams.latestRowStep(events, current) match {
+      case Some(cand) =>
+        latest.update(cand)
+        Iterator(cand.row)
+      case None => Iterator.empty
+    }
+  }
+}
+
 /** Scaffolding shared by the update-mode fold twins (drawdown, tick
   * health, best trade, realized vol): ONE scalar accumulator per key in
   * the state store (|keys|-bounded, never history), micro-batch rows
@@ -1385,6 +1476,21 @@ class KamaProcessor
   protected def score(user: Long, b: BarRow,
                       a: graft.queries.Breadth28.KamaAcc): KamaScored =
     KamaScored(user, b.day, b.close_cents, a.kama.map(_ / 100.0))
+}
+
+/** Keyed processor behind [[Streams.streamingDema]] — the batch
+  * `Breadth28.demaStep` on O(1) keyed state, emit in the price domain
+  * with the batch form's exact expression. */
+class DemaProcessor
+    extends BarFoldProcessor[graft.queries.Breadth28.DemaAcc, DemaScored](
+      "dema",
+      org.apache.spark.sql.Encoders.product[graft.queries.Breadth28.DemaAcc]) {
+  protected def step(st: Option[graft.queries.Breadth28.DemaAcc],
+                     closeCents: Long): graft.queries.Breadth28.DemaAcc =
+    graft.queries.Breadth28.demaStep(st, closeCents)
+  protected def score(user: Long, b: BarRow,
+                      a: graft.queries.Breadth28.DemaAcc): DemaScored =
+    DemaScored(user, b.day, b.close_cents, (2.0 * a.e1 - a.e2) / 100.0)
 }
 
 /** Keyed processor behind [[Streams.streamingHeikinAshi]] — the batch

@@ -260,6 +260,32 @@ class StreamingSpec extends SparkSpec {
         s"keyed-state and generation-fold snapshots diverged: $folded vs $genSnap")
       assert(folded.toMap ==
         Map(1L -> (6L, 2.5), 2L -> (3L, 7.0), 3L -> (7L, 4.0)))
+      // -- schema-generic form over the SAME batch sequence (including a
+      // stop/restart at the same seam): full-row deltas must fold to the
+      // full latest rows — every column, not the (id, value) projection
+      val ckptRows = Files.createTempDirectory("graft_tws_ckpt_rows").toString
+      val mem3 = MemoryStream[EventRow]
+      val foldedRows = scala.collection.mutable.Map.empty[Long, EventRow]
+      def runRows(): org.apache.spark.sql.streaming.StreamingQuery =
+        Streams.keyedStateLatestRows(mem3.toDS())
+          .writeStream.option("checkpointLocation", ckptRows)
+          .outputMode("update")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[EventRow], _: Long) =>
+            b.collect().foreach(e => foldedRows(e.user_id) = e): Unit
+          }.start()
+      val q4 = runRows()
+      batches.take(2).foreach { b => mem3.addData(b: _*); q4.processAllAvailable() }
+      q4.stop()
+      val q5 = runRows()
+      batches.drop(2).foreach { b => mem3.addData(b: _*); q5.processAllAvailable() }
+      q5.stop()
+      val expected = Map(1L -> er(6, 30, 1, 2.5), 2L -> er(3, 1, 2, 7.0),
+        3L -> er(7, 2, 3, 4.0))
+      assert(foldedRows.toMap == expected,
+        s"full-row keyed snapshot diverged: $foldedRows vs $expected")
+      // and its (id, value) projection equals the narrow form's fold
+      assert(foldedRows.view.mapValues(e => (e.event_id, e.value)).toMap
+        == folded.toMap)
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
@@ -1185,14 +1211,19 @@ class StreamingSpec extends SparkSpec {
       val qk = Streams.streamingKama(memK.toDS())
         .writeStream.format("memory").queryName("kama_snap")
         .outputMode("append").start()
+      val memD = MemoryStream[BarRow]
+      val qd = Streams.streamingDema(memD.toDS())
+        .writeStream.format("memory").queryName("dema_snap")
+        .outputMode("append").start()
       // split 2/4/3 — the KAMA seed (bar 6) lands mid-batch, the ring
       // carries across the second boundary
       Seq(0 until 2, 2 until 6, 6 until 9).foreach { rg =>
         memN.addData(rg.map(volRows): _*); qn.processAllAvailable()
         memT.addData(rg.map(barRows): _*); qt.processAllAvailable()
         memK.addData(rg.map(barRows): _*); qk.processAllAvailable()
+        memD.addData(rg.map(barRows): _*); qd.processAllAvailable()
       }
-      qn.stop(); qt.stop(); qk.stop()
+      qn.stop(); qt.stop(); qk.stop(); qd.stop()
       val tick = bars.zipWithIndex.map { case ((c, v), i) =>
         (1L, c.toDouble / 100.0, i * 10L + 1, f"2024-01-${i + 1}%02d 15:00:00", v)
       }.toDF("user_id", "value", "event_id", "at", "k")
@@ -1226,6 +1257,15 @@ class StreamingSpec extends SparkSpec {
         .sortBy(_._1).toSeq
       assert(gotK === wantK, "kama stream vs batch")
       assert(gotK.size === 4) // 9 bars, w = 5 -> seeds at bar 6
+      val gotD = spark.table("dema_snap").select("day", "dema")
+        .collect().map(r => (r.getDate(0).toString, r.getDouble(1)))
+        .sortBy(_._1).toSeq
+      val wantD = Graft.dema(tick, "user_id", "ts", "value", "event_id")
+        .select("day", "dema")
+        .collect().map(r => (r.getDate(0).toString, r.getDouble(1)))
+        .sortBy(_._1).toSeq
+      assert(gotD === wantD, "dema stream vs batch")
+      assert(gotD.size === 9)
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
