@@ -70,21 +70,39 @@ object ScaleGen {
           concat(lit("c"), col("__copy").cast("string"), lit("x$1")))).cast("long"))
         .as("n_chars")), "documents")
 
-    // roll modulo the vector dim (copies can exceed it at sf10's 100×);
-    // each full wrap flips the sign so no two copies are identical —
-    // norms and coordinate distribution preserved, cross-copy cosines
-    // decorrelated (or exactly −1, which near-dup thresholds ignore)
-    val dim = size(col("embedding"))
-    val roll = pmod(col("__copy"), dim.cast("long")).cast("int")
-    val rolled = concat(
-      slice(col("embedding"), roll + lit(1), (dim - roll).cast("int")),
-      slice(col("embedding"), lit(1), roll))
+    // Per-copy deterministic SIGN MASK (copy 0 = the originals,
+    // untouched): coordinate i of copy c flips sign iff
+    // xxhash64(c, i) is odd. Within one copy every pairwise cosine is
+    // EXACTLY the original block's (cos(m·u, m·v) = cos(u, v) for a
+    // shared ±1 mask), so each copy is an honest geometric replica;
+    // across copies the independent masks drive expected cosine to ~0,
+    // so near-dup PAIR COUNTS scale linearly with copies — what a real
+    // 10× corpus does. (The earlier cyclic roll only decorrelated to
+    // ~±0.3: at the semantic-dedup threshold 0.35 cross-copy pairs
+    // still qualified and true-pair counts grew ~quadratically —
+    // measured 107× pairs at 10× rows — which benchmarked the OUTPUT
+    // size, not the operator.)
+    val masked = transform(col("embedding"), (x, i) =>
+      when(col("__copy") === 0, x)
+        .otherwise(when(
+          pmod(xxhash64(col("__copy"), i), lit(2L)) === 0L, x)
+          .otherwise(-x)))
+    // Fresh LABEL space per copy — the same rule events/orders use for
+    // their keys: a 10× corpus is 10× blocks at the SAME density, so
+    // blocked ops (q_semantic_dedup's per-label near-dup) scale with
+    // Σ per-block², i.e. linearly. Keeping labels shared would grow
+    // block density 10× and the TRUE pair count ~100× (measured 107×
+    // on the rolled corpus) — a benchmark of the output size, not the
+    // operator; unbounded block density is quadratic for ANY exact
+    // near-dup algorithm, and the blocking column exists precisely to
+    // bound it. The masks still matter for the UN-blocked consumers
+    // (brute-force/ANN top-k run corpus-wide): without them every
+    // vector's copies would be exact cosine-1.0 neighbors.
     write(replicated("embeddings").select(
       (col("vec_id") + col("__copy") * lit(100000000L)).as("vec_id"),
-      when(col("__copy") < dim.cast("long"), rolled)
-        .otherwise(transform(rolled, x => -x))
-        .as("embedding"),
-      col("label")), "embeddings")
+      masked.as("embedding"),
+      (col("label") + (col("__copy") * lit(1000L)).cast("int")).as("label")),
+      "embeddings")
 
     val or_ = spark.read.parquet(s"$src/orders.parquet")
     write(or_.crossJoin(cp).select(or_.columns.map {

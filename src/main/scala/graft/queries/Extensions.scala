@@ -133,7 +133,20 @@ object Extensions {
     "chain_day_bars" -> (() => Breadth13.dayBarsCents(
       Tables.events(s, dir), "user_id", "ts", "value", "event_id")),
     "chain_day_vols" -> (() => Breadth27.dayVols(
-      Tables.events(s, dir), "user_id", "ts", "k")))
+      Tables.events(s, dir), "user_id", "ts", "k")),
+    // ANN ground truth shared by q_embed_topk + both recall reports.
+    "chain_brute_topk" -> (() => bruteTopK(s, dir)))
+
+  /** Brute-force cosine top-5 ground truth for the 10 probe vectors,
+    * memoized — q_embed_topk emits it and BOTH ANN recall reports
+    * (q_embed_ann_lsh, q_embed_ann_ivf) score against it; without the
+    * memo each pays its own |corpus|-sized broadcast-NL scan. */
+  private[queries] def bruteTopK(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame =
+    memoized(s, s"brutetopk|$dir") {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
+    }
 
   /** Embedding near-dup pairs (LSH-prefiltered), memoized like
     * verifiedPairs — q_embed_neardup and q_semantic_dedup consume the
@@ -327,9 +340,7 @@ object Extensions {
     // ---- similarity search ---------------------------------------------
     // Brute-force cosine top-5 for 10 probe vectors (ANN ground truth).
     "q_embed_topk" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
-        .orderBy(col("probe_id").asc, col("rank").asc)
+      bruteTopK(s, dir).orderBy(col("probe_id").asc, col("rank").asc)
     }),
 
     // Embedding-cosine near-dup pairs within label blocks (shared
@@ -350,8 +361,7 @@ object Extensions {
       val probes = emb.filter(col("vec_id") < 10)
       val ann = Similarity.lshTopK(probes, emb, k = 5,
         numPlanes = 4, numTables = 16)
-      Similarity.recallReport(ann, Similarity.bruteForceTopK(probes, emb, 5),
-          minHits = 3)
+      Similarity.recallReport(ann, bruteTopK(s, dir), minHits = 3)
         .orderBy(col("probe_id").asc)
     }),
 
@@ -366,8 +376,7 @@ object Extensions {
       val index = graft.sim.Ivf.buildIndex(emb, centroids)
       val ann = graft.sim.Ivf.ivfTopK(probes, index, centroids,
         nProbe = 6, k = 5)
-      Similarity.recallReport(ann, Similarity.bruteForceTopK(probes, emb, 5),
-          minHits = 3)
+      Similarity.recallReport(ann, bruteTopK(s, dir), minHits = 3)
         .orderBy(col("probe_id").asc)
     }),
 

@@ -68,6 +68,27 @@ class Wave28Spec extends SparkSpec {
     assert(got === want)
   }
 
+  test("dema: a constant series pins dema = close/100 everywhere; the " +
+    "hand fold pins a moving series") {
+    val flat = Breadth28.dema(
+      ticks(series(Seq.fill(4)(1200L), Seq.fill(4)(1L))),
+      "user_id", "ts", "value", "event_id")
+      .orderBy("day").select("dema").as[Double].collect().toSeq
+    assert(flat.forall(_ === 12.0)) // 2·c − c = c, /100
+    val closes = Seq(1000L, 1100L, 1050L, 1200L)
+    val got = Breadth28.dema(
+      ticks(series(closes, Seq.fill(4)(1L), key = 2L)),
+      "user_id", "ts", "value", "event_id")
+      .orderBy("day").select("dema").as[Double].collect().toSeq
+    var st: Option[Breadth28.DemaAcc] = None
+    val want = closes.map { c =>
+      val a = Breadth28.demaStep(st, c)
+      st = Some(a)
+      (2.0 * a.e1 - a.e2) / 100.0
+    }
+    assert(got === want)
+  }
+
   test("kama: warm-up rows are dropped, the first full-window bar seeds " +
     "at its close, and a flat window uses the slow coefficient exactly") {
     // 8 bars: first 6 rising, then flat. w = 5.
