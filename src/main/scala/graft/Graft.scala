@@ -779,6 +779,105 @@ object Graft {
       : org.apache.spark.sql.Dataset[streaming.DemaScored] =
     streaming.Streams.streamingDema(bars)
 
+  /** PPO(12,26) per key: MACD normalized to the slow EMA — scale-free
+    * momentum, comparable across price levels. Oracle-checked as
+    * q_ppo. */
+  def ppo(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+          tieBreak: String): DataFrame =
+    queries.Breadth28.ppo(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Streaming twin of [[ppo]] — the SAME step function. Spec-pinned. */
+  def livePpo(bars: org.apache.spark.sql.Dataset[streaming.BarRow])
+      : org.apache.spark.sql.Dataset[streaming.PpoScored] =
+    streaming.Streams.streamingPpo(bars)
+
+  /** Elder Ray per key: EMA-13 mid + bull/bear power from the bar
+    * high/low. Oracle-checked as q_elder_ray. */
+  def elderRay(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+               tieBreak: String): DataFrame =
+    queries.Breadth28.elderRay(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Streaming twin of [[elderRay]]. Spec-pinned. */
+  def liveElderRay(bars: org.apache.spark.sql.Dataset[streaming.OhlcBarRow])
+      : org.apache.spark.sql.Dataset[streaming.ElderScored] =
+    streaming.Streams.streamingElderRay(bars)
+
+  /** Wilder parabolic SAR per key: the regime-switching stop-and-
+    * reverse recurrence. Oracle-checked as q_psar. */
+  def psar(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+           tieBreak: String): DataFrame =
+    queries.Breadth30.psar(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Streaming twin of [[psar]] — the SAME step function. Spec-pinned. */
+  def livePsar(bars: org.apache.spark.sql.Dataset[streaming.OhlcBarRow])
+      : org.apache.spark.sql.Dataset[streaming.PsarScored] =
+    streaming.Streams.streamingPsar(bars)
+
+  /** Stochastic RSI per key: the Wilder RSI series normalized to its
+    * rolling min/max range. Oracle-checked as q_stoch_rsi. */
+  def stochRsi(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+               tieBreak: String): DataFrame =
+    queries.Breadth30.stochRsi(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Chande momentum oscillator per key (windowed up/down cent sums).
+    * Oracle-checked as q_cmo. */
+  def cmo(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+          tieBreak: String): DataFrame =
+    queries.Breadth30.cmo(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Unannualized daily Sortino per key (downside semi-deviation).
+    * Oracle-checked as q_sortino. */
+  def sortino(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+              tieBreak: String): DataFrame =
+    queries.Breadth30.sortino(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** N-day rate of change per key over day-bar closes. Oracle-checked
+    * as q_roc. */
+  def roc(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+          tieBreak: String): DataFrame =
+    queries.Breadth30.roc(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Floor-trader pivot points from the prior day's bar. Oracle-checked
+    * as q_pivot_points. */
+  def pivotPoints(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                  tieBreak: String): DataFrame =
+    queries.Breadth30.pivotPoints(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** WMA(10) per key: the linearly-weighted MA with an integer lag-sum
+    * numerator. Oracle-checked as q_wma. */
+  def wma(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+          tieBreak: String): DataFrame =
+    queries.Breadth31.wma(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Hull MA(8): WMA(3) over 2·WMA(4) − WMA(8). Oracle-checked as
+    * q_hma. */
+  def hma(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+          tieBreak: String): DataFrame =
+    queries.Breadth31.hma(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Omega ratio at threshold 0 + win rate per key. Oracle-checked as
+    * q_omega. */
+  def omega(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+            tieBreak: String): DataFrame =
+    queries.Breadth31.omega(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Calmar-style net-move-over-max-drawdown recovery ratio per key.
+    * Oracle-checked as q_calmar. */
+  def calmar(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+             tieBreak: String): DataFrame =
+    queries.Breadth31.calmar(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Drawdown duration per key: longest underwater spell on the bar
+    * grid (gaps-and-islands). Oracle-checked as q_dd_duration. */
+  def ddDuration(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                 tieBreak: String): DataFrame =
+    queries.Breadth31.ddDuration(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Interpolated bigram LM corpus-likelihood scoring per document.
+    * Oracle-checked as q_bigram_lm. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame =
+    queries.Breadth31.bigramLm(spark, dir)
+
   /** Streaming twin of [[nviPvi]] — the SAME step function as the
     * batch fold. Spec-pinned. */
   def liveNviPvi(bars: org.apache.spark.sql.Dataset[streaming.VolBarRow])

@@ -78,7 +78,11 @@ object PlanDump {
       // round-9: the Manku d=3 simhash operating point, the Recurrence
       // combinator's template indicator (marginal plan = explode over
       // the memoized bar-array cache)
-      "q_simhash_d3", "q_dema")
+      "q_simhash_d3", "q_dema",
+      // waves 31/32: the regime-switching PSAR fold, window-over-fold
+      // StochRSI, gaps-and-islands drawdown anatomy on the bar grid,
+      // and the bigram-LM join pipeline (doc bigrams × corpus counts)
+      "q_psar", "q_stoch_rsi", "q_dd_duration", "q_bigram_lm")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (sf0.001, local[4])\n\n")
     sb.append("Generated by `graft.PlanDump`. Plan-shape invariants are enforced by `PlanSpec`;\n")

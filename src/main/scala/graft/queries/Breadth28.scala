@@ -156,6 +156,59 @@ object Breadth28 {
         b.getField("close").as("close_cents"), s.as("dema"))
     }
 
+  /** PPO accumulator: the MACD fast/slow EMA pair (PPO(12,26) shares
+    * Breadth19's alphas). */
+  private[graft] case class PpoAcc(e12: Double, e26: Double)
+
+  /** One PPO step — both EMAs seed at the first close. */
+  private[graft] def ppoStep(st: Option[PpoAcc], c: Long): PpoAcc =
+    st match {
+      case None => PpoAcc(c.toDouble, c.toDouble)
+      case Some(a) => PpoAcc(
+        Breadth19.A12 * c + (1.0 - Breadth19.A12) * a.e12,
+        Breadth19.A26 * c + (1.0 - Breadth19.A26) * a.e26)
+    }
+
+  /** Percentage price oscillator per key: 100·(EMA12 − EMA26)/EMA26 —
+    * MACD's scale-free sibling (comparable across price levels, the
+    * screener normalization). Null while the slow EMA is 0 (an all-zero
+    * close prefix — the ratio is undefined there). */
+  private[graft] def ppo(df: DataFrame, keyCol: String, tsCol: String,
+                         valCol: String, tieBreak: String): DataFrame =
+    graft.ops.Recurrence.series(df, keyCol, tsCol, valCol, tieBreak) {
+      (st: Option[PpoAcc], b: graft.ops.Bar) =>
+        val a = ppoStep(st, b.close)
+        (a, if (a.e26 != 0.0) Some(100.0 * (a.e12 - a.e26) / a.e26)
+            else None)
+    } { (b, s) =>
+      struct(b.getField("day").as("day"),
+        b.getField("close").as("close_cents"), s.as("ppo"))
+    }
+
+  private[graft] val ElderA = 2.0 / 14.0
+
+  /** Elder Ray per key: EMA-13 midline with bull power (H − EMA) and
+    * bear power (L − EMA) — the trend-strength decomposition over the
+    * same bar grid; one EMA fold, high/low read at emit. */
+  private[graft] def elderRay(df: DataFrame, keyCol: String, tsCol: String,
+                              valCol: String, tieBreak: String): DataFrame =
+    graft.ops.Recurrence.series(df, keyCol, tsCol, valCol, tieBreak) {
+      (st: Option[Double], b: graft.ops.Bar) =>
+        val e = st match {
+          case None => b.close.toDouble
+          case Some(p) => ElderA * b.close + (1.0 - ElderA) * p
+        }
+        (e, e)
+    } { (b, s) =>
+      struct(b.getField("day").as("day"),
+        b.getField("close").as("close_cents"),
+        (s / lit(100.0)).as("ema13"),
+        ((b.getField("high").cast("double") - s) / lit(100.0))
+          .as("bull_power"),
+        ((b.getField("low").cast("double") - s) / lit(100.0))
+          .as("bear_power"))
+    }
+
   /** NVI + PVI per key over volume-carrying daily bars — one
     * Recurrence.series fold (volume-joined: no-quantity days drop). */
   private[graft] def nviPvi(df: DataFrame, keyCol: String, tsCol: String,
@@ -245,6 +298,16 @@ object Breadth28 {
       dema(Tables.events(s, dir), "user_id", "ts", "value", "event_id")
         .orderBy(col("user_id").asc, col("day").asc)),
 
+    // PPO(12,26): MACD normalized to the slow EMA (scale-free).
+    "q_ppo" -> ((s, dir) =>
+      ppo(Tables.events(s, dir), "user_id", "ts", "value", "event_id")
+        .orderBy(col("user_id").asc, col("day").asc)),
+
+    // Elder Ray: EMA-13 mid + bull/bear power.
+    "q_elder_ray" -> ((s, dir) =>
+      elderRay(Tables.events(s, dir), "user_id", "ts", "value", "event_id")
+        .orderBy(col("user_id").asc, col("day").asc)),
+
     // TRIX: triple-EMA rate of change.
     "q_trix" -> ((s, dir) =>
       trix(Tables.events(s, dir), "user_id", "ts", "value", "event_id")
@@ -318,6 +381,52 @@ object Breadth28 {
          |      ELSE r.pvi END
          |  FROM r JOIN nb b ON b.user_id = r.user_id AND b.i = r.i + 1)
          |SELECT user_id, day, close AS close_cents, nvi, pvi
+         |FROM r ORDER BY user_id, day""".stripMargin,
+
+    "q_ppo" ->
+      s"""WITH RECURSIVE $closeBarsSql,
+         |r AS (
+         |  SELECT user_id, day, close, i,
+         |    CAST(close AS DOUBLE) AS e12, CAST(close AS DOUBLE) AS e26
+         |  FROM nb WHERE i = 1
+         |  UNION ALL
+         |  SELECT b.user_id, b.day, b.close, b.i,
+         |    (2.0/13.0) * CAST(b.close AS DOUBLE) + (1.0 - 2.0/13.0) * r.e12,
+         |    (2.0/27.0) * CAST(b.close AS DOUBLE) + (1.0 - 2.0/27.0) * r.e26
+         |  FROM r JOIN nb b ON b.user_id = r.user_id AND b.i = r.i + 1)
+         |SELECT user_id, day, close AS close_cents,
+         |  CASE WHEN e26 <> 0 THEN 100.0 * (e12 - e26) / e26 END AS ppo
+         |FROM r ORDER BY user_id, day""".stripMargin,
+
+    "q_elder_ray" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT user_id, CAST(ts AS DATE) AS day,
+         |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c, ts, event_id
+         |  FROM events),
+         |bars AS (
+         |  SELECT user_id, day, max(cl) AS close, max(c) AS high, min(c) AS low
+         |  FROM (
+         |    SELECT user_id, day, c,
+         |      last_value(c) OVER (PARTITION BY user_id, day ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cl
+         |    FROM t)
+         |  GROUP BY user_id, day),
+         |nb AS (
+         |  SELECT user_id, day, close, high, low,
+         |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS i
+         |  FROM bars),
+         |r AS (
+         |  SELECT user_id, day, close, high, low, i,
+         |    CAST(close AS DOUBLE) AS e
+         |  FROM nb WHERE i = 1
+         |  UNION ALL
+         |  SELECT b.user_id, b.day, b.close, b.high, b.low, b.i,
+         |    (2.0/14.0) * CAST(b.close AS DOUBLE) + (1.0 - 2.0/14.0) * r.e
+         |  FROM r JOIN nb b ON b.user_id = r.user_id AND b.i = r.i + 1)
+         |SELECT user_id, day, close AS close_cents,
+         |  e / 100.0 AS ema13,
+         |  (CAST(high AS DOUBLE) - e) / 100.0 AS bull_power,
+         |  (CAST(low AS DOUBLE) - e) / 100.0 AS bear_power
          |FROM r ORDER BY user_id, day""".stripMargin,
 
     "q_dema" ->

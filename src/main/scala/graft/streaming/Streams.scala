@@ -216,6 +216,22 @@ case class KamaScored(user_id: Long, day: java.time.LocalDate,
 case class DemaScored(user_id: Long, day: java.time.LocalDate,
                       close_cents: Long, dema: Double)
 
+/** One scored bar from the live PPO screen (append stream); None while
+  * the slow EMA is 0 — the batch null. */
+case class PpoScored(user_id: Long, day: java.time.LocalDate,
+                     close_cents: Long, ppo: Option[Double])
+
+/** One scored bar from the live Elder Ray screen (append stream) —
+  * price domain, like the batch q_elder_ray. */
+case class ElderScored(user_id: Long, day: java.time.LocalDate,
+                       close_cents: Long, ema13: Double,
+                       bull_power: Double, bear_power: Double)
+
+/** One scored bar from the live parabolic-SAR screen (append stream) —
+  * price-domain SAR + regime flag, like the batch q_psar. */
+case class PsarScored(user_id: Long, day: java.time.LocalDate,
+                      close_cents: Long, psar: Double, is_up: Boolean)
+
 /** Structured Streaming layer. The reference is a hand-rolled micro-batch
   * pipeline — fetch every 300 s, append one batch-stamped tick, notify,
   * re-query latest snapshot, broadcast (`etl/crypto_etl.py:150-157`,
@@ -900,6 +916,35 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Streaming twin of the batch q_ppo recurrence: one PpoAcc per key
+    * (the MACD EMA pair), the SAME step function (append mode). */
+  def streamingPpo(ds: Dataset[BarRow]): Dataset[PpoScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new PpoProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Streaming twin of the batch q_elder_ray: one EMA-13 double per key,
+    * bull/bear power computed at emit from the bar's high/low with the
+    * batch form's exact expressions (append mode). */
+  def streamingElderRay(ds: Dataset[OhlcBarRow]): Dataset[ElderScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new ElderRayProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Streaming twin of the batch q_psar stop-and-reverse: one PsarAcc
+    * per key (regime, SAR, EP, AF, the 2-bar clamp ring), the SAME
+    * step function as the batch fold (append mode). */
+  def streamingPsar(ds: Dataset[OhlcBarRow]): Dataset[PsarScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new PsarProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming twin of the batch q_heikin_ashi smoothed candles: one
     * HaAcc per key over the open-carrying day-bar stream, the SAME step
     * function as the batch fold (append mode — one row per bar). */
@@ -1491,6 +1536,56 @@ class DemaProcessor
   protected def score(user: Long, b: BarRow,
                       a: graft.queries.Breadth28.DemaAcc): DemaScored =
     DemaScored(user, b.day, b.close_cents, (2.0 * a.e1 - a.e2) / 100.0)
+}
+
+/** Keyed processor behind [[Streams.streamingPpo]] — the batch
+  * `Breadth28.ppoStep` on O(1) keyed state, emit with the batch form's
+  * exact ratio and zero-EMA null. */
+class PpoProcessor
+    extends BarFoldProcessor[graft.queries.Breadth28.PpoAcc, PpoScored](
+      "ppo",
+      org.apache.spark.sql.Encoders.product[graft.queries.Breadth28.PpoAcc]) {
+  protected def step(st: Option[graft.queries.Breadth28.PpoAcc],
+                     closeCents: Long): graft.queries.Breadth28.PpoAcc =
+    graft.queries.Breadth28.ppoStep(st, closeCents)
+  protected def score(user: Long, b: BarRow,
+                      a: graft.queries.Breadth28.PpoAcc): PpoScored =
+    PpoScored(user, b.day, b.close_cents,
+      if (a.e26 != 0.0) Some(100.0 * (a.e12 - a.e26) / a.e26) else None)
+}
+
+/** Keyed processor behind [[Streams.streamingElderRay]] — the EMA-13
+  * recurrence as a bare double ValueState, bull/bear power from the
+  * bar's high/low at emit. */
+class ElderRayProcessor
+    extends OhlcBarFoldProcessor[Double, ElderScored](
+      "elder", org.apache.spark.sql.Encoders.scalaDouble) {
+  protected def step(st: Option[Double], b: OhlcBarRow): Double =
+    st match {
+      case None => b.close_cents.toDouble
+      case Some(p) =>
+        graft.queries.Breadth28.ElderA * b.close_cents +
+          (1.0 - graft.queries.Breadth28.ElderA) * p
+    }
+  protected def score(user: Long, b: OhlcBarRow, e: Double): ElderScored =
+    ElderScored(user, b.day, b.close_cents, e / 100.0,
+      (b.high_cents - e) / 100.0, (b.low_cents - e) / 100.0)
+}
+
+/** Keyed processor behind [[Streams.streamingPsar]] — the batch
+  * `Breadth30.psarStep` on O(1) keyed state (the 2-bar clamp ring
+  * rides inside the accumulator), price-domain emit like the batch
+  * form. */
+class PsarProcessor
+    extends OhlcBarFoldProcessor[graft.queries.Breadth30.PsarAcc, PsarScored](
+      "psar",
+      org.apache.spark.sql.Encoders.product[graft.queries.Breadth30.PsarAcc]) {
+  protected def step(st: Option[graft.queries.Breadth30.PsarAcc],
+                     b: OhlcBarRow): graft.queries.Breadth30.PsarAcc =
+    graft.queries.Breadth30.psarStep(st, b.high_cents, b.low_cents)
+  protected def score(user: Long, b: OhlcBarRow,
+                      a: graft.queries.Breadth30.PsarAcc): PsarScored =
+    PsarScored(user, b.day, b.close_cents, a.sar / 100.0, a.up)
 }
 
 /** Keyed processor behind [[Streams.streamingHeikinAshi]] — the batch

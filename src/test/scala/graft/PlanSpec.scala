@@ -555,6 +555,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no map-side partial\n${p.take(800)}")
   }
 
+  test("wave-31 stop-and-reverse / normalized-momentum queries stay " +
+    "key-distributed: <=3 key exchanges (bar build, fold/window), no " +
+    "single-partition stage") {
+    for (q <- Seq("q_psar", "q_stoch_rsi", "q_cmo", "q_sortino", "q_roc",
+        "q_pivot_points")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      val hashEx = marginalKeyExchanges(df, "user_id")
+      assert(hashEx <= 3, s"$q: expected <=3 key hash exchanges, got $hashEx")
+      assertNoSinglePartitionShuffle(df, q)
+    }
+  }
+
+  test("wave-32 weighted-MA / ratio / drawdown-anatomy queries stay " +
+    "key-distributed (<=3 key exchanges, no single-partition stage); " +
+    "q_bigram_lm joins bigrams against corpus counts with a broadcast " +
+    "scalar and no cartesian") {
+    for (q <- Seq("q_wma", "q_hma", "q_omega", "q_calmar", "q_dd_duration")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      val hashEx = marginalKeyExchanges(df, "user_id")
+      assert(hashEx <= 3, s"$q: expected <=3 key hash exchanges, got $hashEx")
+      assertNoSinglePartitionShuffle(df, q)
+    }
+    val p = plan(SparkEntry.queries("q_bigram_lm")(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"corpus scalar not broadcast\n${p.take(800)}")
+  }
+
   test("the memoized day-bar / day-vol / bar-array chain builds with " +
     "bounded key exchanges and no single-partition stage — the one-time " +
     "cost every indicator query amortizes (bench lines chain_day_bars / " +

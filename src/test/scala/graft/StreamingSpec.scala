@@ -1062,6 +1062,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingPsar == batch recurrence bit-for-bit across micro-batch " +
+    "splits (a regime reversal lands at a batch boundary)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.OhlcBarRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val bars = Seq( // (close, high, low) cents: uptrend, crash, recovery
+        (1000L, 1050L, 980L), (1100L, 1120L, 1060L), (1180L, 1200L, 1150L),
+        (1250L, 1270L, 1210L), (900L, 950L, 880L), (850L, 890L, 820L),
+        (870L, 900L, 840L), (1100L, 1150L, 1050L), (1200L, 1240L, 1160L),
+        (1300L, 1330L, 1250L))
+      val rows = bars.zipWithIndex.map { case ((c, h, l), i) =>
+        OhlcBarRow(1L, java.time.LocalDate.of(2024, 1, i + 1), c, h, l) }
+      val mem = MemoryStream[OhlcBarRow]
+      val q = Streams.streamingPsar(mem.toDS())
+        .writeStream.format("memory").queryName("psar_snap")
+        .outputMode("append").start()
+      // split 4/3/3 — the crash bar (idx 4) heads the second batch
+      Seq(0 until 4, 4 until 7, 7 until 10).foreach { rg =>
+        mem.addData(rg.map(rows): _*); q.processAllAvailable()
+      }
+      q.stop()
+      val ticks = bars.zipWithIndex.flatMap { case ((c, h, l), i) =>
+        Seq((1L, h.toDouble / 100.0, i * 10L + 1, f"2024-01-${i + 1}%02d 09:00:00"),
+          (1L, l.toDouble / 100.0, i * 10L + 2, f"2024-01-${i + 1}%02d 12:00:00"),
+          (1L, c.toDouble / 100.0, i * 10L + 3, f"2024-01-${i + 1}%02d 15:00:00"))
+      }.toDF("user_id", "value", "event_id", "at")
+        .withColumn("ts", to_timestamp_ntz(col("at"))).drop("at")
+      val got = spark.table("psar_snap").select("day", "psar", "is_up")
+        .collect().map(r => (r.getDate(0).toString, r.getDouble(1),
+          r.getBoolean(2))).sortBy(_._1).toSeq
+      val want = Graft.psar(ticks, "user_id", "ts", "value", "event_id")
+        .select("day", "psar", "is_up")
+        .collect().map(r => (r.getDate(0).toString, r.getDouble(1),
+          r.getBoolean(2))).sortBy(_._1).toSeq
+      assert(got === want, "psar stream vs batch")
+      assert(got.size === 10)
+      // the fixture really exercises both regimes
+      assert(got.exists(_._3) && got.exists(!_._3))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streamingHeikinAshi == batch recurrence bit-for-bit across " +
     "micro-batch splits (the open-carrying bar stream)") {
     implicit val sqlCtx = spark.sqlContext
@@ -1215,6 +1264,17 @@ class StreamingSpec extends SparkSpec {
       val qd = Streams.streamingDema(memD.toDS())
         .writeStream.format("memory").queryName("dema_snap")
         .outputMode("append").start()
+      val memP = MemoryStream[BarRow]
+      val qp = Streams.streamingPpo(memP.toDS())
+        .writeStream.format("memory").queryName("ppo_snap")
+        .outputMode("append").start()
+      val ohlcRows = bars.zipWithIndex.map { case ((c, _), i) =>
+        graft.streaming.OhlcBarRow(1L, java.time.LocalDate.of(2024, 1, i + 1),
+          c, c, c) }
+      val memE = MemoryStream[graft.streaming.OhlcBarRow]
+      val qe = Streams.streamingElderRay(memE.toDS())
+        .writeStream.format("memory").queryName("elder_snap")
+        .outputMode("append").start()
       // split 2/4/3 — the KAMA seed (bar 6) lands mid-batch, the ring
       // carries across the second boundary
       Seq(0 until 2, 2 until 6, 6 until 9).foreach { rg =>
@@ -1222,8 +1282,10 @@ class StreamingSpec extends SparkSpec {
         memT.addData(rg.map(barRows): _*); qt.processAllAvailable()
         memK.addData(rg.map(barRows): _*); qk.processAllAvailable()
         memD.addData(rg.map(barRows): _*); qd.processAllAvailable()
+        memP.addData(rg.map(barRows): _*); qp.processAllAvailable()
+        memE.addData(rg.map(ohlcRows): _*); qe.processAllAvailable()
       }
-      qn.stop(); qt.stop(); qk.stop(); qd.stop()
+      qn.stop(); qt.stop(); qk.stop(); qd.stop(); qp.stop(); qe.stop()
       val tick = bars.zipWithIndex.map { case ((c, v), i) =>
         (1L, c.toDouble / 100.0, i * 10L + 1, f"2024-01-${i + 1}%02d 15:00:00", v)
       }.toDF("user_id", "value", "event_id", "at", "k")
@@ -1266,6 +1328,27 @@ class StreamingSpec extends SparkSpec {
         .sortBy(_._1).toSeq
       assert(gotD === wantD, "dema stream vs batch")
       assert(gotD.size === 9)
+      val gotP = spark.table("ppo_snap").select("day", "ppo")
+        .collect().map(r => (r.getDate(0).toString,
+          if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .sortBy(_._1).toSeq
+      val wantP = Graft.ppo(tick, "user_id", "ts", "value", "event_id")
+        .select("day", "ppo")
+        .collect().map(r => (r.getDate(0).toString,
+          if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .sortBy(_._1).toSeq
+      assert(gotP === wantP, "ppo stream vs batch")
+      // one tick per day in the fixture → the batch day bars are doji
+      // (h = l = c), matching the stream's OhlcBarRow(c, c, c) rows
+      val gotE = spark.table("elder_snap")
+        .select("day", "ema13", "bull_power", "bear_power")
+        .collect().map(r => (r.getDate(0).toString, r.getDouble(1),
+          r.getDouble(2), r.getDouble(3))).sortBy(_._1).toSeq
+      val wantE = Graft.elderRay(tick, "user_id", "ts", "value", "event_id")
+        .select("day", "ema13", "bull_power", "bear_power")
+        .collect().map(r => (r.getDate(0).toString, r.getDouble(1),
+          r.getDouble(2), r.getDouble(3))).sortBy(_._1).toSeq
+      assert(gotE === wantE, "elder ray stream vs batch")
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
