@@ -291,6 +291,28 @@ object Graft {
     ops.Latest.asOfJoinNativeValues(facts, probes, key, tsCol, probeTsCol,
       valueCols, tieBreak)
 
+  /** Tolerance-bounded as-of (pandas merge_asof `tolerance`): the
+    * latest fact within [probe − tol, probe]; older matches null out.
+    * Union+window form; tolerance in micros for timestamp columns
+    * (column units for integer time columns). Oracle-checked as
+    * q_asof_tol. */
+  def asOfLookupTol(facts: DataFrame, probes: DataFrame, key: String,
+                    tsCol: String, probeTsCol: String, valueCol: String,
+                    tieBreak: String, tolMicros: Long): DataFrame =
+    ops.Latest.asOfJoinTol(facts, probes, key, tsCol, probeTsCol, valueCol,
+      tieBreak, tolMicros)
+
+  /** [[asOfLookupTol]] on the native merge — the tolerance is an O(1)
+    * emit check inside AsofJoinExec (the candidate stays buffered, so a
+    * later probe can re-enter tolerance via a newer fact).
+    * Oracle-checked as q_asof_tol_native. */
+  def asOfLookupTolNative(facts: DataFrame, probes: DataFrame, key: String,
+                          tsCol: String, probeTsCol: String,
+                          valueCols: Seq[String], tieBreak: String,
+                          tolMicros: Long): DataFrame =
+    ops.Latest.asOfJoinNativeValues(facts, probes, key, tsCol, probeTsCol,
+      valueCols, tieBreak, Some(tolMicros))
+
   // ---- market microstructure (wave 12) --------------------------------
 
   /** Daily time-weighted average price per series key — dwell-weighted
@@ -849,6 +871,12 @@ object Graft {
           tieBreak: String): DataFrame =
     queries.Breadth31.wma(df, keyCol, tsCol, valCol, tieBreak)
 
+  /** Streaming twin of [[wma]] — the window-family twin (O(w) close
+    * ring per key), same integer numerator. Spec-pinned. */
+  def liveWma(bars: org.apache.spark.sql.Dataset[streaming.BarRow])
+      : org.apache.spark.sql.Dataset[streaming.WmaScored] =
+    streaming.Streams.streamingWma(bars)
+
   /** Hull MA(8): WMA(3) over 2·WMA(4) − WMA(8). Oracle-checked as
     * q_hma. */
   def hma(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
@@ -877,6 +905,47 @@ object Graft {
     * Oracle-checked as q_bigram_lm. */
   def bigramLm(spark: SparkSession, dir: String): DataFrame =
     queries.Breadth31.bigramLm(spark, dir)
+
+  /** Dreiss choppiness index per key (14-bar true-range window).
+    * Oracle-checked as q_choppiness. */
+  def choppiness(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                 tieBreak: String): DataFrame =
+    queries.Breadth32.choppiness(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Ehlers Fisher transform per key (10-bar range-normalization
+    * recurrence with the ±0.999 clamp). Oracle-checked as q_fisher. */
+  def fisher(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+             tieBreak: String): DataFrame =
+    queries.Breadth32.fisher(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Perplexity keep/drop gate at the corpus 90th percentile over the
+    * unigram-LM scoring. Oracle-checked as q_ppl_gate. */
+  def pplGate(spark: SparkSession, dir: String): DataFrame =
+    queries.Breadth32.pplGate(spark, dir)
+
+  /** Relative vigor index per key: Σ(C−O)/Σ(H−L) over 10 bars + the
+    * 4-bar symmetric signal. Oracle-checked as q_rvi. */
+  def rvi(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+          tieBreak: String): DataFrame =
+    queries.Breadth33.rvi(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Williams Ultimate Oscillator per key (4/8/16-bar buying-pressure
+    * ratios). Oracle-checked as q_ultimate_osc. */
+  def ultimateOsc(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                  tieBreak: String): DataFrame =
+    queries.Breadth33.ultimateOsc(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Vertical horizontal filter per key (range over path length).
+    * Oracle-checked as q_vhf. */
+  def vhf(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+          tieBreak: String): DataFrame =
+    queries.Breadth33.vhf(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Signed up/down streak length per key (integer recurrence).
+    * Oracle-checked as q_streak. */
+  def streak(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+             tieBreak: String): DataFrame =
+    queries.Breadth33.streak(df, keyCol, tsCol, valCol, tieBreak)
 
   /** Streaming twin of [[nviPvi]] — the SAME step function as the
     * batch fold. Spec-pinned. */

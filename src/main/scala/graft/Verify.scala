@@ -18,10 +18,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // SPARK_GRAFT_VERIFY_ONLY=q_a,q_b restricts the dump to a subset for
+    // local iteration (the driver never sets it — its runs stay full);
+    // oracle_sql.json is filtered to match so check.py agrees.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
     // stale-output guard: remove any previous run's result BEFORE running
     // the query, so a query that now throws yields a missing-output FAIL
     // downstream instead of a silent pass against last run's parquet
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try {
         // Fs.deleteRecursively throws if the stale dir survives, landing
         // in this catch — the query then has MISSING output and fails
@@ -54,7 +60,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -109,7 +109,8 @@ object Latest {
     * mix of columns from different facts). */
   def asOfJoinNativeValues(facts: DataFrame, probes: DataFrame, key: String,
                            tsCol: String, probeTsCol: String,
-                           valueCols: Seq[String], tieBreak: String): DataFrame = {
+                           valueCols: Seq[String], tieBreak: String,
+                           toleranceMicros: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.Project
     import org.apache.spark.sql.graft.Bridge
@@ -143,7 +144,49 @@ object Latest {
       AttributeReference(s"asof_$n", a.dataType, nullable = true)()
     }
     val node = graft.plans.AsofJoin(leftPlan, rightPlan, lKey, rKey, lTs, rTs,
-      rTb, rVals, outVals)
+      rTb, rVals, outVals, toleranceMicros)
     Bridge.ofRows(facts.sparkSession, node)
+  }
+
+  /** Tolerance-bounded as-of (union+window form): the latest fact at or
+    * before each probe time, nulled when that fact is MORE than
+    * `tolMicros` older than the probe — i.e. the latest fact within
+    * [probe − tol, probe], pandas merge_asof's `tolerance`. Same
+    * tie-break and null semantics as [[asOfJoin]]; the matched fact's
+    * ts rides inside the window struct so the gap check reads the SAME
+    * row the value came from. For integer time columns the tolerance is
+    * in the column's own units (mirroring the native exec). */
+  def asOfJoinTol(facts: DataFrame, probes: DataFrame, key: String,
+                  tsCol: String, probeTsCol: String, valueCol: String,
+                  tieBreak: String, tolMicros: Long): DataFrame = {
+    val tsType = facts.schema(tsCol).dataType
+    val vWrapType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", facts.schema(valueCol).dataType),
+      org.apache.spark.sql.types.StructField("t", tsType)))
+    val evt = facts.select(
+      col(key), col(tsCol).as("__t"),
+      struct(col(valueCol).as("v"), col(tsCol).as("t")).as("__vw"),
+      lit(0).as("__is_probe"), lit(null).cast(tsType).as(probeTsCol),
+      col(tieBreak).as("__tb"))
+    val prb = probes.select(
+      col(key), col(probeTsCol).cast(tsType).as("__t"),
+      lit(null).cast(vWrapType).as("__vw"),
+      lit(1).as("__is_probe"), col(probeTsCol).cast(tsType),
+      lit(null).cast(facts.schema(tieBreak).dataType).as("__tb"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__is_probe").asc, col("__tb").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    evt.unionByName(prb)
+      .withColumn("__asof", last(col("__vw"), ignoreNulls = true).over(w))
+      .filter(col("__is_probe") === 1)
+      .select(col(key), col(probeTsCol),
+        when(col("__asof").getField("t") >= {
+          import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+          tsType match {
+            case TimestampNTZType | TimestampType =>
+              col(probeTsCol) - expr(s"INTERVAL $tolMicros MICROSECOND")
+            case _ => col(probeTsCol) - lit(tolMicros)
+          }
+        }, col("__asof").getField("v")).as(s"asof_$valueCol"))
   }
 }

@@ -44,7 +44,8 @@ case class AsofJoin(
     rightTime: Attribute,
     rightTieBreak: Attribute,
     rightValues: Seq[Attribute],
-    outputValues: Seq[Attribute])
+    outputValues: Seq[Attribute],
+    tolerance: Option[Long] = None)
   extends BinaryNode {
 
   require(rightValues.length == outputValues.length,
@@ -68,7 +69,7 @@ object GraftStrategy extends SparkStrategy {
     case j: AsofJoin =>
       AsofJoinExec(j.leftKey, j.rightKey, j.leftTime, j.rightTime,
         j.rightTieBreak, j.rightValues, j.outputValues,
-        planLater(j.left), planLater(j.right)) :: Nil
+        planLater(j.left), planLater(j.right), j.tolerance) :: Nil
     case _ => Nil
   }
 }
@@ -103,8 +104,21 @@ case class AsofJoinExec(
     rightValues: Seq[Attribute],
     outputValues: Seq[Attribute],
     left: SparkPlan,
-    right: SparkPlan)
+    right: SparkPlan,
+    tolerance: Option[Long] = None)
   extends BinaryExecNode {
+
+  // The tolerance gap is probe_t − fact_ts in the time column's OWN
+  // physical units (micros for timestamps, days for dates, raw for
+  // longs), so it only supports integer-backed time types — checked at
+  // plan time, not mid-merge.
+  tolerance.foreach { _ =>
+    import org.apache.spark.sql.types._
+    require(Seq[DataType](TimestampType, TimestampNTZType, LongType,
+      IntegerType, DateType).contains(leftTime.dataType),
+      s"as-of tolerance needs an integer-backed time type, " +
+        s"got ${leftTime.dataType}")
+  }
 
   override def output: Seq[Attribute] = left.output ++ outputValues
   override def producedAttributes: AttributeSet = AttributeSet(outputValues)
@@ -161,6 +175,13 @@ case class AsofJoinExec(
       def advance(): Unit = { rRow = if (rIter.hasNext) rIter.next() else null }
       var matched: InternalRow = null
       var matchedKey: Any = null
+      var matchedTime: Any = null
+      // integer-backed time readout for the tolerance gap (types checked
+      // at plan time)
+      def timeAsLong(v: Any): Long = v match {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+      }
 
       lIter.map { lRow =>
         val lkNull = lRow.isNullAt(lKeyOrd)
@@ -185,12 +206,18 @@ case class AsofJoinExec(
               else if (timeOrdering.compare(rRow.get(rTimeOrd, timeType), lt) <= 0) {
                 matched = rRow.copy() // iterator recycles its buffer
                 matchedKey = matched.get(rKeyOrd, keyType)
+                matchedTime = matched.get(rTimeOrd, timeType)
                 advance()
               } else done = true
             }
           }
           numOutputRows += 1
-          if (matched != null) {
+          // tolerance: a candidate older than probe_t − tol scores as no
+          // match for THIS probe but stays buffered — a later probe of
+          // the same key may still be within tol of a newer fact
+          val inTol = matched != null && tolerance.forall(t =>
+            timeAsLong(lt) - timeAsLong(matchedTime) <= t)
+          if (inTol) {
             numMatched += 1
             proj(joined(lRow, matched))
           } else proj(joined(lRow, nullRight))

@@ -232,6 +232,14 @@ case class ElderScored(user_id: Long, day: java.time.LocalDate,
 case class PsarScored(user_id: Long, day: java.time.LocalDate,
                       close_cents: Long, psar: Double, is_up: Boolean)
 
+/** WMA ring state: the trailing ≤10 closes, oldest first. */
+case class WmaRing(closes: Seq[Long])
+
+/** One scored bar from the live WMA(10) screen (append stream); None
+  * during the ring warm-up — the batch q_wma's full-window stance. */
+case class WmaScored(user_id: Long, day: java.time.LocalDate,
+                     close_cents: Long, wma: Option[Double])
+
 /** Structured Streaming layer. The reference is a hand-rolled micro-batch
   * pipeline — fetch every 300 s, append one batch-stamped tick, notify,
   * re-query latest snapshot, broadcast (`etl/crypto_etl.py:150-157`,
@@ -935,6 +943,17 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Streaming twin of the batch q_wma weighted MA — the WINDOW-family
+    * twin (an O(w) close ring per key rather than a scalar recurrence):
+    * the same integer lag-sum numerator as the batch form, emitted once
+    * the ring fills (append mode). */
+  def streamingWma(ds: Dataset[BarRow]): Dataset[WmaScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new WmaProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming twin of the batch q_psar stop-and-reverse: one PsarAcc
     * per key (regime, SAR, EP, AF, the 2-bar clamp ring), the SAME
     * step function as the batch fold (append mode). */
@@ -1570,6 +1589,26 @@ class ElderRayProcessor
   protected def score(user: Long, b: OhlcBarRow, e: Double): ElderScored =
     ElderScored(user, b.day, b.close_cents, e / 100.0,
       (b.high_cents - e) / 100.0, (b.low_cents - e) / 100.0)
+}
+
+/** Keyed processor behind [[Streams.streamingWma]] — an O(w) close
+  * ring per key; the emit numerator is the SAME integer lag sum as the
+  * batch q_wma (weight w on the newest close). */
+class WmaProcessor
+    extends BarFoldProcessor[WmaRing, WmaScored](
+      "wma", org.apache.spark.sql.Encoders.product[WmaRing]) {
+  private val W = graft.queries.Breadth31.WmaN
+  protected def step(st: Option[WmaRing], closeCents: Long): WmaRing =
+    WmaRing((st.map(_.closes).getOrElse(Nil) :+ closeCents).takeRight(W))
+  protected def score(user: Long, b: BarRow, a: WmaRing): WmaScored = {
+    val wma =
+      if (a.closes.length < W) None
+      else {
+        val num = a.closes.zipWithIndex.map { case (c, k) => (k + 1) * c }.sum
+        Some(num.toDouble / (W * (W + 1) / 2).toDouble / 100.0)
+      }
+    WmaScored(user, b.day, b.close_cents, wma)
+  }
 }
 
 /** Keyed processor behind [[Streams.streamingPsar]] — the batch

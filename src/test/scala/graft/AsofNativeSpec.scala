@@ -47,6 +47,39 @@ class AsofNativeSpec extends SparkSpec {
       ("c", 50L, None)))
   }
 
+  test("tolerance: a candidate older than probe − tol emits null but " +
+    "stays buffered; gap == tol matches (inclusive); both forms agree") {
+    val f = facts(Seq(
+      ("a", 10L, 1L, 1.0), ("a", 30L, 2L, 3.0),
+      ("b", 15L, 3L, 9.0)))
+    val p = probes(Seq(
+      ("a", 10L),  // gap 0 -> 1.0
+      ("a", 15L),  // gap 5 == tol -> inclusive match 1.0
+      ("a", 16L),  // gap 6 > tol -> null (fact 10 buffered, out of tol)
+      ("a", 31L),  // newer fact 30 re-enters tol -> 3.0
+      ("b", 25L),  // gap 10 > tol -> null
+      ("c", 50L))) // no facts -> null
+    val want = Seq(
+      ("a", 10L, Some(1.0)), ("a", 15L, Some(1.0)), ("a", 16L, None),
+      ("a", 31L, Some(3.0)), ("b", 25L, None), ("c", 50L, None))
+    val gotNative = Latest.asOfJoinNativeValues(f, p, "k", "ts", "pts",
+        Seq("v"), "tb", toleranceMicros = Some(5L))
+      .select(col("k"), col("pts"), col("asof_v"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(t => (t._1, t._2))
+    assert(gotNative === want, "native emit-check tolerance")
+    val gotWindow = Latest.asOfJoinTol(f, p, "k", "ts", "pts", "v", "tb",
+        tolMicros = 5L)
+      .select(col("k"), col("pts"), col("asof_v"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(t => (t._1, t._2))
+    assert(gotWindow === want, "union+window tolerance")
+  }
+
   test("stream-static as-of: the native merge enriches streaming probes " +
     "per micro-batch, equal to the batch form across a batch split") {
     implicit val sqlCtx = spark.sqlContext

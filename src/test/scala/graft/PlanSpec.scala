@@ -583,6 +583,31 @@ class PlanSpec extends SparkSpec {
       s"corpus scalar not broadcast\n${p.take(800)}")
   }
 
+  test("wave-33: the tolerance as-of still plans the single-pass native " +
+    "merge (one exchange per side, no per-probe scan); choppiness and " +
+    "fisher stay key-distributed") {
+    val native = SparkEntry.queries("q_asof_tol_native")(spark, sf0001)
+    val p = plan(native)
+    assert(p.contains("AsofJoin"), s"native exec not planned\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    for (q <- Seq("q_choppiness", "q_fisher")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      val hashEx = marginalKeyExchanges(df, "user_id")
+      assert(hashEx <= 3, s"$q: expected <=3 key hash exchanges, got $hashEx")
+      assertNoSinglePartitionShuffle(df, q)
+    }
+  }
+
+  test("wave-34 integer-ratio oscillators stay key-distributed (<=3 key " +
+    "exchanges, no single-partition stage)") {
+    for (q <- Seq("q_rvi", "q_ultimate_osc", "q_vhf", "q_streak")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      val hashEx = marginalKeyExchanges(df, "user_id")
+      assert(hashEx <= 3, s"$q: expected <=3 key hash exchanges, got $hashEx")
+      assertNoSinglePartitionShuffle(df, q)
+    }
+  }
+
   test("the memoized day-bar / day-vol / bar-array chain builds with " +
     "bounded key exchanges and no single-partition stage — the one-time " +
     "cost every indicator query amortizes (bench lines chain_day_bars / " +

@@ -1062,6 +1062,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingWma == batch window query bit-for-bit across micro-batch " +
+    "splits (the ring fill crosses a batch boundary)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.BarRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val closes = Seq(1000L, 1040L, 990L, 1100L, 1075L, 1120L, 1060L,
+        1145L, 1130L, 1190L, 1170L, 1210L, 1180L, 1240L)
+      val rows = closes.zipWithIndex.map { case (c, i) =>
+        BarRow(1L, java.time.LocalDate.of(2024, 1, i + 1), c) }
+      val mem = MemoryStream[BarRow]
+      val q = Streams.streamingWma(mem.toDS())
+        .writeStream.format("memory").queryName("wma_snap")
+        .outputMode("append").start()
+      // split 6/5/3 — the ring fills (bar 10) inside the SECOND batch
+      Seq(0 until 6, 6 until 11, 11 until 14).foreach { rg =>
+        mem.addData(rg.map(rows): _*); q.processAllAvailable()
+      }
+      q.stop()
+      val ticks = closes.zipWithIndex.map { case (c, i) =>
+        (1L, c.toDouble / 100.0, i.toLong + 1, f"2024-01-${i + 1}%02d 12:00:00")
+      }.toDF("user_id", "value", "event_id", "at")
+        .withColumn("ts", to_timestamp_ntz(col("at"))).drop("at")
+      val got = spark.table("wma_snap").filter(col("wma").isNotNull)
+        .select("day", "wma")
+        .collect().map(r => (r.getDate(0).toString, r.getDouble(1)))
+        .sortBy(_._1).toSeq
+      val want = Graft.wma(ticks, "user_id", "ts", "value", "event_id")
+        .select("day", "wma")
+        .collect().map(r => (r.getDate(0).toString, r.getDouble(1)))
+        .sortBy(_._1).toSeq
+      assert(got === want, "wma stream vs batch")
+      assert(got.size === 5) // 14 bars − 9 warm-up
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streamingPsar == batch recurrence bit-for-bit across micro-batch " +
     "splits (a regime reversal lands at a batch boundary)") {
     implicit val sqlCtx = spark.sqlContext
