@@ -947,6 +947,18 @@ object Graft {
              tieBreak: String): DataFrame =
     queries.Breadth33.streak(df, keyCol, tsCol, valCol, tieBreak)
 
+  /** Connors RSI per key: (RSI3(close) + RSI2(streak) + PctRank₁₀₀)/3 —
+    * three recurrences + a 100-return ring in ONE fold. Oracle-checked
+    * as q_connors_rsi. */
+  def connorsRsi(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                 tieBreak: String): DataFrame =
+    queries.Breadth34.connorsRsi(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Tokenizer fertility per doc (BPE-ish subwords per whitespace
+    * word). Oracle-checked as q_fertility. */
+  def fertility(docs: DataFrame): DataFrame =
+    queries.Breadth34.fertility(docs)
+
   /** Streaming twin of [[nviPvi]] — the SAME step function as the
     * batch fold. Spec-pinned. */
   def liveNviPvi(bars: org.apache.spark.sql.Dataset[streaming.VolBarRow])

@@ -132,9 +132,15 @@ object Breadth32 {
         val a = fisherStep(st, b.close, b.high, b.low)
         (a, if (a.live) Some((a.v, a.fish)) else None)
     } { (b, s) =>
+      // the EMITTED fisher rounds to 6 dp: libm ln differs by an ulp
+      // between engines on ~0.05% of inputs (sf0.1-measured), and the
+      // 0.5 recurrence factor damps internal drift to ~2 ulp, so the
+      // rounding absorbs it (the q_parkinson stance); fisher_v is
+      // exact arithmetic and stays unrounded
       struct(b.getField("day").as("day"),
         b.getField("close").as("close_cents"),
-        s.getField("_1").as("fisher_v"), s.getField("_2").as("fisher"))
+        s.getField("_1").as("fisher_v"),
+        round(s.getField("_2"), 6).as("fisher"))
     }
       .filter(col("fisher_v").isNotNull)
 
@@ -299,7 +305,7 @@ object Breadth32 {
          |    FROM r JOIN wn b ON b.user_id = r.user_id AND b.i = r.i + 1) x
          |    (user_id, day, close, i, wcnt, mxh, mnl, v, pfish, v0))
          |SELECT user_id, day, close AS close_cents, v AS fisher_v,
-         |  0.5 * ln((1.0 + v) / (1.0 - v)) + 0.5 * pfish AS fisher
+         |  round(0.5 * ln((1.0 + v) / (1.0 - v)) + 0.5 * pfish, 6) AS fisher
          |FROM r ORDER BY user_id, day""".stripMargin,
 
     // The scoring CTEs restate the q_unigram_lm oracle VERBATIM (same

@@ -63,7 +63,11 @@ class Wave32Spec extends SparkSpec {
     val want = bars.zip(closes).flatMap { case ((lo, hi), c) =>
       val a = Breadth32.fisherStep(st, c, hi, lo)
       st = Some(a)
-      if (a.live) Some((a.v, a.fish)) else None
+      // the emitted fisher rounds to 6 dp (Spark round = HALF_UP over
+      // the shortest decimal repr — BigDecimal.valueOf semantics)
+      if (a.live) Some((a.v, BigDecimal.valueOf(a.fish)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      else None
     }
     assert(got === want)
     assert(got.size === 16 - (Breadth32.FisherW - 1))
