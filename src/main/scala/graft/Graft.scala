@@ -959,6 +959,19 @@ object Graft {
   def fertility(docs: DataFrame): DataFrame =
     queries.Breadth34.fertility(docs)
 
+  /** Streaming twin of [[streak]] — the SAME step function.
+    * Spec-pinned. */
+  def liveStreak(bars: org.apache.spark.sql.Dataset[streaming.BarRow])
+      : org.apache.spark.sql.Dataset[streaming.StreakScored] =
+    streaming.Streams.streamingStreak(bars)
+
+  /** Streaming twin of [[connorsRsi]] — the SAME composite step (three
+    * recurrences + the 100-return ring) on O(100) keyed state.
+    * Spec-pinned. */
+  def liveConnorsRsi(bars: org.apache.spark.sql.Dataset[streaming.BarRow])
+      : org.apache.spark.sql.Dataset[streaming.CrsiScored] =
+    streaming.Streams.streamingConnorsRsi(bars)
+
   /** Streaming twin of [[nviPvi]] — the SAME step function as the
     * batch fold. Spec-pinned. */
   def liveNviPvi(bars: org.apache.spark.sql.Dataset[streaming.VolBarRow])

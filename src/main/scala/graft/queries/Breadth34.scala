@@ -67,7 +67,7 @@ object Breadth34 {
     * SKIPPED, never stored). */
   private[graft] case class CrsiAcc(pc: Long, streak: Long,
                                     w3: Wil, w2: Wil,
-                                    ring: Vector[Double],
+                                    ring: Seq[Double],
                                     rsi3: Option[Double],
                                     rsi2: Option[Double],
                                     pr: Option[Double])
@@ -77,7 +77,7 @@ object Breadth34 {
                               i: Int): CrsiAcc = st match {
     case None =>
       CrsiAcc(c, 0L, Wil(0L, 0L, None, None), Wil(0L, 0L, None, None),
-        Vector.empty, None, None, None)
+        Seq.empty, None, None, None)
     case Some(a) =>
       val d = c - a.pc
       val j = i.toLong

@@ -235,6 +235,25 @@ case class PsarScored(user_id: Long, day: java.time.LocalDate,
 /** WMA ring state: the trailing ≤10 closes, oldest first. */
 case class WmaRing(closes: Seq[Long])
 
+/** One scored bar from the live streak screen (append stream). */
+case class StreakScored(user_id: Long, day: java.time.LocalDate,
+                        close_cents: Long, streak: Long)
+
+/** Streak state: previous close + current signed streak. */
+case class StreakAcc(pc: Long, streak: Long)
+
+/** Connors streaming state: 0-based bar count + the batch composite
+  * accumulator (both Wilder states, streak, the 100-return ring). */
+case class CrsiState(n: Long, acc: graft.queries.Breadth34.CrsiAcc)
+
+/** One scored bar from the live Connors RSI screen (append stream) —
+  * all three components + the composite, None during each component's
+  * own warm-up, like the batch q_connors_rsi row. */
+case class CrsiScored(user_id: Long, day: java.time.LocalDate,
+                      close_cents: Long, streak: Long,
+                      rsi3: Option[Double], rsi2_streak: Option[Double],
+                      pct_rank: Option[Double], crsi: Option[Double])
+
 /** One scored bar from the live WMA(10) screen (append stream); None
   * during the ring warm-up — the batch q_wma's full-window stance. */
 case class WmaScored(user_id: Long, day: java.time.LocalDate,
@@ -954,6 +973,26 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Streaming twin of the batch q_streak integer recurrence (append
+    * mode, O(1) state). */
+  def streamingStreak(ds: Dataset[BarRow]): Dataset[StreakScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new StreakProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Streaming twin of the batch q_connors_rsi composite: the SAME
+    * `crsiStep` (three recurrences + the 100-return ring) on keyed
+    * state — the composite-accumulator demonstration that a flagship
+    * multi-component screen streams with O(100) state per key. */
+  def streamingConnorsRsi(ds: Dataset[BarRow]): Dataset[CrsiScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new ConnorsRsiProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming twin of the batch q_psar stop-and-reverse: one PsarAcc
     * per key (regime, SAR, EP, AF, the 2-bar clamp ring), the SAME
     * step function as the batch fold (append mode). */
@@ -1608,6 +1647,42 @@ class WmaProcessor
         Some(num.toDouble / (W * (W + 1) / 2).toDouble / 100.0)
       }
     WmaScored(user, b.day, b.close_cents, wma)
+  }
+}
+
+/** Keyed processor behind [[Streams.streamingStreak]] — the batch
+  * `Breadth33.streakStep` on O(1) keyed state. */
+class StreakProcessor
+    extends BarFoldProcessor[StreakAcc, StreakScored](
+      "streak", org.apache.spark.sql.Encoders.product[StreakAcc]) {
+  protected def step(st: Option[StreakAcc], closeCents: Long): StreakAcc =
+    st match {
+      case None => StreakAcc(closeCents, 0L)
+      case Some(a) => StreakAcc(closeCents,
+        graft.queries.Breadth33.streakStep(a.streak, closeCents, a.pc))
+    }
+  protected def score(user: Long, b: BarRow, a: StreakAcc): StreakScored =
+    StreakScored(user, b.day, b.close_cents, a.streak)
+}
+
+/** Keyed processor behind [[Streams.streamingConnorsRsi]] — the batch
+  * `Breadth34.crsiStep` verbatim; the state carries the 0-based bar
+  * count the warm-up gates read. */
+class ConnorsRsiProcessor
+    extends BarFoldProcessor[CrsiState, CrsiScored](
+      "crsi", org.apache.spark.sql.Encoders.product[CrsiState]) {
+  protected def step(st: Option[CrsiState], closeCents: Long): CrsiState = {
+    val n = st.map(_.n + 1L).getOrElse(0L)
+    CrsiState(n,
+      graft.queries.Breadth34.crsiStep(st.map(_.acc), closeCents, n.toInt))
+  }
+  protected def score(user: Long, b: BarRow, s: CrsiState): CrsiScored = {
+    val a = s.acc
+    CrsiScored(user, b.day, b.close_cents, a.streak, a.rsi3, a.rsi2, a.pr,
+      (a.rsi3, a.rsi2, a.pr) match {
+        case (Some(x), Some(y), Some(z)) => Some((x + y + z) / 3.0)
+        case _ => None
+      })
   }
 }
 

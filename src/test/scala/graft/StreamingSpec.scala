@@ -1105,6 +1105,68 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingConnorsRsi / streamingStreak == batch bit-for-bit across " +
+    "micro-batch splits (the 100-return ring fill crosses a boundary)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.BarRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // 103 bars: alternating moves, then a spike — pct_rank scores on
+      // the last two bars only (the ring fills at bar 101)
+      val closes = (0 until 102).map(i =>
+        if (i % 2 == 0) 10000L + (i % 7) * 3 else 10010L + (i % 5) * 2) :+ 20000L
+      val rows = closes.zipWithIndex.map { case (c, i) =>
+        BarRow(1L, java.time.LocalDate.of(2024, 1, 1).plusDays(i), c) }
+      val memC = MemoryStream[BarRow]
+      val qc = Streams.streamingConnorsRsi(memC.toDS())
+        .writeStream.format("memory").queryName("crsi_snap")
+        .outputMode("append").start()
+      val memS = MemoryStream[BarRow]
+      val qs = Streams.streamingStreak(memS.toDS())
+        .writeStream.format("memory").queryName("streak_snap")
+        .outputMode("append").start()
+      // splits: warm-up / bulk (ring fills at idx 100 inside batch 2) / tail
+      Seq(0 until 10, 10 until 101, 101 until 103).foreach { rg =>
+        memC.addData(rg.map(rows): _*); qc.processAllAvailable()
+        memS.addData(rg.map(rows): _*); qs.processAllAvailable()
+      }
+      qc.stop(); qs.stop()
+      val ticks = closes.zipWithIndex.map { case (c, i) =>
+        (1L, c.toDouble / 100.0, i.toLong + 1,
+          java.time.LocalDate.of(2024, 1, 1).plusDays(i).toString + " 12:00:00")
+      }.toDF("user_id", "value", "event_id", "at")
+        .withColumn("ts", to_timestamp_ntz(col("at"))).drop("at")
+      def roundtrip(df: org.apache.spark.sql.DataFrame) =
+        df.select("day", "streak", "rsi3", "rsi2_streak", "pct_rank", "crsi")
+          .collect().map { r =>
+            def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+            (r.getDate(0).toString, r.getLong(1), opt(2), opt(3), opt(4), opt(5))
+          }.sortBy(_._1).toSeq
+      val gotC = roundtrip(spark.table("crsi_snap"))
+      val wantC = roundtrip(
+        Graft.connorsRsi(ticks, "user_id", "ts", "value", "event_id"))
+      assert(gotC === wantC, "connors stream vs batch")
+      assert(gotC.size === 103)
+      assert(gotC.count(_._5.nonEmpty) === 2, "ring fires on the last two bars")
+      assert(gotC.last._6.nonEmpty, "composite fires on the spike bar")
+      val gotS = spark.table("streak_snap").select("day", "streak")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+        .sortBy(_._1).toSeq
+      val wantS = Graft.streak(ticks, "user_id", "ts", "value", "event_id")
+        .select("day", "streak")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+        .sortBy(_._1).toSeq
+      assert(gotS === wantS, "streak stream vs batch")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streamingPsar == batch recurrence bit-for-bit across micro-batch " +
     "splits (a regime reversal lands at a batch boundary)") {
     implicit val sqlCtx = spark.sqlContext
