@@ -959,6 +959,22 @@ object Graft {
   def fertility(docs: DataFrame): DataFrame =
     queries.Breadth34.fertility(docs)
 
+  /** Elder impulse per key: green/red/blue from the joint EMA-13 /
+    * MACD-histogram direction. Oracle-checked as q_elder_impulse. */
+  def elderImpulse(df: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth35.elderImpulse(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Near-dup threshold sensitivity curve over the shared verified-pair
+    * chain. Oracle-checked as q_dedup_sensitivity. */
+  def dedupSensitivity(spark: SparkSession, dir: String): DataFrame =
+    queries.Breadth35.dedupSensitivity(spark, dir)
+
+  /** k-means cluster balance report (size + corpus share).
+    * Oracle-checked as q_cluster_mixture. */
+  def clusterMixture(spark: SparkSession, dir: String): DataFrame =
+    queries.Breadth35.clusterMixture(spark, dir)
+
   /** Streaming twin of [[streak]] — the SAME step function.
     * Spec-pinned. */
   def liveStreak(bars: org.apache.spark.sql.Dataset[streaming.BarRow])

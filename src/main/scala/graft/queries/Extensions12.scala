@@ -174,26 +174,32 @@ object Extensions12 {
        |      FROM e, $cents s))
        |  WHERE rn = 1)""".stripMargin
 
+  /** The full 2-round assignment CTE chain (final table `a2`) — shared
+    * by the q_kmeans oracle and downstream cluster roll-ups so the
+    * clustering parameters cannot drift between consumers. */
+  private[queries] def kmeansCtes =
+    s"""$sqlQuant,
+       |seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1
+       |      AS cid, qv AS cv
+       |  FROM (
+       |    SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h FROM e
+       |    ORDER BY h, vec_id LIMIT $K)),
+       |${sqlAssign("seeds", "a1")},
+       |u AS (
+       |  SELECT cid, idx,
+       |    CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS m
+       |  FROM (
+       |    SELECT cid, unnest(qv) AS v,
+       |      unnest(range(1, len(qv) + 1)) AS idx
+       |    FROM a1)
+       |  GROUP BY cid, idx),
+       |c1 AS (SELECT cid, list(m ORDER BY idx) AS cv FROM u GROUP BY cid),
+       |${sqlAssign("c1", "a2")}""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_kmeans" ->
-      s"""WITH $sqlQuant,
-         |seeds AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) - 1
-         |      AS cid, qv AS cv
-         |  FROM (
-         |    SELECT vec_id, qv, md5(CAST(vec_id AS VARCHAR)) AS h FROM e
-         |    ORDER BY h, vec_id LIMIT $K)),
-         |${sqlAssign("seeds", "a1")},
-         |u AS (
-         |  SELECT cid, idx,
-         |    CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS m
-         |  FROM (
-         |    SELECT cid, unnest(qv) AS v,
-         |      unnest(range(1, len(qv) + 1)) AS idx
-         |    FROM a1)
-         |  GROUP BY cid, idx),
-         |c1 AS (SELECT cid, list(m ORDER BY idx) AS cv FROM u GROUP BY cid),
-         |${sqlAssign("c1", "a2")}
+      s"""WITH $kmeansCtes
          |SELECT vec_id, cid AS cluster, d2 FROM a2
          |ORDER BY vec_id""".stripMargin,
 
