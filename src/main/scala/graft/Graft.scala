@@ -965,6 +965,12 @@ object Graft {
                    valCol: String, tieBreak: String): DataFrame =
     queries.Breadth35.elderImpulse(df, keyCol, tsCol, valCol, tieBreak)
 
+  /** Streaming twin of [[elderImpulse]] — the SAME step function.
+    * Spec-pinned. */
+  def liveElderImpulse(bars: org.apache.spark.sql.Dataset[streaming.BarRow])
+      : org.apache.spark.sql.Dataset[streaming.ImpulseScored] =
+    streaming.Streams.streamingElderImpulse(bars)
+
   /** Near-dup threshold sensitivity curve over the shared verified-pair
     * chain. Oracle-checked as q_dedup_sensitivity. */
   def dedupSensitivity(spark: SparkSession, dir: String): DataFrame =

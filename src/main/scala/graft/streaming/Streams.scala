@@ -254,6 +254,15 @@ case class CrsiScored(user_id: Long, day: java.time.LocalDate,
                       rsi3: Option[Double], rsi2_streak: Option[Double],
                       pct_rank: Option[Double], crsi: Option[Double])
 
+/** Elder-impulse streaming state: the EMA-13 + MACD accumulator plus
+  * the class emitted FOR this bar (carried so score() needs no
+  * recompute against the previous state). */
+case class ImpulseState(acc: graft.queries.Breadth35.ImpulseAcc, cls: String)
+
+/** One classified bar from the live Elder impulse screen. */
+case class ImpulseScored(user_id: Long, day: java.time.LocalDate,
+                         close_cents: Long, impulse: String)
+
 /** One scored bar from the live WMA(10) screen (append stream); None
   * during the ring warm-up — the batch q_wma's full-window stance. */
 case class WmaScored(user_id: Long, day: java.time.LocalDate,
@@ -993,6 +1002,16 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Streaming twin of the batch q_elder_impulse classification — the
+    * SAME `impulseStep` (EMA-13 + MACD joint direction), append mode,
+    * O(1) state. */
+  def streamingElderImpulse(ds: Dataset[BarRow]): Dataset[ImpulseScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new ElderImpulseProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming twin of the batch q_psar stop-and-reverse: one PsarAcc
     * per key (regime, SAR, EP, AF, the 2-bar clamp ring), the SAME
     * step function as the batch fold (append mode). */
@@ -1684,6 +1703,21 @@ class ConnorsRsiProcessor
         case _ => None
       })
   }
+}
+
+/** Keyed processor behind [[Streams.streamingElderImpulse]] — the
+  * batch `Breadth35.impulseStep` verbatim; the per-bar class rides in
+  * the state row. */
+class ElderImpulseProcessor
+    extends BarFoldProcessor[ImpulseState, ImpulseScored](
+      "impulse", org.apache.spark.sql.Encoders.product[ImpulseState]) {
+  protected def step(st: Option[ImpulseState], closeCents: Long): ImpulseState = {
+    val (a, cls) =
+      graft.queries.Breadth35.impulseStep(st.map(_.acc), closeCents)
+    ImpulseState(a, cls)
+  }
+  protected def score(user: Long, b: BarRow, s: ImpulseState): ImpulseScored =
+    ImpulseScored(user, b.day, b.close_cents, s.cls)
 }
 
 /** Keyed processor behind [[Streams.streamingPsar]] — the batch

@@ -254,4 +254,103 @@ class PropertySpec extends SparkSpec {
           s"native vs window diverged on ${fRows.size} facts/${pRows.size} probes")
       }
   }
+
+  test("tolerance as-of: native emit-check == union+window gap null-out " +
+    "on random frames, and equals the untolerated form with wide gaps " +
+    "nulled") {
+    val factsGen = Gen.nonEmptyListOf(for {
+      id <- Gen.choose(1L, 10000L)
+      user <- Gen.choose(1L, 6L)
+      sec <- Gen.choose(0L, 30L)
+      v <- Gen.choose(-100.0, 100.0)
+    } yield (id, user, sec, v))
+    val probesGen = Gen.nonEmptyListOf(for {
+      user <- Gen.choose(1L, 8L)
+      sec <- Gen.choose(-5L, 35L)
+    } yield (user, sec))
+    val tolGen = Gen.oneOf(0L, 3L, 10L)
+    samples(for { f <- factsGen; p <- probesGen; t <- tolGen }
+        yield (f, p, t), 10)
+      .foreach { case (fRows, pRows, tolSec) =>
+        val tolMicros = tolSec * 1000000L
+        val facts = fRows.toDF("event_id", "user_id", "sec", "value")
+          .withColumn("ts", timestamp_seconds(col("sec")).cast("timestamp_ntz"))
+        val probes = pRows.distinct.toDF("user_id", "psec")
+          .withColumn("probe_ts", timestamp_seconds(col("psec")).cast("timestamp_ntz"))
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("user_id"), col("probe_ts"), col("asof_value"))
+            .collect().map(r => (r.getLong(0), r.get(1).toString,
+              Option(r.get(2)).map(_.asInstanceOf[Double])))
+            .toSeq.sortBy(t => (t._1, t._2))
+        val native = canon(Latest.asOfJoinNativeValues(facts, probes,
+          "user_id", "ts", "probe_ts", Seq("value"), "event_id",
+          toleranceMicros = Some(tolMicros)))
+        val window = canon(Latest.asOfJoinTol(facts, probes,
+          "user_id", "ts", "probe_ts", "value", "event_id", tolMicros))
+        assert(native == window, s"tolerance forms diverged at tol=${tolSec}s")
+        // ground truth: the untolerated match, nulled when the matched
+        // fact's max ts is more than tol before the probe
+        val maxTs = fRows.groupBy(_._2).map { case (u, rs) =>
+          u -> rs.map(_._3)
+        }
+        val untol = canon(Latest.asOfJoin(facts, probes,
+          "user_id", "ts", "probe_ts", "value", "event_id"))
+        val expected = untol.map { case (u, pts, v) =>
+          val pSec = java.time.LocalDateTime.parse(pts.replace(' ', 'T'))
+            .toEpochSecond(java.time.ZoneOffset.UTC)
+          val gapOk = maxTs.get(u).exists(_.exists(s =>
+            s <= pSec && pSec - s <= tolSec))
+          (u, pts, if (gapOk) v else None)
+        }
+        assert(native == expected, s"tolerance semantics at tol=${tolSec}s")
+      }
+  }
+
+  test("psarStep invariants on random bars: AF stays in [0.02, 0.2], " +
+    "resets on every reversal, and the clamped SAR respects the prior " +
+    "two bars' extremes") {
+    val barsGen = Gen.nonEmptyListOf(for {
+      lo <- Gen.choose(100L, 2000L)
+      spread <- Gen.choose(0L, 300L)
+    } yield (lo, lo + spread))
+    samples(barsGen, 12).foreach { bars =>
+      var st: Option[graft.queries.Breadth30.PsarAcc] = None
+      bars.foreach { case (lo, hi) =>
+        val prev = st
+        val a = graft.queries.Breadth30.psarStep(st, hi, lo)
+        st = Some(a)
+        assert(a.af >= 2.0 / 100.0 - 1e-15 && a.af <= 20.0 / 100.0 + 1e-15)
+        prev.foreach { p =>
+          if (p.up != a.up) assert(a.af == 2.0 / 100.0, "AF resets on flip")
+          else if (!p.up && a.ep == p.ep && a.sar != p.ep.toDouble)
+            // no reversal, no new extreme: SAR moved toward EP but the
+            // clamp keeps it at or above the prior two highs
+            assert(a.sar >= math.max(p.h1, p.h2).toDouble - 1e-9)
+        }
+      }
+    }
+  }
+
+  test("crsiStep invariants on random closes: every component stays in " +
+    "[0, 100], the ring never exceeds 100 returns, and streak signs " +
+    "track the close direction") {
+    val closesGen = Gen.nonEmptyListOf(Gen.choose(1L, 3000L))
+    samples(closesGen, 10).foreach { closes =>
+      var st: Option[graft.queries.Breadth34.CrsiAcc] = None
+      closes.zipWithIndex.foreach { case (c, i) =>
+        val prev = st
+        val a = graft.queries.Breadth34.crsiStep(st, c, i)
+        st = Some(a)
+        assert(a.ring.length <= 100)
+        a.rsi3.foreach(v => assert(v >= 0.0 && v <= 100.0))
+        a.rsi2.foreach(v => assert(v >= 0.0 && v <= 100.0))
+        a.pr.foreach(v => assert(v >= 0.0 && v <= 100.0))
+        prev.foreach { p =>
+          if (c > p.pc) assert(a.streak > 0)
+          else if (c < p.pc) assert(a.streak < 0)
+          else assert(a.streak == 0)
+        }
+      }
+    }
+  }
 }

@@ -1078,11 +1078,16 @@ class StreamingSpec extends SparkSpec {
       val q = Streams.streamingWma(mem.toDS())
         .writeStream.format("memory").queryName("wma_snap")
         .outputMode("append").start()
+      val memI = MemoryStream[BarRow]
+      val qi = Streams.streamingElderImpulse(memI.toDS())
+        .writeStream.format("memory").queryName("impulse_snap")
+        .outputMode("append").start()
       // split 6/5/3 — the ring fills (bar 10) inside the SECOND batch
       Seq(0 until 6, 6 until 11, 11 until 14).foreach { rg =>
         mem.addData(rg.map(rows): _*); q.processAllAvailable()
+        memI.addData(rg.map(rows): _*); qi.processAllAvailable()
       }
-      q.stop()
+      q.stop(); qi.stop()
       val ticks = closes.zipWithIndex.map { case (c, i) =>
         (1L, c.toDouble / 100.0, i.toLong + 1, f"2024-01-${i + 1}%02d 12:00:00")
       }.toDF("user_id", "value", "event_id", "at")
@@ -1097,6 +1102,16 @@ class StreamingSpec extends SparkSpec {
         .sortBy(_._1).toSeq
       assert(got === want, "wma stream vs batch")
       assert(got.size === 5) // 14 bars − 9 warm-up
+      val gotI = spark.table("impulse_snap").select("day", "impulse")
+        .collect().map(r => (r.getDate(0).toString, r.getString(1)))
+        .sortBy(_._1).toSeq
+      val wantI = Graft.elderImpulse(ticks, "user_id", "ts", "value",
+          "event_id")
+        .select("day", "impulse")
+        .collect().map(r => (r.getDate(0).toString, r.getString(1)))
+        .sortBy(_._1).toSeq
+      assert(gotI === wantI, "impulse stream vs batch")
+      assert(gotI.map(_._2).distinct.size > 1, "fixture exercises classes")
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
