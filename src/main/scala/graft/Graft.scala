@@ -965,6 +965,18 @@ object Graft {
                    valCol: String, tieBreak: String): DataFrame =
     queries.Breadth35.elderImpulse(df, keyCol, tsCol, valCol, tieBreak)
 
+  /** ZigZag 5% swing pivots per key (integer-only recurrence).
+    * Oracle-checked as q_zigzag. */
+  def zigzag(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+             tieBreak: String): DataFrame =
+    queries.Breadth36.zigzag(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Rolling 30-bar one-factor beta per key. Oracle-checked as
+    * q_rolling_beta. */
+  def rollingBeta(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                  tieBreak: String): DataFrame =
+    queries.Breadth36.rollingBeta(df, keyCol, tsCol, valCol, tieBreak)
+
   /** Streaming twin of [[elderImpulse]] — the SAME step function.
     * Spec-pinned. */
   def liveElderImpulse(bars: org.apache.spark.sql.Dataset[streaming.BarRow])

@@ -601,7 +601,7 @@ class PlanSpec extends SparkSpec {
   test("wave-34 integer-ratio oscillators stay key-distributed (<=3 key " +
     "exchanges, no single-partition stage)") {
     for (q <- Seq("q_rvi", "q_ultimate_osc", "q_vhf", "q_streak",
-        "q_connors_rsi")) {
+        "q_connors_rsi", "q_zigzag", "q_rolling_beta")) {
       val df = SparkEntry.queries(q)(spark, sf0001)
       val hashEx = marginalKeyExchanges(df, "user_id")
       assert(hashEx <= 3, s"$q: expected <=3 key hash exchanges, got $hashEx")
