@@ -1182,6 +1182,69 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingConnorsRsi: the composite state (both Wilder states + " +
+    "the 100-return ring) survives a RocksDB checkpoint stop/restart — " +
+    "post-restart output still equals batch bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.BarRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = Files.createTempDirectory("graft_crsi_ckpt").toString
+      val closes = (0 until 102).map(i =>
+        if (i % 2 == 0) 10000L + (i % 7) * 3 else 10010L + (i % 5) * 2) :+ 20000L
+      val rows = closes.zipWithIndex.map { case (c, i) =>
+        BarRow(1L, java.time.LocalDate.of(2024, 1, 1).plusDays(i), c) }
+      val mem = MemoryStream[BarRow]
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Option[Double], Option[Double])]
+      def run(): org.apache.spark.sql.streaming.StreamingQuery =
+        Streams.streamingConnorsRsi(mem.toDS())
+          .writeStream.option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[graft.streaming.CrsiScored],
+             _: Long) =>
+              b.toDF().select("day", "streak", "pct_rank", "crsi")
+                .collect().foreach { r =>
+                  def opt(i: Int) =
+                    if (r.isNullAt(i)) None else Some(r.getDouble(i))
+                  got += ((r.getDate(0).toString, r.getLong(1), opt(2), opt(3)))
+                }: Unit
+          }.start()
+      // the restart lands at bar 95 — the ring holds ~94 returns and
+      // MUST come back from RocksDB for bars 101-102 to score
+      val q1 = run()
+      Seq(0 until 50, 50 until 95).foreach { rg =>
+        mem.addData(rg.map(rows): _*); q1.processAllAvailable()
+      }
+      q1.stop()
+      val q2 = run()
+      mem.addData((95 until 103).map(rows): _*); q2.processAllAvailable()
+      q2.stop()
+      val ticks = closes.zipWithIndex.map { case (c, i) =>
+        (1L, c.toDouble / 100.0, i.toLong + 1,
+          java.time.LocalDate.of(2024, 1, 1).plusDays(i).toString + " 12:00:00")
+      }.toDF("user_id", "value", "event_id", "at")
+        .withColumn("ts", to_timestamp_ntz(col("at"))).drop("at")
+      val want = Graft.connorsRsi(ticks, "user_id", "ts", "value", "event_id")
+        .select("day", "streak", "pct_rank", "crsi")
+        .collect().map { r =>
+          def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+          (r.getDate(0).toString, r.getLong(1), opt(2), opt(3))
+        }.sortBy(_._1).toSeq
+      assert(got.sortBy(_._1).toSeq === want, "restarted stream vs batch")
+      assert(got.count(_._4.nonEmpty) === 2,
+        "the ring-scored bars land AFTER the restart")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streamingPsar == batch recurrence bit-for-bit across micro-batch " +
     "splits (a regime reversal lands at a batch boundary)") {
     implicit val sqlCtx = spark.sqlContext
