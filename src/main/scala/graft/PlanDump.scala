@@ -82,7 +82,11 @@ object PlanDump {
       // waves 31/32: the regime-switching PSAR fold, window-over-fold
       // StochRSI, gaps-and-islands drawdown anatomy on the bar grid,
       // and the bigram-LM join pipeline (doc bigrams × corpus counts)
-      "q_psar", "q_stoch_rsi", "q_dd_duration", "q_bigram_lm")
+      "q_psar", "q_stoch_rsi", "q_dd_duration", "q_bigram_lm",
+      // waves 34-38: the three-recurrence Connors composite (one fold),
+      // the all-integer zigzag fold, the windowed-co-moment rolling
+      // beta, and the tolerance-bounded native as-of merge
+      "q_connors_rsi", "q_zigzag", "q_rolling_beta", "q_asof_tol_native")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (sf0.001, local[4])\n\n")
     sb.append("Generated by `graft.PlanDump`. Plan-shape invariants are enforced by `PlanSpec`;\n")
