@@ -989,6 +989,17 @@ object Graft {
                tieBreak: String): DataFrame =
     queries.Breadth37.gapStats(df, keyCol, tsCol, valCol, tieBreak)
 
+  /** Ease of Movement EMV(14) per key — the windowed integer
+    * aggregate-ratio form. Oracle-checked as q_emv. */
+  def emv(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+          tieBreak: String, qtyJsonField: String): DataFrame =
+    queries.Breadth38.emv(df, keyCol, tsCol, valCol, tieBreak, qtyJsonField)
+
+  /** Heaps-law vocabulary growth over corpus deciles. Oracle-checked
+    * as q_vocab_growth. */
+  def vocabGrowth(docs: DataFrame): DataFrame =
+    queries.Breadth38.vocabGrowth(docs)
+
   /** Streaming twin of [[elderImpulse]] — the SAME step function.
     * Spec-pinned. */
   def liveElderImpulse(bars: org.apache.spark.sql.Dataset[streaming.BarRow])
