@@ -1000,6 +1000,18 @@ object Graft {
   def vocabGrowth(docs: DataFrame): DataFrame =
     queries.Breadth38.vocabGrowth(docs)
 
+  /** Market-breadth A/D line + McClellan oscillator (per-day,
+    * cross-sectional). Oracle-checked as q_ad_line. */
+  def adLine(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+             tieBreak: String): DataFrame =
+    queries.Breadth39.adLine(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** New 20-bar highs/lows per day (breadth thrust). Oracle-checked as
+    * q_new_extremes. */
+  def newExtremes(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth39.newExtremes(df, keyCol, tsCol, valCol, tieBreak)
+
   /** Streaming twin of [[elderImpulse]] — the SAME step function.
     * Spec-pinned. */
   def liveElderImpulse(bars: org.apache.spark.sql.Dataset[streaming.BarRow])
