@@ -1012,6 +1012,18 @@ object Graft {
                   valCol: String, tieBreak: String): DataFrame =
     queries.Breadth39.newExtremes(df, keyCol, tsCol, valCol, tieBreak)
 
+  /** Share of keys above their own 20-bar mean, per day (integer
+    * cross-multiplication test). Oracle-checked as q_pct_above_ma. */
+  def pctAboveMa(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                 tieBreak: String): DataFrame =
+    queries.Breadth40.pctAboveMa(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Cross-sectional dispersion of same-day moves. Oracle-checked as
+    * q_dispersion. */
+  def dispersion(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                 tieBreak: String): DataFrame =
+    queries.Breadth40.dispersion(df, keyCol, tsCol, valCol, tieBreak)
+
   /** Streaming twin of [[elderImpulse]] — the SAME step function.
     * Spec-pinned. */
   def liveElderImpulse(bars: org.apache.spark.sql.Dataset[streaming.BarRow])
