@@ -1024,6 +1024,18 @@ object Graft {
                  tieBreak: String): DataFrame =
     queries.Breadth40.dispersion(df, keyCol, tsCol, valCol, tieBreak)
 
+  /** Wald–Wolfowitz runs test on up/down day signs per key.
+    * Oracle-checked as q_runs_test. */
+  def runsTest(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+               tieBreak: String): DataFrame =
+    queries.Breadth41.runsTest(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Cross-sectional trailing-return momentum ranks + deciles per day.
+    * Oracle-checked as q_mom_rank. */
+  def momRank(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+              tieBreak: String): DataFrame =
+    queries.Breadth41.momRank(df, keyCol, tsCol, valCol, tieBreak)
+
   /** Streaming twin of [[elderImpulse]] — the SAME step function.
     * Spec-pinned. */
   def liveElderImpulse(bars: org.apache.spark.sql.Dataset[streaming.BarRow])
