@@ -1036,6 +1036,12 @@ object Graft {
               tieBreak: String): DataFrame =
     queries.Breadth41.momRank(df, keyCol, tsCol, valCol, tieBreak)
 
+  /** Lead–lag cross-correlation panel over the top-key pairs (lags
+    * −2..2, best-lag flagged). Oracle-checked as q_lead_lag. */
+  def leadLag(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+              tieBreak: String): DataFrame =
+    queries.Breadth42.leadLag(df, keyCol, tsCol, valCol, tieBreak)
+
   /** Streaming twin of [[elderImpulse]] — the SAME step function.
     * Spec-pinned. */
   def liveElderImpulse(bars: org.apache.spark.sql.Dataset[streaming.BarRow])
