@@ -135,7 +135,20 @@ object Extensions {
     "chain_day_vols" -> (() => Breadth27.dayVols(
       Tables.events(s, dir), "user_id", "ts", "k")),
     // ANN ground truth shared by q_embed_topk + both recall reports.
-    "chain_brute_topk" -> (() => bruteTopK(s, dir)))
+    "chain_brute_topk" -> (() => bruteTopK(s, dir)),
+    // Within-label kNN edge set shared by the wave-44 graph analytics
+    // (q_knn_triangles, q_link_predict).
+    "chain_knn_edges" -> (() => knnGraphEdges(s, dir)))
+
+  /** Undirected kNN-graph edge set over the embeddings (within-label,
+    * k = Breadth43.KnnK), memoized — triangle counting and link
+    * prediction consume the SAME graph instead of each paying the
+    * block-quadratic kNN build. */
+  private[queries] def knnGraphEdges(s: org.apache.spark.sql.SparkSession,
+                                     dir: String): org.apache.spark.sql.DataFrame =
+    memoized(s, s"knngraph|$dir") {
+      Breadth43.knnEdges(Tables.embeddings(s, dir))
+    }
 
   /** Brute-force cosine top-5 ground truth for the 10 probe vectors,
     * memoized — q_embed_topk emits it and BOTH ANN recall reports
