@@ -227,6 +227,17 @@ case class ElderScored(user_id: Long, day: java.time.LocalDate,
                        close_cents: Long, ema13: Double,
                        bull_power: Double, bear_power: Double)
 
+/** Holt level/trend pair plus the bar's realized forecast error —
+  * the fold state AND the emit payload of the live Holt screen (the
+  * error reads the PREVIOUS state, so it must ride the state row). */
+case class HoltFold(l: Double, t: Double, fcErr: Option[Double])
+
+/** One scored bar from the live Holt trend screen (append stream) —
+  * price domain, like the batch q_holt. */
+case class HoltScored(user_id: Long, day: java.time.LocalDate,
+                      close_cents: Long, level: Double, trend: Double,
+                      forecast: Double, fc_err: Option[Double])
+
 /** One scored bar from the live parabolic-SAR screen (append stream) —
   * price-domain SAR + regime flag, like the batch q_psar. */
 case class PsarScored(user_id: Long, day: java.time.LocalDate,
@@ -961,6 +972,16 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Streaming twin of the batch q_holt recurrence: one (level, trend)
+    * pair per key, the SAME step function as the batch fold (append
+    * mode — one row per bar). */
+  def streamingHolt(ds: Dataset[BarRow]): Dataset[HoltScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new HoltProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming twin of the batch q_elder_ray: one EMA-13 double per key,
     * bull/bear power computed at emit from the bar's high/low with the
     * batch form's exact expressions (append mode). */
@@ -1629,6 +1650,23 @@ class PpoProcessor
                       a: graft.queries.Breadth28.PpoAcc): PpoScored =
     PpoScored(user, b.day, b.close_cents,
       if (a.e26 != 0.0) Some(100.0 * (a.e12 - a.e26) / a.e26) else None)
+}
+
+/** Keyed processor behind [[Streams.streamingHolt]] — the batch
+  * `Breadth45.holtStep` on O(1) keyed state; the step's emit row (which
+  * carries the previous-state forecast error) IS the state row. */
+class HoltProcessor
+    extends BarFoldProcessor[HoltFold, HoltScored](
+      "holt", org.apache.spark.sql.Encoders.product[HoltFold]) {
+  protected def step(st: Option[HoltFold], closeCents: Long): HoltFold = {
+    val (acc, row) = graft.queries.Breadth45.holtStep(
+      st.map(s => graft.queries.Breadth45.HoltAcc(s.l, s.t)),
+      closeCents.toDouble)
+    HoltFold(acc.l, acc.t, row.fcErr)
+  }
+  protected def score(user: Long, b: BarRow, a: HoltFold): HoltScored =
+    HoltScored(user, b.day, b.close_cents, a.l / 100.0, a.t / 100.0,
+      (a.l + a.t) / 100.0, a.fcErr.map(_ / 100.0))
 }
 
 /** Keyed processor behind [[Streams.streamingElderRay]] — the EMA-13
