@@ -506,7 +506,7 @@ object Extensions {
   /** Brute-force cosine top-k ranking as a WITH-chain (through the
     * `ranked` CTE) — shared by the q_embed_topk oracle and the two ANN
     * recall oracles so the ground-truth definition cannot drift. */
-  private val bruteRankedSql: String =
+  private[queries] val bruteRankedSql: String =
     """WITH probes AS (SELECT vec_id AS probe_id,
       |    CAST(embedding AS DOUBLE[]) AS pv
       |  FROM embeddings WHERE vec_id < 10),
