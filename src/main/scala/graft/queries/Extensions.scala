@@ -138,7 +138,10 @@ object Extensions {
     "chain_brute_topk" -> (() => bruteTopK(s, dir)),
     // Within-label kNN edge set shared by the wave-44 graph analytics
     // (q_knn_triangles, q_link_predict).
-    "chain_knn_edges" -> (() => knnGraphEdges(s, dir)))
+    "chain_knn_edges" -> (() => knnGraphEdges(s, dir)),
+    // Int8-quantized top-5 ranking shared by the wave-47 eval pair
+    // (q_quant_ndcg, q_recall_curve).
+    "chain_quant_topk" -> (() => Breadth46.quantTop5(s, dir)))
 
   /** Undirected kNN-graph edge set over the embeddings (within-label,
     * k = Breadth43.KnnK), memoized — triangle counting and link
