@@ -141,7 +141,20 @@ object Extensions {
     "chain_knn_edges" -> (() => knnGraphEdges(s, dir)),
     // Int8-quantized top-5 ranking shared by the wave-47 eval pair
     // (q_quant_ndcg, q_recall_curve).
-    "chain_quant_topk" -> (() => Breadth46.quantTop5(s, dir)))
+    "chain_quant_topk" -> (() => Breadth46.quantTop5(s, dir)),
+    // kNN-graph component labels (wave-50 q_graph_components) — RUNS
+    // propagation generations, hence the eager memo.
+    "chain_knn_components" -> (() => knnComponents(s, dir)))
+
+  /** Connected-component labels of the kNN graph via the dedup label
+    * propagation, eagerly memoized like dupClusters (the build runs a
+    * Spark job per generation — never under the lazy memo lock). */
+  private[queries] def knnComponents(s: org.apache.spark.sql.SparkSession,
+                                     dir: String): org.apache.spark.sql.DataFrame =
+    memoizedEager(s, s"knncomp|$dir") {
+      Dedup.clusterMembers(knnGraphEdges(s, dir), "vec_id",
+        maxIters = Breadth49.CompIters)
+    }
 
   /** Undirected kNN-graph edge set over the embeddings (within-label,
     * k = Breadth43.KnnK), memoized — triangle counting and link

@@ -227,6 +227,15 @@ case class ElderScored(user_id: Long, day: java.time.LocalDate,
                        close_cents: Long, ema13: Double,
                        bull_power: Double, bear_power: Double)
 
+/** One (row, bucket) counter increment of the streaming count-min
+  * sketch — a key's arrival fans out to d of these. */
+case class CmsIncrement(row: Int, bucket: Long, inc: Long)
+
+/** One live count-min cell: the running counter total, re-emitted
+  * whenever a batch touches the cell (append stream — the LAST emit per
+  * cell is the current sketch). */
+case class CmsCellState(row: Int, bucket: Long, cell: Long)
+
 /** Holt level/trend pair plus the bar's realized forecast error —
   * the fold state AND the emit payload of the live Holt screen (the
   * error reads the PREVIOUS state, so it must ride the state row). */
@@ -972,6 +981,27 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Streaming twin of the batch count-min build (q_count_min /
+    * q_cms_width_curve): each arriving key fans out to its d (row,
+    * bucket) cells, and one O(1) keyed counter per cell accumulates
+    * across micro-batches — the sketch's associative merge IS the
+    * keyed-state sum, so the live sketch equals the batch sketch over
+    * the same arrivals regardless of batch splits. State is d·w
+    * counters TOTAL (256 at the default shape), independent of key
+    * cardinality — the whole point of sketching a 100 TB stream. */
+  def streamingCmsCells(keys: Dataset[Long], w: Int): Dataset[CmsCellState] = {
+    import keys.sparkSession.implicits._
+    keys.flatMap { k =>
+      graft.queries.Breadth44.CmsHashes.zipWithIndex.map { case ((a, b), i) =>
+        CmsIncrement(i,
+          ((a * k + b) % graft.queries.Breadth44.CmsP) % w, 1L)
+      }
+    }
+      .groupByKey(c => (c.row, c.bucket))
+      .transformWithState(new CmsCellProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming twin of the batch q_holt recurrence: one (level, trend)
     * pair per key, the SAME step function as the batch fold (append
     * mode — one row per bar). */
@@ -1650,6 +1680,26 @@ class PpoProcessor
                       a: graft.queries.Breadth28.PpoAcc): PpoScored =
     PpoScored(user, b.day, b.close_cents,
       if (a.e26 != 0.0) Some(100.0 * (a.e12 - a.e26) / a.e26) else None)
+}
+
+/** Keyed processor behind [[Streams.streamingCmsCells]] — one long
+  * counter per (row, bucket) cell, summed across batches. */
+class CmsCellProcessor
+    extends StatefulProcessor[(Int, Long), CmsIncrement, CmsCellState] {
+  @transient private var cell: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    cell = getHandle.getValueState[Long]("cms",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(key: (Int, Long),
+                               rows: Iterator[CmsIncrement],
+                               timerValues: TimerValues): Iterator[CmsCellState] = {
+    val add = rows.map(_.inc).sum
+    val tot = (if (cell.exists()) cell.get() else 0L) + add
+    cell.update(tot)
+    Iterator.single(CmsCellState(key._1, key._2, tot))
+  }
 }
 
 /** Keyed processor behind [[Streams.streamingHolt]] — the batch
