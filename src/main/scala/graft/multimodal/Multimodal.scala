@@ -109,6 +109,36 @@ object Multimodal {
       .withColumn("target_h", ceil(col("height") * col("scale")).cast("int"))
       .drop("scale")
 
+  /** Block-mean perceptual hash of the payload (the aHash family): the
+    * content bytes split into `blocks` equal runs, bit k set iff block
+    * k's byte mean exceeds the whole-payload mean (stated as the
+    * integer comparison blockSum·blocks > totalSum — no division, no
+    * float). Container metadata is excluded like payloadDedup; similar
+    * payloads (a few changed bytes) land within a small hamming radius
+    * instead of breaking an exact fingerprint. Partition-batched like
+    * decodeMeta. Payload lengths here are multiples of 64 so blocks
+    * divide evenly; a real build pads the tail block. */
+  def blockHash(media: Dataset[MediaRow], blocks: Int = 16): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.bytes.drop(16)
+        val bs = p.length / blocks
+        val sums = new Array[Long](blocks)
+        var j = 0
+        while (j < p.length) { sums(j / bs) += (p(j) & 0xFF).toLong; j += 1 }
+        val total = sums.sum
+        var h = 0L
+        var k = 0
+        while (k < blocks) {
+          if (sums(k) * blocks > total) h |= 1L << k
+          k += 1
+        }
+        (r.media_id, r.kind, h)
+      }
+    }.toDF("media_id", "kind", "phash")
+  }
+
   /** STUB feature extraction: a deterministic 8-dim "embedding" from the
     * payload bytes (rolling-hash buckets) — stands in for a vision/audio
     * encoder. Partition-batched like decodeMeta. */
