@@ -636,6 +636,64 @@ class PlanSpec extends SparkSpec {
       org.apache.spark.sql.catalyst.plans.physical.SinglePartition))
   }
 
+  test("wave-44/50 kNN-graph analytics: the edge chain is a within-label " +
+    "equi-join and every graph query stays distributed with no cartesian") {
+    val edges = graft.queries.Breadth43.knnEdges(
+      Tables.embeddings(spark, sf0001))
+    val ep = plan(edges)
+    assert(!ep.contains("CartesianProduct"), ep.take(600))
+    assert(!ep.contains("BroadcastNestedLoopJoin"),
+      s"kNN scoring must be the label equi-join\n${ep.take(600)}")
+    for (q <- Seq("q_knn_triangles", "q_link_predict")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$q\n${p.take(600)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q: all graph joins are node-id equi-joins\n${p.take(600)}")
+      assertNoSinglePartitionShuffle(df, q)
+    }
+  }
+
+  test("wave-45 count-min: the cell build aggregates partial+final and " +
+    "the probe lookup broadcasts the 256-cell table") {
+    val df = SparkEntry.queries("q_count_min")(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell lookup should broadcast\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"sketch build must map-side combine\n${p.take(800)}")
+  }
+
+  test("wave-46/48 trend + risk queries stay key-distributed (<=4 key " +
+    "exchanges, no single-partition stage, no cartesian)") {
+    for (q <- Seq("q_theil_sen", "q_var_backtest", "q_vol_cone")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$q\n${p.take(600)}")
+      val hashEx = marginalKeyExchanges(df, "user_id")
+      assert(hashEx <= 4, s"$q: expected <=4 key hash exchanges, got $hashEx")
+      assertNoSinglePartitionShuffle(df, q)
+    }
+  }
+
+  test("wave-49 novelty: the first-occurrence table is a distributed " +
+    "shingle aggregate, never single-partition") {
+    for (q <- Seq("q_novelty", "q_source_redundancy")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      assert(!plan(df).contains("CartesianProduct"), q)
+      assertNoSinglePartitionShuffle(df, q)
+    }
+  }
+
+  test("wave-51 phash near-dup: candidates come from the band equi-join " +
+    "— no cartesian, no nested-loop") {
+    val df = SparkEntry.queries("q_phash_neardup")(spark, sf0001)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
   test("q_dsir joins doc tokens against the vocab-sized term table with " +
     "broadcast scalar totals — no single-partition stage except the " +
     "scalar aggregates themselves") {
