@@ -1042,6 +1042,80 @@ object Graft {
               tieBreak: String): DataFrame =
     queries.Breadth42.leadLag(df, keyCol, tsCol, valCol, tieBreak)
 
+  /** Undirected within-label kNN edge set over an embeddings frame
+    * (vec_id, embedding, label). Oracle-checked via q_knn_triangles /
+    * q_link_predict / q_graph_components. */
+  def knnEdges(emb: DataFrame, k: Int = 4): DataFrame =
+    queries.Breadth43.knnEdges(emb, k)
+
+  /** Per-node triangle count + local clustering coefficient over a
+    * canonical (id_a < id_b) edge frame. Oracle-checked as
+    * q_knn_triangles. */
+  def triangleStats(edges: DataFrame): DataFrame =
+    queries.Breadth43.triangleStats(edges)
+
+  /** Common-neighbour / Jaccard / Adamic–Adar link prediction over a
+    * canonical edge frame. Oracle-checked as q_link_predict. */
+  def linkPredict(edges: DataFrame): DataFrame =
+    queries.Breadth43.linkPredict(edges)
+
+  /** Count–min sketch point estimates for the hottest keys (d=4, w=64,
+    * Carter–Wegman mod-P hashes). Oracle-checked as q_count_min. */
+  def countMin(df: DataFrame, keyCol: String): DataFrame =
+    queries.Breadth44.countMin(df, keyCol)
+
+  /** Holt double-exponential level/trend/forecast series per key.
+    * Oracle-checked as q_holt; [[liveHolt]] is its streaming twin. */
+  def holt(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+           tieBreak: String): DataFrame =
+    queries.Breadth45.holtSeries(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Streaming twin of [[holt]] — the SAME step function on O(1) keyed
+    * state. Spec-pinned bit-equal to the batch fold. */
+  def liveHolt(bars: org.apache.spark.sql.Dataset[streaming.BarRow])
+      : org.apache.spark.sql.Dataset[streaming.HoltScored] =
+    streaming.Streams.streamingHolt(bars)
+
+  /** Theil–Sen robust slope per key (low-median pairwise slope).
+    * Oracle-checked as q_theil_sen. */
+  def theilSen(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+               tieBreak: String): DataFrame =
+    queries.Breadth45.theilSen(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Out-of-sample VaR backtest (60/40 time split, Kupiec LR).
+    * Oracle-checked as q_var_backtest. */
+  def varBacktest(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth47.varBacktest(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Rolling-volatility cone (rank-picked quartiles per horizon).
+    * Oracle-checked as q_vol_cone. */
+  def volCone(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+              tieBreak: String): DataFrame =
+    queries.Breadth47.volCone(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Per-document first-occurrence novelty over shingle sets.
+    * Oracle-checked as q_novelty. */
+  def novelty(docs: DataFrame): DataFrame =
+    queries.Breadth48.novelty(docs)
+
+  /** Per-source shingle redundancy (dedup-potential ranking).
+    * Oracle-checked as q_source_redundancy. */
+  def sourceRedundancy(docs: DataFrame): DataFrame =
+    queries.Breadth48.sourceRedundancy(docs)
+
+  /** Block-mean perceptual hash of binary media payloads.
+    * Oracle-checked as q_media_phash / q_phash_neardup. */
+  def mediaBlockHash(media: org.apache.spark.sql.Dataset[
+      multimodal.Multimodal.MediaRow], blocks: Int = 16): DataFrame =
+    multimodal.Multimodal.blockHash(media, blocks)
+
+  /** Streaming count–min cells: the live sketch over a key stream —
+    * d·w keyed counters total. Spec-pinned equal to the batch sketch. */
+  def liveCmsCells(keys: org.apache.spark.sql.Dataset[Long], w: Int = 64)
+      : org.apache.spark.sql.Dataset[streaming.CmsCellState] =
+    streaming.Streams.streamingCmsCells(keys, w)
+
   /** Streaming twin of [[elderImpulse]] — the SAME step function.
     * Spec-pinned. */
   def liveElderImpulse(bars: org.apache.spark.sql.Dataset[streaming.BarRow])

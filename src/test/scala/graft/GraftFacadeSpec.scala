@@ -224,4 +224,29 @@ class GraftFacadeSpec extends SparkSpec {
     assert(rows(Graft.massIndex(e, byKey(0), byKey(1), byKey(2), byKey(3))
       .orderBy(col("user_id").asc, col("day").asc)) == q("q_mass_index"))
   }
+
+  test("Graft round-9 facades (knnEdges+triangleStats / linkPredict / " +
+    "countMin / holt / theilSen / varBacktest / volCone / novelty / " +
+    "sourceRedundancy) match their oracle-checked queries") {
+    val e = Tables.events(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
+    val byKey = Seq("user_id", "ts", "value", "event_id")
+    def q(name: String) = rows(SparkEntry.queries(name)(spark, sf0001))
+    val edges = Graft.knnEdges(emb)
+    assert(rows(Graft.triangleStats(edges).orderBy(col("vec_id").asc))
+      == q("q_knn_triangles"))
+    assert(rows(Graft.linkPredict(edges)) == q("q_link_predict"))
+    assert(rows(Graft.countMin(e, "user_id")) == q("q_count_min"))
+    assert(rows(Graft.holt(e, byKey(0), byKey(1), byKey(2), byKey(3))
+      .orderBy(col("user_id").asc, col("day").asc)) == q("q_holt"))
+    assert(rows(Graft.theilSen(e, byKey(0), byKey(1), byKey(2), byKey(3))
+      .orderBy(col("user_id").asc)) == q("q_theil_sen"))
+    assert(rows(Graft.varBacktest(e, byKey(0), byKey(1), byKey(2), byKey(3))
+      .orderBy(col("user_id").asc)) == q("q_var_backtest"))
+    assert(rows(Graft.volCone(e, byKey(0), byKey(1), byKey(2), byKey(3))
+      .orderBy(col("user_id").asc, col("horizon").asc)) == q("q_vol_cone"))
+    assert(rows(Graft.novelty(docs)) == q("q_novelty"))
+    assert(rows(Graft.sourceRedundancy(docs)) == q("q_source_redundancy"))
+  }
 }
