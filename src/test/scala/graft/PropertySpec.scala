@@ -118,6 +118,84 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("triangleStats equals brute-force triangle enumeration on random " +
+    "graphs, and per-node counts sum to 3× the triangle total") {
+    val pairsGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(1L, 15L)
+      b <- Gen.choose(1L, 15L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    samples(pairsGen, 6).foreach { pairList =>
+      val pairs = pairList.distinct
+      val adj = pairs.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val nodes = adj.keys.toSeq.sorted
+      val expTri = nodes.map { v =>
+        val nb = adj(v).toSeq
+        v -> (for {
+          i <- nb.indices; j <- (i + 1) until nb.size
+          if adj(nb(i)).contains(nb(j))
+        } yield 1).size.toLong
+      }.toMap
+      val got = graft.queries.Breadth43
+        .triangleStats(pairs.toDF("id_a", "id_b"))
+        .select("vec_id", "degree", "n_tri")
+        .as[(Long, Long, Long)].collect()
+      assert(got.map(r => r._1 -> r._3).toMap == expTri,
+        s"pairs=$pairs")
+      assert(got.map(_._2).sum == 2L * pairs.size, "handshake lemma")
+      assert(got.map(_._3).sum % 3 == 0, "each triangle counted thrice")
+    }
+  }
+
+  test("linkPredict on random graphs: every emitted pair is non-adjacent " +
+    "with the brute-force shared-neighbour count and Jaccard") {
+    val pairsGen = Gen.nonEmptyListOf(for {
+      a <- Gen.choose(1L, 12L)
+      b <- Gen.choose(1L, 12L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+    samples(pairsGen, 6).foreach { pairList =>
+      val pairs = pairList.distinct
+      val edgeSet = pairs.toSet
+      val adj = pairs.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val got = graft.queries.Breadth43
+        .linkPredict(pairs.toDF("id_a", "id_b"))
+        .select("id_a", "id_b", "n_shared", "jaccard_nb")
+        .as[(Long, Long, Long, Double)].collect()
+      got.foreach { case (a, b, cn, j) =>
+        assert(!edgeSet.contains((a, b)), s"($a,$b) is an edge; pairs=$pairs")
+        val shared = adj(a).intersect(adj(b)).size.toLong
+        assert(cn == shared, s"($a,$b) cn=$cn shared=$shared pairs=$pairs")
+        val union = adj(a).size + adj(b).size - shared
+        assert(j == shared.toDouble / union.toDouble, s"($a,$b) jaccard")
+      }
+      // completeness at the top: every non-adjacent pair with >= 2 shared
+      // neighbours appears unless the top-50 cut dropped it (never here)
+      val expPairs = (for {
+        a <- adj.keys; b <- adj.keys if a < b
+        if !edgeSet.contains((a, b))
+        if adj(a).intersect(adj(b)).size >= 2
+      } yield (a, b)).toSet
+      assert(got.map(r => (r._1, r._2)).toSet == expPairs, s"pairs=$pairs")
+    }
+  }
+
+  test("count-min estimates never undercount random key multisets and " +
+    "are exact for keys with no colliding cell") {
+    val keysGen = Gen.nonEmptyListOf(Gen.choose(0L, 400L))
+    samples(keysGen, 6).foreach { keys =>
+      val df = keys.toDF("user_id")
+      val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = graft.queries.Breadth44.countMin(df, "user_id")
+        .select("user_id", "true_cnt", "cms_est")
+        .as[(Long, Long, Long)].collect()
+      got.foreach { case (k, t, est) =>
+        assert(t == truth(k), s"true count for $k")
+        assert(est >= t, s"undercount for $k: est=$est true=$t")
+      }
+    }
+  }
+
   test("row-wise minhash signatures equal the grouped form on random texts") {
     val docGen = Gen.nonEmptyListOf(
       Gen.choose(1, 30).flatMap(n =>
