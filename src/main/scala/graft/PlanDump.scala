@@ -86,7 +86,13 @@ object PlanDump {
       // waves 34-38: the three-recurrence Connors composite (one fold),
       // the all-integer zigzag fold, the windowed-co-moment rolling
       // beta, and the tolerance-bounded native as-of merge
-      "q_connors_rsi", "q_zigzag", "q_rolling_beta", "q_asof_tol_native")
+      "q_connors_rsi", "q_zigzag", "q_rolling_beta", "q_asof_tol_native",
+      // waves 44-54: compact-forward triangles over the memoized kNN
+      // edge chain, the 256-cell count-min build + broadcast probe,
+      // the calendar-bounded Theil-Sen pair join, the banded phash
+      // near-dup, and the single-pass quality-rules gate
+      "q_knn_triangles", "q_count_min", "q_theil_sen", "q_phash_neardup",
+      "q_gopher_rules")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (sf0.001, local[4])\n\n")
     sb.append("Generated by `graft.PlanDump`. Plan-shape invariants are enforced by `PlanSpec`;\n")
