@@ -1110,6 +1110,13 @@ object Graft {
       multimodal.Multimodal.MediaRow], blocks: Int = 16): DataFrame =
     multimodal.Multimodal.blockHash(media, blocks)
 
+  /** Streaming three-bar pattern screen — the SAME flag semantics as
+    * the batch q_three_bar_patterns, parity-pinned across batch
+    * splits. */
+  def liveThreeBar(bars: org.apache.spark.sql.Dataset[streaming.OcBarRow])
+      : org.apache.spark.sql.Dataset[streaming.ThreeBarScored] =
+    streaming.Streams.streamingThreeBar(bars)
+
   /** Streaming count–min cells: the live sketch over a key stream —
     * d·w keyed counters total. Spec-pinned equal to the batch sketch. */
   def liveCmsCells(keys: org.apache.spark.sql.Dataset[Long], w: Int = 64)

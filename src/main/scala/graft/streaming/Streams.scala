@@ -227,6 +227,23 @@ case class ElderScored(user_id: Long, day: java.time.LocalDate,
                        close_cents: Long, ema13: Double,
                        bull_power: Double, bear_power: Double)
 
+/** One daily bar carrying open and close — the input of sequence-
+  * pattern screens (OhlcBarRow's open-bearing sibling). */
+case class OcBarRow(user_id: Long, day: java.time.LocalDate,
+                    open_cents: Long, close_cents: Long)
+
+/** The last ≤2 bars' (open, close) pairs — the keyed ring a three-bar
+  * pattern screen carries (O(1) state per key). */
+case class OcPair(o: Long, c: Long)
+case class ThreeBarRing(prev: Seq[OcPair])
+
+/** One scored bar from the live three-bar pattern screen (append
+  * stream) — the batch q_three_bar_patterns flags. */
+case class ThreeBarScored(user_id: Long, day: java.time.LocalDate,
+                          three_white_soldiers: Boolean,
+                          three_black_crows: Boolean,
+                          morning_star: Boolean)
+
 /** One (row, bucket) counter increment of the streaming count-min
   * sketch — a key's arrival fans out to d of these. */
 case class CmsIncrement(row: Int, bucket: Long, inc: Long)
@@ -981,6 +998,17 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Streaming twin of the batch q_three_bar_patterns: a ≤2-bar
+    * (open, close) ring per key, each arriving bar scored by the SAME
+    * pure flag function (`Breadth52.threeBarFlags`), parity-pinned
+    * against the batch lag-window form across micro-batch splits. */
+  def streamingThreeBar(ds: Dataset[OcBarRow]): Dataset[ThreeBarScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new ThreeBarProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming twin of the batch count-min build (q_count_min /
     * q_cms_width_curve): each arriving key fans out to its d (row,
     * bucket) cells, and one O(1) keyed counter per cell accumulates
@@ -1680,6 +1708,36 @@ class PpoProcessor
                       a: graft.queries.Breadth28.PpoAcc): PpoScored =
     PpoScored(user, b.day, b.close_cents,
       if (a.e26 != 0.0) Some(100.0 * (a.e12 - a.e26) / a.e26) else None)
+}
+
+/** Keyed processor behind [[Streams.streamingThreeBar]] — a ≤2-bar
+  * ring per key; flags come from `Breadth52.threeBarFlags` (false
+  * until three bars exist, the batch null→false stance). */
+class ThreeBarProcessor
+    extends StatefulProcessor[Long, OcBarRow, ThreeBarScored] {
+  @transient private var ring: ValueState[ThreeBarRing] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    ring = getHandle.getValueState[ThreeBarRing]("ring",
+      org.apache.spark.sql.Encoders.product[ThreeBarRing], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, bars: Iterator[OcBarRow],
+                               timerValues: TimerValues): Iterator[ThreeBarScored] = {
+    var prev = if (ring.exists()) ring.get().prev else Nil
+    val out = Seq.newBuilder[ThreeBarScored]
+    bars.toSeq.sortBy(_.day.toEpochDay).foreach { b =>
+      val (tws, tbc, ms) = prev match {
+        case Seq(p2, p1) =>
+          graft.queries.Breadth52.threeBarFlags(p2.o, p2.c, p1.o, p1.c,
+            b.open_cents, b.close_cents)
+        case _ => (false, false, false)
+      }
+      out += ThreeBarScored(user, b.day, tws, tbc, ms)
+      prev = (prev :+ OcPair(b.open_cents, b.close_cents)).takeRight(2)
+    }
+    ring.update(ThreeBarRing(prev))
+    out.result().iterator
+  }
 }
 
 /** Keyed processor behind [[Streams.streamingCmsCells]] — one long
