@@ -592,6 +592,30 @@ object Extensions {
        |SELECT id_a, id_b, jaccard FROM verified
        |WHERE jaccard >= $JaccThreshold""".stripMargin
 
+  /** The langId heuristic as a WITH-chain body ending in
+    * `pred(doc_id, lang, pred_lang)` — the SQL twin of `Text.langId`,
+    * shared by the q_lang_id oracle and the wave-59 classifier-eval
+    * oracles so the heuristic cannot drift. */
+  private[queries] val langPredSql: String = {
+    val markers = Text.langMarkers.toSeq.sortBy(_._1)
+    val hitExprs = markers.map { case (code, ms) =>
+      val inList = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(toks, x -> x IN ($inList))) AS hits_$code"
+    }.mkString(",\n    ")
+    val maxExpr = markers.map { case (code, _) => s"hits_$code" }
+      .mkString("greatest(", ", ", ")")
+    val cascade = markers.map { case (code, _) =>
+      s"WHEN hits_$code = mx THEN '$code'"
+    }.mkString(" ")
+    s"""lt AS (SELECT doc_id, lang, ${sqlTokens("text")} AS toks FROM documents),
+       |lh AS (SELECT doc_id, lang, $hitExprs FROM lt),
+       |lm AS (SELECT *, $maxExpr AS mx FROM lh),
+       |pred AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN mx > 0 THEN (CASE $cascade END) ELSE 'und' END AS pred_lang
+       |  FROM lm)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_text_stats" ->
       s"""SELECT doc_id,
@@ -612,24 +636,10 @@ object Extensions {
          |    * (len(list_distinct(toks))::DOUBLE / len(toks)), 4) AS quality
          |FROM t ORDER BY doc_id""".stripMargin,
 
-    "q_lang_id" -> {
-      val markers = Text.langMarkers.toSeq.sortBy(_._1)
-      val hitExprs = markers.map { case (code, ms) =>
-        val inList = ms.map(m => s"'$m'").mkString(", ")
-        s"len(list_filter(toks, x -> x IN ($inList))) AS hits_$code"
-      }.mkString(",\n    ")
-      val maxExpr = markers.map { case (code, _) => s"hits_$code" }
-        .mkString("greatest(", ", ", ")")
-      val cascade = markers.map { case (code, _) =>
-        s"WHEN hits_$code = mx THEN '$code'"
-      }.mkString(" ")
-      s"""WITH t AS (SELECT doc_id, lang, ${sqlTokens("text")} AS toks FROM documents),
-         |h AS (SELECT doc_id, lang, $hitExprs FROM t),
-         |m AS (SELECT *, $maxExpr AS mx FROM h)
-         |SELECT doc_id, lang,
-         |  CASE WHEN mx > 0 THEN (CASE $cascade END) ELSE 'und' END AS pred_lang
-         |FROM m ORDER BY doc_id""".stripMargin
-    },
+    "q_lang_id" ->
+      s"""WITH $langPredSql
+         |SELECT doc_id, lang, pred_lang FROM pred
+         |ORDER BY doc_id""".stripMargin,
 
     "q_winnow" ->
       s"""WITH t AS (SELECT doc_id, ${sqlNorm("text")} AS s FROM documents),
