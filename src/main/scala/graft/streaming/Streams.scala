@@ -227,6 +227,22 @@ case class ElderScored(user_id: Long, day: java.time.LocalDate,
                        close_cents: Long, ema13: Double,
                        bull_power: Double, bear_power: Double)
 
+/** One raw tick for the volume-bucket screens: `seq` is the total
+  * arrival order (the batch (ts, event_id) order collapsed to one
+  * long). */
+case class TickRow(user_id: Long, seq: Long, cents: Long, vol: Long)
+
+/** Volume-bucket fold state: last close (sign source), cumulative
+  * volume, the open bucket's id, signed-volume imbalance and volume. */
+case class VpinState(prevClose: Option[Long], cum: Long, barId: Long,
+                     imb: Long, vol: Long)
+
+/** One COMPLETED volume bucket from the live VPIN screen — emitted when
+  * a later tick opens a higher bucket; `imbalance` is |Σ signed vol|,
+  * the batch q_vpin per-bar numerator. */
+case class VpinBucket(user_id: Long, bar_id: Long, imbalance: Long,
+                      vol: Long)
+
 /** One daily bar carrying open and close — the input of sequence-
   * pattern screens (OhlcBarRow's open-bearing sibling). */
 case class OcBarRow(user_id: Long, day: java.time.LocalDate,
@@ -998,6 +1014,21 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Streaming twin of the batch q_vpin volume buckets: O(1) keyed
+    * state (last close, cumulative volume, the open bucket's running
+    * imbalance); a completed bucket is emitted the moment a tick opens
+    * a higher bucket — the same bucket boundaries and tick-rule signs
+    * as the batch construction, so emitted buckets are bit-equal to
+    * the batch per-bar rows (the key's open bucket stays unemitted,
+    * exactly the rows a live screen cannot know yet). */
+  def streamingVpinBuckets(ds: Dataset[TickRow],
+                           barVol: Long): Dataset[VpinBucket] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new VpinProcessor(barVol), TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming twin of the batch q_three_bar_patterns: a ≤2-bar
     * (open, close) ring per key, each arriving bar scored by the SAME
     * pure flag function (`Breadth52.threeBarFlags`), parity-pinned
@@ -1708,6 +1739,42 @@ class PpoProcessor
                       a: graft.queries.Breadth28.PpoAcc): PpoScored =
     PpoScored(user, b.day, b.close_cents,
       if (a.e26 != 0.0) Some(100.0 * (a.e12 - a.e26) / a.e26) else None)
+}
+
+/** Keyed processor behind [[Streams.streamingVpinBuckets]] — the
+  * volume-bucket fold: bucket id = pre-tick cumulative div barVol
+  * (the batch q_volume_bars boundary), tick-rule signed volume
+  * accumulated per open bucket, completed buckets emitted on
+  * rollover. */
+class VpinProcessor(barVol: Long)
+    extends StatefulProcessor[Long, TickRow, VpinBucket] {
+  @transient private var st: ValueState[VpinState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[VpinState]("vpin",
+      org.apache.spark.sql.Encoders.product[VpinState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, ticks: Iterator[TickRow],
+                               timerValues: TimerValues): Iterator[VpinBucket] = {
+    var s = if (st.exists()) st.get() else VpinState(None, 0L, 0L, 0L, 0L)
+    val out = Seq.newBuilder[VpinBucket]
+    ticks.toSeq.sortBy(_.seq).foreach { t =>
+      val bar = s.cum / barVol // pre-tick cumulative → this tick's bucket
+      if (bar > s.barId) {
+        out += VpinBucket(user, s.barId, math.abs(s.imb), s.vol)
+        s = s.copy(barId = bar, imb = 0L, vol = 0L)
+      }
+      val sv = s.prevClose match {
+        case Some(p) if t.cents > p => t.vol
+        case Some(p) if t.cents < p => -t.vol
+        case _ => 0L
+      }
+      s = VpinState(Some(t.cents), s.cum + t.vol, s.barId,
+        s.imb + sv, s.vol + t.vol)
+    }
+    st.update(s)
+    out.result().iterator
+  }
 }
 
 /** Keyed processor behind [[Streams.streamingThreeBar]] — a ≤2-bar
