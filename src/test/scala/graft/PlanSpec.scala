@@ -694,6 +694,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
   }
 
+  test("wave-52/53/55/57/58 bar-family queries stay key-distributed " +
+    "(<=4 key exchanges, no single-partition stage, no cartesian)") {
+    for (q <- Seq("q_sax", "q_three_bar_patterns", "q_bop",
+        "q_volume_profile", "q_obv_divergence", "q_volume_bars", "q_vpin",
+        "q_dollar_bars")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      assert(!plan(df).contains("CartesianProduct"), q)
+      val hashEx = marginalKeyExchanges(df, "user_id")
+      assert(hashEx <= 4, s"$q: expected <=4 key hash exchanges, got $hashEx")
+      assertNoSinglePartitionShuffle(df, q)
+    }
+  }
+
+  test("wave-56 portfolio cross-sections: day-distributed aggregates; " +
+    "q_index_nav's only single-partition stage is the aggregate-sized " +
+    "day-table lag (the q_ks_drift precedent)") {
+    val nav = SparkEntry.queries("q_index_nav")(spark, sf0001)
+    assert(!plan(nav).contains("CartesianProduct"))
+    val to = SparkEntry.queries("q_turnover")(spark, sf0001)
+    val p = plan(to)
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assertNoSinglePartitionShuffle(to, "q_turnover")
+  }
+
+  test("wave-54/59 corpus gates: rules and lang-eval stay distributed " +
+    "with no cartesian") {
+    for (q <- Seq("q_gopher_rules", "q_rule_attrition", "q_lang_confusion",
+        "q_lang_prf", "q_novelty")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      assert(!plan(df).contains("CartesianProduct"), q)
+    }
+  }
+
   test("q_dsir joins doc tokens against the vocab-sized term table with " +
     "broadcast scalar totals — no single-partition stage except the " +
     "scalar aggregates themselves") {
