@@ -1110,6 +1110,92 @@ object Graft {
       multimodal.Multimodal.MediaRow], blocks: Int = 16): DataFrame =
     multimodal.Multimodal.blockHash(media, blocks)
 
+  /** SAX symbolization: rank-quartile PAA segments per key.
+    * Oracle-checked as q_sax / q_sax_words. */
+  def saxSegments(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth51.saxSegments(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Three-bar candlestick sequence flags (soldiers / crows / morning
+    * star). Oracle-checked as q_three_bar_patterns. */
+  def threeBarPatterns(df: DataFrame, keyCol: String, tsCol: String,
+                       valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth52.threeBarPatterns(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Balance of Power per bar + 5-bar integer-sum form. Oracle-checked
+    * as q_bop. */
+  def balanceOfPower(df: DataFrame, keyCol: String, tsCol: String,
+                     valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth52.bop(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Composite quality-rules gate per document. Oracle-checked as
+    * q_gopher_rules / q_rule_attrition. */
+  def qualityRules(docs: DataFrame): DataFrame =
+    queries.Breadth53.ruleTable(docs)
+
+  /** Volume-at-price profile with point of control. Oracle-checked as
+    * q_volume_profile. */
+  def volumeProfile(df: DataFrame, keyCol: String, tsCol: String,
+                    valCol: String, tieBreak: String,
+                    qtyJsonField: String): DataFrame =
+    queries.Breadth54.volumeProfile(df, keyCol, tsCol, valCol, tieBreak,
+      qtyJsonField)
+
+  /** OBV divergence flags. Oracle-checked as q_obv_divergence. */
+  def obvDivergence(df: DataFrame, keyCol: String, tsCol: String,
+                    valCol: String, tieBreak: String,
+                    qtyJsonField: String): DataFrame =
+    queries.Breadth54.obvDivergence(df, keyCol, tsCol, valCol, tieBreak,
+      qtyJsonField)
+
+  /** Equal-weight index NAV + cross-multiplied index return.
+    * Oracle-checked as q_index_nav. */
+  def indexNav(df: DataFrame, keyCol: String, tsCol: String,
+               valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth55.indexNav(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Exact value-weight turnover between consecutive days.
+    * Oracle-checked as q_turnover. */
+  def turnover(df: DataFrame, keyCol: String, tsCol: String,
+               valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth55.turnover(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Information-driven volume bars. Oracle-checked as q_volume_bars;
+    * [[liveVpinBuckets]] streams the same buckets. */
+  def volumeBars(df: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String, tieBreak: String,
+                 qtyJsonField: String): DataFrame =
+    queries.Breadth56.volumeBars(df, keyCol, tsCol, valCol, tieBreak,
+      qtyJsonField)
+
+  /** VPIN order-flow imbalance over volume bars. Oracle-checked as
+    * q_vpin. */
+  def vpin(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+           tieBreak: String, qtyJsonField: String): DataFrame =
+    queries.Breadth56.vpin(df, keyCol, tsCol, valCol, tieBreak,
+      qtyJsonField)
+
+  /** Dollar (value) bars. Oracle-checked as q_dollar_bars. */
+  def dollarBars(df: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String, tieBreak: String,
+                 qtyJsonField: String): DataFrame =
+    queries.Breadth58.dollarBars(df, keyCol, tsCol, valCol, tieBreak,
+      qtyJsonField)
+
+  /** Lang-ID confusion matrix / per-language precision-recall.
+    * Oracle-checked as q_lang_confusion / q_lang_prf. */
+  def langConfusion(docs: DataFrame): DataFrame =
+    queries.Breadth57.langConfusion(docs)
+  def langPrf(docs: DataFrame): DataFrame =
+    queries.Breadth57.langPrf(docs)
+
+  /** Streaming VPIN volume buckets — completed buckets only, bit-equal
+    * to the batch construction. Spec-pinned. */
+  def liveVpinBuckets(ticks: org.apache.spark.sql.Dataset[streaming.TickRow],
+                      barVol: Long = queries.Breadth56.BarVol)
+      : org.apache.spark.sql.Dataset[streaming.VpinBucket] =
+    streaming.Streams.streamingVpinBuckets(ticks, barVol)
+
   /** Streaming three-bar pattern screen — the SAME flag semantics as
     * the batch q_three_bar_patterns, parity-pinned across batch
     * splits. */

@@ -249,4 +249,38 @@ class GraftFacadeSpec extends SparkSpec {
     assert(rows(Graft.novelty(docs)) == q("q_novelty"))
     assert(rows(Graft.sourceRedundancy(docs)) == q("q_source_redundancy"))
   }
+
+  test("Graft wave-52..61 facades (saxSegments / threeBarPatterns / " +
+    "balanceOfPower / qualityRules / volumeProfile / obvDivergence / " +
+    "indexNav / turnover / volumeBars / vpin / dollarBars / langPrf) " +
+    "match their oracle-checked queries") {
+    val e = Tables.events(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+    val byKey = Seq("user_id", "ts", "value", "event_id")
+    def q(name: String) = rows(SparkEntry.queries(name)(spark, sf0001))
+    assert(rows(Graft.saxSegments(e, byKey(0), byKey(1), byKey(2), byKey(3))
+      .orderBy(col("user_id").asc, col("seg_idx").asc)) == q("q_sax"))
+    assert(rows(Graft.threeBarPatterns(e, byKey(0), byKey(1), byKey(2),
+      byKey(3)).orderBy(col("user_id").asc, col("day").asc))
+      == q("q_three_bar_patterns"))
+    assert(rows(Graft.balanceOfPower(e, byKey(0), byKey(1), byKey(2),
+      byKey(3)).orderBy(col("user_id").asc, col("day").asc)) == q("q_bop"))
+    assert(rows(Graft.qualityRules(docs).orderBy(col("doc_id").asc))
+      == q("q_gopher_rules"))
+    assert(rows(Graft.volumeProfile(e, byKey(0), byKey(1), byKey(2),
+      byKey(3), "k")) == q("q_volume_profile"))
+    assert(rows(Graft.obvDivergence(e, byKey(0), byKey(1), byKey(2),
+      byKey(3), "k")) == q("q_obv_divergence"))
+    assert(rows(Graft.indexNav(e, byKey(0), byKey(1), byKey(2), byKey(3)))
+      == q("q_index_nav"))
+    assert(rows(Graft.turnover(e, byKey(0), byKey(1), byKey(2), byKey(3)))
+      == q("q_turnover"))
+    assert(rows(Graft.volumeBars(e, byKey(0), byKey(1), byKey(2), byKey(3),
+      "k")) == q("q_volume_bars"))
+    assert(rows(Graft.vpin(e, byKey(0), byKey(1), byKey(2), byKey(3), "k"))
+      == q("q_vpin"))
+    assert(rows(Graft.dollarBars(e, byKey(0), byKey(1), byKey(2), byKey(3),
+      "k")) == q("q_dollar_bars"))
+    assert(rows(Graft.langPrf(docs)) == q("q_lang_prf"))
+  }
 }
