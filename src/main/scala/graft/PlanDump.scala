@@ -92,7 +92,10 @@ object PlanDump {
       // the calendar-bounded Theil-Sen pair join, the banded phash
       // near-dup, and the single-pass quality-rules gate
       "q_knn_triangles", "q_count_min", "q_theil_sen", "q_phash_neardup",
-      "q_gopher_rules")
+      "q_gopher_rules",
+      // waves 55-64: the tick-level volume-bucket windows, the basket
+      // pair join, and the quintile-scored customer aggregate
+      "q_volume_bars", "q_vpin", "q_market_basket", "q_rfm")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (sf0.001, local[4])\n\n")
     sb.append("Generated by `graft.PlanDump`. Plan-shape invariants are enforced by `PlanSpec`;\n")
