@@ -813,6 +813,65 @@ object Graft {
       : org.apache.spark.sql.Dataset[streaming.PpoScored] =
     streaming.Streams.streamingPpo(bars)
 
+  /** Information ratio per key vs the daily cross-sectional median
+    * move. Oracle-checked as q_info_ratio. */
+  def infoRatio(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                tieBreak: String): DataFrame =
+    queries.Breadth67.infoRatio(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Correlogram per key: day-move autocorrelation at lags 1..maxLag.
+    * Oracle-checked as q_acf. */
+  def acf(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+          tieBreak: String, maxLag: Int = 5): DataFrame =
+    queries.Breadth67.acf(df, keyCol, tsCol, valCol, tieBreak, maxLag)
+
+  /** Efraimidis-Spirakis weighted top-k sample per stratum (w = `wCol`,
+    * RNG-free md5 uniforms). Oracle-checked as q_weighted_sample. */
+  def weightedSample(df: DataFrame, stratCol: String, idCol: String,
+                     wCol: String, k: Int): DataFrame =
+    queries.Breadth67.weightedSample(df, stratCol, idCol, wCol, k)
+
+  /** Jarque-Bera normality test per key over day moves (exact decimal
+    * power sums). Oracle-checked as q_jarque_bera. */
+  def jarqueBera(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                 tieBreak: String): DataFrame =
+    queries.Breadth68.jarqueBera(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Newman degree assortativity of an undirected (id_a, id_b) edge
+    * list. Oracle-checked as q_assortativity (kNN embedding graph). */
+  def assortativity(edges: DataFrame): DataFrame =
+    queries.Breadth68.assortativity(edges)
+
+  /** Exact p10/p90 day-move order statistics per key + tail ratio.
+    * Oracle-checked as q_tail_ratio. */
+  def tailRatio(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                tieBreak: String): DataFrame =
+    queries.Breadth68.tailRatio(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** RiskMetrics EWMA volatility (λ = 0.94) per key over day moves.
+    * Oracle-checked as q_ewma_vol. */
+  def ewmaVol(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+              tieBreak: String): DataFrame =
+    queries.Breadth69.ewmaVol(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Streaming twin of [[ewmaVol]] — the SAME step function.
+    * Spec-pinned. */
+  def liveEwmaVol(bars: org.apache.spark.sql.Dataset[streaming.BarRow])
+      : org.apache.spark.sql.Dataset[streaming.EwmaVolScored] =
+    streaming.Streams.streamingEwmaVol(bars)
+
+  /** QStick(k): SMA of the candle body (close − open) per key.
+    * Oracle-checked as q_qstick. */
+  def qstick(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+             tieBreak: String, k: Int = 5): DataFrame =
+    queries.Breadth69.qstick(df, keyCol, tsCol, valCol, tieBreak, k)
+
+  /** Williams fractal swing highs/lows per key (±2-bar neighbourhood).
+    * Oracle-checked as q_fractals. */
+  def fractals(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+               tieBreak: String): DataFrame =
+    queries.Breadth69.fractals(df, keyCol, tsCol, valCol, tieBreak)
+
   /** Elder Ray per key: EMA-13 mid + bull/bear power from the bar
     * high/low. Oracle-checked as q_elder_ray. */
   def elderRay(df: DataFrame, keyCol: String, tsCol: String, valCol: String,

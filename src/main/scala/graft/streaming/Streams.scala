@@ -221,6 +221,11 @@ case class DemaScored(user_id: Long, day: java.time.LocalDate,
 case class PpoScored(user_id: Long, day: java.time.LocalDate,
                      close_cents: Long, ppo: Option[Double])
 
+/** One scored bar from the live EWMA-volatility screen (append
+  * stream); None at a key's first-ever bar — the batch null. */
+case class EwmaVolScored(user_id: Long, day: java.time.LocalDate,
+                         close_cents: Long, ewma_vol: Option[Double])
+
 /** One scored bar from the live Elder Ray screen (append stream) —
   * price domain, like the batch q_elder_ray. */
 case class ElderScored(user_id: Long, day: java.time.LocalDate,
@@ -995,6 +1000,16 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Streaming twin of the batch q_ewma_vol recurrence: one EwmaVolAcc
+    * per key (previous close + running variance), the SAME RiskMetrics
+    * step as the batch fold (append mode — first bar None). */
+  def streamingEwmaVol(ds: Dataset[BarRow]): Dataset[EwmaVolScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new EwmaVolProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming twin of the batch q_dema recurrence: one DemaAcc per key
     * (two chained EMA stages), the SAME step function as the batch fold
     * (append mode — one row per bar). */
@@ -1723,6 +1738,24 @@ class DemaProcessor
   protected def score(user: Long, b: BarRow,
                       a: graft.queries.Breadth28.DemaAcc): DemaScored =
     DemaScored(user, b.day, b.close_cents, (2.0 * a.e1 - a.e2) / 100.0)
+}
+
+/** Keyed processor behind [[Streams.streamingEwmaVol]] — the batch
+  * `Breadth69.ewmaVolStep` on O(1) keyed state, emit in the price
+  * domain with the batch form's exact √v/100. */
+class EwmaVolProcessor
+    extends BarFoldProcessor[graft.queries.Breadth69.EwmaVolAcc,
+      EwmaVolScored](
+      "ewmavol",
+      org.apache.spark.sql.Encoders.product[
+        graft.queries.Breadth69.EwmaVolAcc]) {
+  protected def step(st: Option[graft.queries.Breadth69.EwmaVolAcc],
+                     closeCents: Long): graft.queries.Breadth69.EwmaVolAcc =
+    graft.queries.Breadth69.ewmaVolStep(st, closeCents)
+  protected def score(user: Long, b: BarRow,
+                      a: graft.queries.Breadth69.EwmaVolAcc): EwmaVolScored =
+    EwmaVolScored(user, b.day, b.close_cents,
+      a.v.map(math.sqrt(_) / 100.0))
 }
 
 /** Keyed processor behind [[Streams.streamingPpo]] — the batch
