@@ -872,6 +872,42 @@ object Graft {
                tieBreak: String): DataFrame =
     queries.Breadth69.fractals(df, keyCol, tsCol, valCol, tieBreak)
 
+  /** Jensen's alpha + Treynor ratio per key vs the q_beta market
+    * factor. Oracle-checked as q_jensen_alpha. */
+  def jensenAlpha(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth70.jensenAlpha(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Day-of-week anomaly: mean move + up-share per ISO weekday.
+    * Oracle-checked as q_weekday_effect. */
+  def weekdayEffect(df: DataFrame, keyCol: String, tsCol: String,
+                    valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth70.weekdayEffect(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Per-source unigram KL divergence vs the corpus (microbit-
+    * quantized). Oracle-checked as q_kl_source. */
+  def klSource(docs: DataFrame, srcCol: String, textCol: String): DataFrame =
+    queries.Breadth70.klSource(docs, srcCol, textCol)
+
+  /** Awesome Oscillator (fast/slow midpoint SMAs) per key.
+    * Oracle-checked as q_awesome_osc. */
+  def awesomeOsc(df: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String, tieBreak: String,
+                 fast: Int = 3, slow: Int = 13): DataFrame =
+    queries.Breadth71.awesomeOsc(df, keyCol, tsCol, valCol, tieBreak,
+      fast, slow)
+
+  /** Mann-Whitney U test of each stratum's metric vs the rest.
+    * Oracle-checked as q_mann_whitney. */
+  def mannWhitney(df: DataFrame, stratCol: String, vCol: String): DataFrame =
+    queries.Breadth71.mannWhitney(df, stratCol, vCol)
+
+  /** Theil T inequality index over per-key summed cents.
+    * Oracle-checked as q_theil_index. */
+  def theilIndex(df: DataFrame, keyCol: String,
+                 amountCents: org.apache.spark.sql.Column): DataFrame =
+    queries.Breadth71.theilIndex(df, keyCol, amountCents)
+
   /** Elder Ray per key: EMA-13 mid + bull/bear power from the bar
     * high/low. Oracle-checked as q_elder_ray. */
   def elderRay(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
