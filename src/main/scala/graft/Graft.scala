@@ -908,6 +908,42 @@ object Graft {
                  amountCents: org.apache.spark.sql.Column): DataFrame =
     queries.Breadth71.theilIndex(df, keyCol, amountCents)
 
+  /** Cross-correlation of each key's move vs the market move at lags
+    * 0..maxLag. Oracle-checked as q_xcf. */
+  def xcf(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+          tieBreak: String, maxLag: Int = 3): DataFrame =
+    queries.Breadth72.xcf(df, keyCol, tsCol, valCol, tieBreak, maxLag)
+
+  /** Hill tail-index estimator over the k largest |day moves| per key.
+    * Oracle-checked as q_hill_tail. */
+  def hillTail(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+               tieBreak: String, k: Int = 10): DataFrame =
+    queries.Breadth72.hillTail(df, keyCol, tsCol, valCol, tieBreak, k)
+
+  /** Opening-gap event study: gaps + their fill days.
+    * Oracle-checked as q_gap_fill. */
+  def gapFill(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+              tieBreak: String): DataFrame =
+    queries.Breadth72.gapFill(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Mean-variance + win/loss Kelly fractions per key.
+    * Oracle-checked as q_kelly. */
+  def kelly(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+            tieBreak: String): DataFrame =
+    queries.Breadth73.kelly(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Up/down market capture per key (aggregate-ratio form).
+    * Oracle-checked as q_capture_ratio. */
+  def captureRatio(df: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth73.captureRatio(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Pain index (mean + max drawdown below the running peak).
+    * Oracle-checked as q_pain_index. */
+  def painIndex(df: DataFrame, keyCol: String, tsCol: String,
+                valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth73.painIndex(df, keyCol, tsCol, valCol, tieBreak)
+
   /** Elder Ray per key: EMA-13 mid + bull/bear power from the bar
     * high/low. Oracle-checked as q_elder_ray. */
   def elderRay(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
