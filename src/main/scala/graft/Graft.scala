@@ -944,6 +944,55 @@ object Graft {
                 valCol: String, tieBreak: String): DataFrame =
     queries.Breadth73.painIndex(df, keyCol, tsCol, valCol, tieBreak)
 
+  /** Simpson diversity of each source's unigram distribution.
+    * Oracle-checked as q_simpson_diversity. */
+  def simpsonDiversity(docs: DataFrame, srcCol: String,
+                       textCol: String): DataFrame =
+    queries.Breadth74.simpsonDiversity(docs, srcCol, textCol)
+
+  /** Exact p25/p50/p75 order statistics of a metric per stratum.
+    * Oracle-checked as q_length_quartiles. */
+  def lengthQuartiles(df: DataFrame, stratCol: String, vCol: String,
+                      idCol: String): DataFrame =
+    queries.Breadth74.lengthQuartiles(df, stratCol, vCol, idCol)
+
+  /** Fixed-window type-token ratio per doc.
+    * Oracle-checked as q_ttr_window. */
+  def ttrWindow(docs: DataFrame, idCol: String, textCol: String,
+                w: Int = 100): DataFrame =
+    queries.Breadth74.ttrWindow(docs, idCol, textCol, w)
+
+  /** OLS slope + R² of close vs bar index per key.
+    * Oracle-checked as q_trend_r2. */
+  def trendR2(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+              tieBreak: String): DataFrame =
+    queries.Breadth75.trendR2(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Volatility regime flags (w-bar move energy vs full sample).
+    * Oracle-checked as q_vol_regime. */
+  def volRegime(df: DataFrame, keyCol: String, tsCol: String,
+                valCol: String, tieBreak: String, w: Int = 5): DataFrame =
+    queries.Breadth75.volRegime(df, keyCol, tsCol, valCol, tieBreak, w)
+
+  /** Shannon entropy of the up/down/flat sign distribution per key.
+    * Oracle-checked as q_sign_entropy. */
+  def signEntropy(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth75.signEntropy(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Streaming twin of [[qstick]] — an O(k) candle-body ring.
+    * Spec-pinned. */
+  def liveQstick(bars: org.apache.spark.sql.Dataset[streaming.FullBarRow],
+                 k: Int = 5)
+      : org.apache.spark.sql.Dataset[streaming.QstickScored] =
+    streaming.Streams.streamingQstick(bars, k)
+
+  /** Streaming twin of [[fractals]] — a 5-bar ring with the two-bar
+    * confirmation lag. Spec-pinned. */
+  def liveFractals(bars: org.apache.spark.sql.Dataset[streaming.FullBarRow])
+      : org.apache.spark.sql.Dataset[streaming.FractalScored] =
+    streaming.Streams.streamingFractals(bars)
+
   /** Elder Ray per key: EMA-13 mid + bull/bear power from the bar
     * high/low. Oracle-checked as q_elder_ray. */
   def elderRay(df: DataFrame, keyCol: String, tsCol: String, valCol: String,

@@ -226,6 +226,23 @@ case class PpoScored(user_id: Long, day: java.time.LocalDate,
 case class EwmaVolScored(user_id: Long, day: java.time.LocalDate,
                          close_cents: Long, ewma_vol: Option[Double])
 
+/** A full OHLC day bar (open included) — the input grain of the
+  * QStick and fractal screens. */
+case class FullBarRow(user_id: Long, day: java.time.LocalDate,
+                      open_cents: Long, close_cents: Long,
+                      high_cents: Long, low_cents: Long)
+
+/** One scored bar from the live QStick screen (append stream); None
+  * during the k-bar warm-up — the batch null. */
+case class QstickScored(user_id: Long, day: java.time.LocalDate,
+                        qstick: Option[Double])
+
+/** One confirmed swing point from the live fractal screen (append
+  * stream) — emitted with the batch row's exact shape, two bars after
+  * the swing day (the confirmation lag a ±2-bar pattern requires). */
+case class FractalScored(user_id: Long, day: java.time.LocalDate,
+                         kind: String, level: Long)
+
 /** One scored bar from the live Elder Ray screen (append stream) —
   * price domain, like the batch q_elder_ray. */
 case class ElderScored(user_id: Long, day: java.time.LocalDate,
@@ -1010,6 +1027,28 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Streaming twin of the batch q_qstick window: an O(k) candle-body
+    * ring per key; the emit is the SAME integer sum / (k·100) as the
+    * batch frame (append mode — warm-up rows None). */
+  def streamingQstick(ds: Dataset[FullBarRow],
+                      k: Int = 5): Dataset[QstickScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new QstickProcessor(k), TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Streaming twin of the batch q_fractals pattern: an O(5) full-bar
+    * ring per key; a swing is emitted two bars after its day (the
+    * ±2-bar confirmation lag), with exactly the batch rows — the final
+    * two bars of any prefix are unconfirmable in BOTH forms. */
+  def streamingFractals(ds: Dataset[FullBarRow]): Dataset[FractalScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new FractalsProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming twin of the batch q_dema recurrence: one DemaAcc per key
     * (two chained EMA stages), the SAME step function as the batch fold
     * (append mode — one row per bar). */
@@ -1756,6 +1795,74 @@ class EwmaVolProcessor
                       a: graft.queries.Breadth69.EwmaVolAcc): EwmaVolScored =
     EwmaVolScored(user, b.day, b.close_cents,
       a.v.map(math.sqrt(_) / 100.0))
+}
+
+/** The QStick ring state: last ≤k candle bodies (close − open). */
+case class QstickRing(bodies: Seq[Long])
+
+/** Keyed processor behind [[Streams.streamingQstick]] — an O(k) body
+  * ring; emits the batch window's exact Σbody/(k·100) once full. */
+class QstickProcessor(k: Int)
+    extends StatefulProcessor[Long, FullBarRow, QstickScored] {
+  @transient private var ring: ValueState[QstickRing] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    ring = getHandle.getValueState[QstickRing]("qstick",
+      org.apache.spark.sql.Encoders.product[QstickRing], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, bars: Iterator[FullBarRow],
+                               timerValues: TimerValues)
+      : Iterator[QstickScored] = {
+    var st = if (ring.exists()) ring.get() else QstickRing(Seq.empty)
+    val out = Seq.newBuilder[QstickScored]
+    bars.toSeq.sortBy(_.day.toEpochDay).foreach { b =>
+      st = QstickRing(
+        (st.bodies :+ (b.close_cents - b.open_cents)).takeRight(k))
+      out += QstickScored(user, b.day,
+        if (st.bodies.size == k) Some(st.bodies.sum.toDouble / (k * 100.0))
+        else None)
+    }
+    ring.update(st)
+    out.result().iterator
+  }
+}
+
+/** The fractal ring state: last ≤5 full bars awaiting confirmation. */
+case class FractalRing(days: Seq[Long], highs: Seq[Long], lows: Seq[Long])
+
+/** Keyed processor behind [[Streams.streamingFractals]] — a 5-bar
+  * ring; the CENTER bar is judged once both confirming bars exist,
+  * emitting the batch q_fractals rows with a two-bar lag. */
+class FractalsProcessor
+    extends StatefulProcessor[Long, FullBarRow, FractalScored] {
+  @transient private var ring: ValueState[FractalRing] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    ring = getHandle.getValueState[FractalRing]("fractals",
+      org.apache.spark.sql.Encoders.product[FractalRing], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, bars: Iterator[FullBarRow],
+                               timerValues: TimerValues)
+      : Iterator[FractalScored] = {
+    var st = if (ring.exists()) ring.get()
+      else FractalRing(Seq.empty, Seq.empty, Seq.empty)
+    val out = Seq.newBuilder[FractalScored]
+    bars.toSeq.sortBy(_.day.toEpochDay).foreach { b =>
+      st = FractalRing((st.days :+ b.day.toEpochDay).takeRight(5),
+        (st.highs :+ b.high_cents).takeRight(5),
+        (st.lows :+ b.low_cents).takeRight(5))
+      if (st.days.size == 5) {
+        val day = java.time.LocalDate.ofEpochDay(st.days(2))
+        val h = st.highs; val l = st.lows
+        if (h(2) > h(0) && h(2) > h(1) && h(2) > h(3) && h(2) > h(4))
+          out += FractalScored(user, day, "high", h(2))
+        if (l(2) < l(0) && l(2) < l(1) && l(2) < l(3) && l(2) < l(4))
+          out += FractalScored(user, day, "low", l(2))
+      }
+    }
+    ring.update(st)
+    out.result().iterator
+  }
 }
 
 /** Keyed processor behind [[Streams.streamingPpo]] — the batch

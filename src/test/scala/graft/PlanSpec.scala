@@ -737,4 +737,28 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2,
       s"scalar totals not broadcast\n${p.take(800)}")
   }
+  test("waves 71-80: move-grid analytics stay key-distributed with no " +
+    "cartesian; corpus tests aggregate before any window") {
+    for (q <- Seq("q_info_ratio", "q_acf", "q_jarque_bera", "q_tail_ratio",
+        "q_ewma_vol", "q_qstick", "q_fractals", "q_jensen_alpha", "q_xcf",
+        "q_hill_tail", "q_gap_fill", "q_kelly", "q_capture_ratio",
+        "q_pain_index", "q_trend_r2", "q_vol_regime", "q_sign_entropy",
+        "q_weekday_effect")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      assert(!plan(df).contains("CartesianProduct"), q)
+    }
+    // corpus-side: one token explode, |vocab|/|values|-bounded joins,
+    // no cartesian over data-sized inputs (the scalar totals broadcast)
+    for (q <- Seq("q_kl_source", "q_simpson_diversity", "q_mann_whitney",
+        "q_length_quartiles", "q_ttr_window", "q_weighted_sample",
+        "q_theil_index", "q_assortativity")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      assert(!plan(df).contains("CartesianProduct"), q)
+    }
+    // the per-doc work of ttr_window is map-only: zero exchanges beyond
+    // the terminal sort
+    val ttr = SparkEntry.queries("q_ttr_window")(spark, sf0001)
+    assert(marginalExchanges(ttr).size <= 1,
+      s"q_ttr_window grew a shuffle beyond the terminal sort")
+  }
 }
