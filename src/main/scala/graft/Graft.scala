@@ -993,6 +993,42 @@ object Graft {
       : org.apache.spark.sql.Dataset[streaming.FractalScored] =
     streaming.Streams.streamingFractals(bars)
 
+  /** Lag-1 rank ACF of move magnitude (the Spearman-robust ARCH
+    * screen). Oracle-checked as q_arch_effect. */
+  def archEffect(df: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth76.archEffect(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Ljung-Box Q(5) portmanteau test on day moves per key.
+    * Oracle-checked as q_ljung_box. */
+  def ljungBox(df: DataFrame, keyCol: String, tsCol: String,
+               valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth76.ljungBox(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** AR(1) mean-reversion half-life per key.
+    * Oracle-checked as q_half_life. */
+  def halfLife(df: DataFrame, keyCol: String, tsCol: String,
+               valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth76.halfLife(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Exact-dup doc/token accounting per source.
+    * Oracle-checked as q_dup_inflation. */
+  def dupInflation(docs: DataFrame, srcCol: String, idCol: String,
+                   textCol: String): DataFrame =
+    queries.Breadth77.dupInflation(docs, srcCol, idCol, textCol)
+
+  /** First-k-token template clusters per source.
+    * Oracle-checked as q_prefix_dup. */
+  def prefixDup(docs: DataFrame, srcCol: String, textCol: String,
+                k: Int = 5): DataFrame =
+    queries.Breadth77.prefixDup(docs, srcCol, textCol, k)
+
+  /** Letter/digit/space/other character shares per source.
+    * Oracle-checked as q_char_classes. */
+  def charClasses(docs: DataFrame, srcCol: String,
+                  textCol: String): DataFrame =
+    queries.Breadth77.charClasses(docs, srcCol, textCol)
+
   /** Elder Ray per key: EMA-13 mid + bull/bear power from the bar
     * high/low. Oracle-checked as q_elder_ray. */
   def elderRay(df: DataFrame, keyCol: String, tsCol: String, valCol: String,

@@ -95,7 +95,13 @@ object PlanDump {
       "q_gopher_rules",
       // waves 55-64: the tick-level volume-bucket windows, the basket
       // pair join, and the quintile-scored customer aggregate
-      "q_volume_bars", "q_vpin", "q_market_basket", "q_rfm")
+      "q_volume_bars", "q_vpin", "q_market_basket", "q_rfm",
+      // waves 71-82: the cross-sectional-median information ratio, the
+      // stacked-lag correlogram, the gaps×bars fill join, the
+      // value-table Mann-Whitney ranks, and the microbit-quantized
+      // KL drift
+      "q_info_ratio", "q_acf", "q_gap_fill", "q_mann_whitney",
+      "q_kl_source", "q_jensen_alpha", "q_ewma_vol", "q_dup_inflation")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (sf0.001, local[4])\n\n")
     sb.append("Generated by `graft.PlanDump`. Plan-shape invariants are enforced by `PlanSpec`;\n")
