@@ -1029,6 +1029,61 @@ object Graft {
                   textCol: String): DataFrame =
     queries.Breadth77.charClasses(docs, srcCol, textCol)
 
+  /** Monthly seasonal (mean move + up-share per calendar month).
+    * Oracle-checked as q_month_effect. */
+  def monthEffect(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth78.monthEffect(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Drawdown episode count + mean length per key.
+    * Oracle-checked as q_dd_episodes. */
+  def ddEpisodes(df: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth78.ddEpisodes(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Peak-over-threshold |move| exceedance counts per key.
+    * Oracle-checked as q_pot_exceed. */
+  def potExceed(df: DataFrame, keyCol: String, tsCol: String,
+                valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth78.potExceed(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Rolling w-bar Pearson of key move vs the market move.
+    * Oracle-checked as q_rolling_corr. */
+  def rollingCorr(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, tieBreak: String, w: Int = 10): DataFrame =
+    queries.Breadth79.rollingCorr(df, keyCol, tsCol, valCol, tieBreak, w)
+
+  /** Mean h-day cumulative move after >4×median shocks.
+    * Oracle-checked as q_event_drift. */
+  def eventDrift(df: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String, tieBreak: String, h: Int = 3): DataFrame =
+    queries.Breadth79.eventDrift(df, keyCol, tsCol, valCol, tieBreak, h)
+
+  /** Mean |tick move| by hour of day.
+    * Oracle-checked as q_intraday_activity. */
+  def intradayActivity(df: DataFrame, keyCol: String, tsCol: String,
+                       valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth79.intradayActivity(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Pooled rank information coefficient of the 1-day momentum signal.
+    * Oracle-checked as q_signal_ic. */
+  def signalIc(df: DataFrame, keyCol: String, tsCol: String,
+               valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth80.signalIc(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Per-key Pearson of |day move| vs day traded volume.
+    * Oracle-checked as q_volume_move_corr. */
+  def volumeMoveCorr(df: DataFrame, keyCol: String, tsCol: String,
+                     valCol: String, tieBreak: String,
+                     qtyJsonField: String): DataFrame =
+    queries.Breadth80.volumeMoveCorr(df, keyCol, tsCol, valCol, tieBreak,
+      qtyJsonField)
+
+  /** Order fulfilment span rolled up per order priority.
+    * Oracle-checked as q_order_fill_span. */
+  def orderFillSpan(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    queries.Breadth80.orderFillSpan(orders, lineitem)
+
   /** Elder Ray per key: EMA-13 mid + bull/bear power from the bar
     * high/low. Oracle-checked as q_elder_ray. */
   def elderRay(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
