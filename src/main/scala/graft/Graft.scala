@@ -1084,6 +1084,26 @@ object Graft {
   def orderFillSpan(orders: DataFrame, lineitem: DataFrame): DataFrame =
     queries.Breadth80.orderFillSpan(orders, lineitem)
 
+  /** Top-k open-revenue backlog for one customer segment (the TPC-H Q3
+    * skeleton). Oracle-checked as q_segment_backlog. */
+  def segmentBacklog(customer: DataFrame, orders: DataFrame,
+                     lineitem: DataFrame, segment: String,
+                     cutoff: String = "1998-01-01", k: Int = 10): DataFrame =
+    queries.Breadth81.segmentBacklog(customer, orders, lineitem, segment,
+      cutoff, k)
+
+  /** Per-priority any-line-late order counts (the TPC-H Q4 skeleton).
+    * Oracle-checked as q_late_priority. */
+  def latePriority(orders: DataFrame, lineitem: DataFrame,
+                   lateDays: Int = 90): DataFrame =
+    queries.Breadth81.latePriority(orders, lineitem, lateDays)
+
+  /** Exact revenue by customer nation (the TPC-H Q5 skeleton).
+    * Oracle-checked as q_nation_revenue. */
+  def nationRevenue(nation: DataFrame, customer: DataFrame,
+                    orders: DataFrame, lineitem: DataFrame): DataFrame =
+    queries.Breadth81.nationRevenue(nation, customer, orders, lineitem)
+
   /** Elder Ray per key: EMA-13 mid + bull/bear power from the bar
     * high/low. Oracle-checked as q_elder_ray. */
   def elderRay(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
