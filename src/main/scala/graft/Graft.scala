@@ -1104,6 +1104,21 @@ object Graft {
                     orders: DataFrame, lineitem: DataFrame): DataFrame =
     queries.Breadth81.nationRevenue(nation, customer, orders, lineitem)
 
+  /** One-way ANOVA F + η² of a numeric column across groups.
+    * Oracle-checked as q_anova_f. */
+  def anovaF(df: DataFrame, grpCol: String, xCol: String): DataFrame =
+    queries.Breadth82.anovaF(df, grpCol, xCol)
+
+  /** Cramér's V of a categorical column × calendar month.
+    * Oracle-checked as q_cramers_v. */
+  def cramersV(df: DataFrame, typeCol: String, tsCol: String): DataFrame =
+    queries.Breadth82.cramersV(df, typeCol, tsCol)
+
+  /** Tie-corrected Kruskal-Wallis H across groups (value-domain-bounded
+    * ranks, no global per-row sort). Oracle-checked as q_kruskal. */
+  def kruskal(df: DataFrame, grpCol: String, xCol: String): DataFrame =
+    queries.Breadth82.kruskal(df, grpCol, xCol)
+
   /** Elder Ray per key: EMA-13 mid + bull/bear power from the bar
     * high/low. Oracle-checked as q_elder_ray. */
   def elderRay(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
