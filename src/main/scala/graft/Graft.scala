@@ -1119,6 +1119,22 @@ object Graft {
   def kruskal(df: DataFrame, grpCol: String, xCol: String): DataFrame =
     queries.Breadth82.kruskal(df, grpCol, xCol)
 
+  /** Merged-interval union coverage of per-supplier ship windows.
+    * Oracle-checked as q_ship_coverage. */
+  def shipCoverage(lineitem: DataFrame): DataFrame =
+    queries.Breadth83.shipCoverage(lineitem)
+
+  /** Idle-gap anatomy between merged ship islands per supplier.
+    * Oracle-checked as q_ship_gaps. */
+  def shipGaps(lineitem: DataFrame): DataFrame =
+    queries.Breadth83.shipGaps(lineitem)
+
+  /** Peak simultaneous open orders per customer nation (sweep line over
+    * day-grain deltas). Oracle-checked as q_order_concurrency. */
+  def orderConcurrency(nation: DataFrame, customer: DataFrame,
+                       orders: DataFrame): DataFrame =
+    queries.Breadth83.orderConcurrency(nation, customer, orders)
+
   /** Elder Ray per key: EMA-13 mid + bull/bear power from the bar
     * high/low. Oracle-checked as q_elder_ray. */
   def elderRay(df: DataFrame, keyCol: String, tsCol: String, valCol: String,

@@ -1,0 +1,58 @@
+package graft
+
+import graft.queries.Breadth83
+import org.apache.spark.sql.functions._
+
+/** Closed-form fixtures for the eighty-fourth wave (Breadth83 interval
+  * sweep: coverage, gaps, concurrency). */
+class Wave86Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def li(rows: Seq[(Long, String)]) =
+    rows.toDF("l_suppkey", "at")
+      .withColumn("l_shipdate", to_timestamp_ntz(col("at"))).drop("at")
+
+  // ships on days 0, 3 (windows merge into [0,9]) and 20 ([20,26])
+  private val fixture = li(Seq(
+    (1L, "1995-01-01"), (1L, "1995-01-04"), (1L, "1995-01-21")))
+
+  test("shipCoverage: overlapping windows merge; disjoint ones count " +
+    "as separate islands with exact day totals") {
+    val got = Breadth83.shipCoverage(fixture)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq((1L, 2L, 17L, 10L)))
+  }
+
+  test("shipGaps: one gap of exactly the uncovered days between islands") {
+    val got = Breadth83.shipGaps(fixture)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // islands [0,9] and [20,26] -> gap days 10..19 = 10
+    assert(got === Seq((1L, 1L, 10L, 10L)))
+  }
+
+  test("shipGaps: a single-island supplier reports zero gaps and null " +
+    "idle days") {
+    val got = Breadth83.shipGaps(li(Seq((7L, "1995-01-01"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2),
+        r.isNullAt(3))).toSeq
+    assert(got === Seq((7L, 0L, true, true)))
+  }
+
+  test("orderConcurrency: 30-day half-open spans peak where two orders " +
+    "overlap, first peak day emitted") {
+    val nation = Seq((1, "ALGERIA")).toDF("n_nationkey", "n_name")
+    val customer = Seq((1L, 1), (2L, 1)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq(
+      (10L, 1L, "1995-01-01"), // day 0  -> [0,30)
+      (11L, 2L, "1995-01-11"), // day 10 -> [10,40): overlap -> level 2
+      (12L, 1L, "1995-02-20")) // day 50 -> [50,80)
+      .toDF("o_orderkey", "o_custkey", "at")
+      .withColumn("o_orderdate", to_timestamp_ntz(col("at"))).drop("at")
+    val got = Breadth83.orderConcurrency(nation, customer, orders)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDate(3).toString)).toSeq
+    assert(got === Seq(("ALGERIA", 3L, 2L, "1995-01-11")))
+  }
+}
