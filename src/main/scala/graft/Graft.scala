@@ -1135,6 +1135,24 @@ object Graft {
                        orders: DataFrame): DataFrame =
     queries.Breadth83.orderConcurrency(nation, customer, orders)
 
+  /** Integer-exact stationary distribution of the pooled per-key state
+    * chain (20 fixed-point power iterations).
+    * Oracle-checked as q_markov_stationary. */
+  def markovStationary(df: DataFrame, keyCol: String, stateCol: String,
+                       tsCol: String, tieBreak: String): DataFrame =
+    queries.Breadth84.markovStationary(df, keyCol, stateCol, tsCol, tieBreak)
+
+  /** Supplier-side projection of the supplier–part bipartite graph.
+    * Oracle-checked as q_bipartite_proj. */
+  def bipartiteProj(lineitem: DataFrame, minShared: Int = 2,
+                    topN: Int = 20): DataFrame =
+    queries.Breadth84.bipartiteProj(lineitem, minShared, topN)
+
+  /** Degree histogram of both sides of the supplier–part graph.
+    * Oracle-checked as q_degree_hist. */
+  def degreeHist(lineitem: DataFrame): DataFrame =
+    queries.Breadth84.degreeHist(lineitem)
+
   /** Elder Ray per key: EMA-13 mid + bull/bear power from the bar
     * high/low. Oracle-checked as q_elder_ray. */
   def elderRay(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
