@@ -1153,6 +1153,24 @@ object Graft {
   def degreeHist(lineitem: DataFrame): DataFrame =
     queries.Breadth84.degreeHist(lineitem)
 
+  /** Lo–MacKinlay variance ratio VR(q) per key from exact integer sums.
+    * Oracle-checked as q_variance_ratio. */
+  def varianceRatio(df: DataFrame, keyCol: String, tsCol: String,
+                    valCol: String, tieBreak: String, q: Int = 5): DataFrame =
+    queries.Breadth85.varianceRatio(df, keyCol, tsCol, valCol, tieBreak, q)
+
+  /** Cornish–Fisher modified 95% VaR per key from decimal power sums.
+    * Oracle-checked as q_cf_var. */
+  def cfVar(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+            tieBreak: String): DataFrame =
+    queries.Breadth85.cfVar(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Rank-exact p95 + max daily drawdown depth per key.
+    * Oracle-checked as q_dar. */
+  def drawdownAtRisk(df: DataFrame, keyCol: String, tsCol: String,
+                     valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth85.drawdownAtRisk(df, keyCol, tsCol, valCol, tieBreak)
+
   /** Elder Ray per key: EMA-13 mid + bull/bear power from the bar
     * high/low. Oracle-checked as q_elder_ray. */
   def elderRay(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
