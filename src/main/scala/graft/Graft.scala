@@ -1171,6 +1171,25 @@ object Graft {
                      valCol: String, tieBreak: String): DataFrame =
     queries.Breadth85.drawdownAtRisk(df, keyCol, tsCol, valCol, tieBreak)
 
+  /** Top customers by returned-line revenue (the TPC-H Q10 skeleton).
+    * Oracle-checked as q_returned_revenue. */
+  def returnedRevenue(nation: DataFrame, customer: DataFrame,
+                      orders: DataFrame, lineitem: DataFrame,
+                      k: Int = 20): DataFrame =
+    queries.Breadth86.returnedRevenue(nation, customer, orders, lineitem, k)
+
+  /** PROMO revenue share per ship month (the TPC-H Q14 skeleton).
+    * Oracle-checked as q_promo_share. */
+  def promoShare(part: DataFrame, lineitem: DataFrame): DataFrame =
+    queries.Breadth86.promoShare(part, lineitem)
+
+  /** Large-volume orders joined back to their customer (the TPC-H Q18
+    * skeleton). Oracle-checked as q_big_orders. */
+  def bigOrders(customer: DataFrame, orders: DataFrame,
+                lineitem: DataFrame, minQty: Long = 200L,
+                k: Int = 25): DataFrame =
+    queries.Breadth86.bigOrders(customer, orders, lineitem, minQty, k)
+
   /** Elder Ray per key: EMA-13 mid + bull/bear power from the bar
     * high/low. Oracle-checked as q_elder_ray. */
   def elderRay(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
