@@ -1190,6 +1190,23 @@ object Graft {
                 k: Int = 25): DataFrame =
     queries.Breadth86.bigOrders(customer, orders, lineitem, minQty, k)
 
+  /** RAKE keyword extraction: top phrases by deg/freq word scores.
+    * Oracle-checked as q_rake_keywords. */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+                   topN: Int = 15): DataFrame =
+    queries.Breadth87.rakeKeywords(docs, idCol, textCol, topN)
+
+  /** Top-k character trigrams per language label (the classic lang-ID
+    * profile table). Oracle-checked as q_lang_trigrams. */
+  def langTrigrams(docs: DataFrame, langCol: String, textCol: String,
+                   k: Int = 5): DataFrame =
+    queries.Breadth87.langTrigrams(docs, langCol, textCol, k)
+
+  /** Gini concentration of the token-frequency distribution per source.
+    * Oracle-checked as q_token_gini. */
+  def tokenGini(docs: DataFrame, srcCol: String, textCol: String): DataFrame =
+    queries.Breadth87.tokenGini(docs, srcCol, textCol)
+
   /** Elder Ray per key: EMA-13 mid + bull/bear power from the bar
     * high/low. Oracle-checked as q_elder_ray. */
   def elderRay(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
