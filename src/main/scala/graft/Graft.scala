@@ -1207,6 +1207,25 @@ object Graft {
   def tokenGini(docs: DataFrame, srcCol: String, textCol: String): DataFrame =
     queries.Breadth87.tokenGini(docs, srcCol, textCol)
 
+  /** Additive 7-day-trend / weekday-seasonal / residual decomposition
+    * per key. Oracle-checked as q_stl_decomp. */
+  def stlDecomp(df: DataFrame, keyCol: String, tsCol: String,
+                valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth88.stlDecomp(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Exact binary-segmentation changepoint per key.
+    * Oracle-checked as q_changepoint. */
+  def changepoint(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth88.changepoint(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Closed-form 2×2 PCA per key on (day move, day volume).
+    * Oracle-checked as q_pca2. */
+  def pca2(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+           tieBreak: String, qtyJsonField: String): DataFrame =
+    queries.Breadth88.pca2(df, keyCol, tsCol, valCol, tieBreak,
+      qtyJsonField)
+
   /** Elder Ray per key: EMA-13 mid + bull/bear power from the bar
     * high/low. Oracle-checked as q_elder_ray. */
   def elderRay(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
