@@ -1226,6 +1226,40 @@ object Graft {
     queries.Breadth88.pca2(df, keyCol, tsCol, valCol, tieBreak,
       qtyJsonField)
 
+  /** DAU/MAU stickiness per day via the merged-interval sweep (no
+    * distinct-over-window). Oracle-checked as q_stickiness. */
+  def stickiness(df: DataFrame, keyCol: String, tsCol: String,
+                 win: Int = 28): DataFrame =
+    queries.Breadth89.stickiness(df, keyCol, tsCol, win)
+
+  /** Power-user curve: users active on exactly k of the trailing
+    * window days. Oracle-checked as q_l28_histogram. */
+  def l28Histogram(df: DataFrame, keyCol: String, tsCol: String,
+                   win: Int = 28): DataFrame =
+    queries.Breadth89.l28Histogram(df, keyCol, tsCol, win)
+
+  /** New vs returning user counts per day.
+    * Oracle-checked as q_new_returning. */
+  def newReturning(df: DataFrame, keyCol: String, tsCol: String): DataFrame =
+    queries.Breadth89.newReturning(df, keyCol, tsCol)
+
+  /** Open-order aging buckets at a snapshot date.
+    * Oracle-checked as q_backlog_aging. */
+  def backlogAging(orders: DataFrame, lineitem: DataFrame,
+                   snapshot: String = "1998-01-01"): DataFrame =
+    queries.Breadth90.backlogAging(orders, lineitem, snapshot)
+
+  /** Weekly order fill rate (worst line lag within k days).
+    * Oracle-checked as q_fill_rate. */
+  def fillRate(orders: DataFrame, lineitem: DataFrame,
+               fillDays: Int = 14): DataFrame =
+    queries.Breadth90.fillRate(orders, lineitem, fillDays)
+
+  /** ABC (revenue cumshare) × XYZ (demand CV) inventory matrix.
+    * Oracle-checked as q_abc_xyz. */
+  def abcXyz(lineitem: DataFrame): DataFrame =
+    queries.Breadth90.abcXyz(lineitem)
+
   /** Elder Ray per key: EMA-13 mid + bull/bear power from the bar
     * high/low. Oracle-checked as q_elder_ray. */
   def elderRay(df: DataFrame, keyCol: String, tsCol: String, valCol: String,

@@ -101,7 +101,16 @@ object PlanDump {
       // value-table Mann-Whitney ranks, and the microbit-quantized
       // KL drift
       "q_info_ratio", "q_acf", "q_gap_fill", "q_mann_whitney",
-      "q_kl_source", "q_jensen_alpha", "q_ewma_vol", "q_dup_inflation")
+      "q_kl_source", "q_jensen_alpha", "q_ewma_vol", "q_dup_inflation",
+      // round-9 waves: warehouse join skeletons (order-grain pre-agg +
+      // broadcast dims + TakeOrderedAndProject), the |domain|-bounded
+      // Kruskal rank build, the sweep-line concurrency deltas, the
+      // tiny-matrix integer Markov fold, the wedge-generated bipartite
+      // projection, the RAKE phrase pipeline, and the decimal-exact
+      // changepoint argmax
+      "q_nation_revenue", "q_segment_backlog", "q_kruskal",
+      "q_order_concurrency", "q_markov_stationary", "q_bipartite_proj",
+      "q_rake_keywords", "q_changepoint")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (sf0.001, local[4])\n\n")
     sb.append("Generated by `graft.PlanDump`. Plan-shape invariants are enforced by `PlanSpec`;\n")

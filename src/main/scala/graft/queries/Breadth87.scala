@@ -82,7 +82,9 @@ object Breadth87 {
                                   textCol: String,
                                   k: Int = TrigramTopK): DataFrame = {
     val g = docs.select(col(langCol).as("lang"),
-      explode(Text.charGrams(col(textCol), 3)).as("gram"))
+        Text.norm(col(textCol)).as("__s"))
+      .select(col("lang"), explode(Text.charGramsRaw(col("__s"), 3))
+        .as("gram"))
     val counts = g.groupBy(col("lang"), col("gram"))
       .agg(count(lit(1)).as("n_occur"))
     val w = Window.partitionBy(col("lang"))

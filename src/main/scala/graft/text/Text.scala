@@ -80,6 +80,16 @@ object Text {
       i => s.substr(i, lit(k)))
   }
 
+  /** [[charGrams]] over an ALREADY-NORMALIZED string column. Use when
+    * the caller can materialize `norm` once (withColumn) — inlining
+    * `norm` inside the transform lambda re-runs the regex per gram
+    * position, turning an O(len) explode into O(len²) regex work
+    * (measured 15× on the trigram profile at sf0.1; the same trap
+    * [[gramHashes]]' caution documents for windows). */
+  def charGramsRaw(s: Column, k: Int): Column =
+    transform(sequence(lit(1), greatest(length(s) - lit(k - 1), lit(1))),
+      i => s.substr(i, lit(k)))
+
   /** Per-position gram hashes for winnowing. CAUTION: materialize this
     * into its own column (withColumn) before windowing over it — inlining
     * it inside the window transform re-evaluates the whole gram hashing
