@@ -1260,6 +1260,21 @@ object Graft {
   def abcXyz(lineitem: DataFrame): DataFrame =
     queries.Breadth90.abcXyz(lineitem)
 
+  /** Exact per-label centroid component table (1e-6-quantized integer
+    * sums). Oracle-checked as q_label_centroids. */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    queries.Breadth91.labelCentroids(emb)
+
+  /** Inter-label centroid cosine matrix from exact integer sums.
+    * Oracle-checked as q_centroid_sim. */
+  def centroidSim(emb: DataFrame): DataFrame =
+    queries.Breadth91.centroidSim(emb)
+
+  /** Per-label vector-norm histogram (0.1-wide buckets).
+    * Oracle-checked as q_norm_hist. */
+  def normHist(emb: DataFrame): DataFrame =
+    queries.Breadth91.normHist(emb)
+
   /** Elder Ray per key: EMA-13 mid + bull/bear power from the bar
     * high/low. Oracle-checked as q_elder_ray. */
   def elderRay(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
