@@ -302,6 +302,14 @@ case class HoltScored(user_id: Long, day: java.time.LocalDate,
                       close_cents: Long, level: Double, trend: Double,
                       forecast: Double, fc_err: Option[Double])
 
+/** One scored bar from the live Lo–MacKinlay variance-ratio screen
+  * (append stream): the running per-key VR(5) plus the exact counters
+  * it derives from — the streaming twin of q_variance_ratio's final
+  * per-key aggregate (the last emit per key IS the batch row). */
+case class VrScored(user_id: Long, day: java.time.LocalDate,
+                    close_cents: Long, n_days: Long, n_windows: Long,
+                    vr: Option[Double])
+
 /** One scored bar from the live parabolic-SAR screen (append stream) —
   * price-domain SAR + regime flag, like the batch q_psar. */
 case class PsarScored(user_id: Long, day: java.time.LocalDate,
@@ -1186,6 +1194,19 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Streaming twin of the batch q_variance_ratio aggregate: the
+    * incremental `Breadth85.vrStep` fold — O(q) move ring + six exact
+    * integer sums per key, the running VR(5) emitted per bar. The
+    * LAST emit per key equals the batch per-key row bit-for-bit
+    * (append mode; StreamingVrSpec pins the parity across micro-batch
+    * splits). */
+  def streamingVarianceRatio(ds: Dataset[BarRow]): Dataset[VrScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new VrProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming twin of the batch q_heikin_ashi smoothed candles: one
     * HaAcc per key over the open-carrying day-bar stream, the SAME step
     * function as the batch fold (append mode — one row per bar). */
@@ -2024,6 +2045,21 @@ class WmaProcessor
 
 /** Keyed processor behind [[Streams.streamingStreak]] — the batch
   * `Breadth33.streakStep` on O(1) keyed state. */
+/** Keyed processor behind [[Streams.streamingVarianceRatio]] — the
+  * batch `Breadth85.vrStep`/`vrOf` verbatim on an O(q) state row. */
+class VrProcessor
+    extends BarFoldProcessor[graft.queries.Breadth85.VrAcc, VrScored](
+      "vr", org.apache.spark.sql.Encoders.product[
+        graft.queries.Breadth85.VrAcc]) {
+  protected def step(st: Option[graft.queries.Breadth85.VrAcc],
+                     closeCents: Long): graft.queries.Breadth85.VrAcc =
+    graft.queries.Breadth85.vrStep(st, closeCents)
+  protected def score(user: Long, b: BarRow,
+                      a: graft.queries.Breadth85.VrAcc): VrScored =
+    VrScored(user, b.day, b.close_cents, a.n1, a.n2,
+      graft.queries.Breadth85.vrOf(a))
+}
+
 class StreakProcessor
     extends BarFoldProcessor[StreakAcc, StreakScored](
       "streak", org.apache.spark.sql.Encoders.product[StreakAcc]) {
