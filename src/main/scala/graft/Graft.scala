@@ -1275,6 +1275,24 @@ object Graft {
   def normHist(emb: DataFrame): DataFrame =
     queries.Breadth91.normHist(emb)
 
+  /** Coppock curve (cent WMA(10) of ROC14+ROC11) per key.
+    * Oracle-checked as q_coppock. */
+  def coppock(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+              tieBreak: String): DataFrame =
+    queries.Breadth92.coppock(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Know Sure Thing + signal line per key, exact integer numerators.
+    * Oracle-checked as q_kst. */
+  def kst(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+          tieBreak: String): DataFrame =
+    queries.Breadth92.kst(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Chandelier long/short exits over w bars (simple-mean ATR).
+    * Oracle-checked as q_chandelier. */
+  def chandelier(df: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String, tieBreak: String, w: Int = 22): DataFrame =
+    queries.Breadth92.chandelier(df, keyCol, tsCol, valCol, tieBreak, w)
+
   /** Elder Ray per key: EMA-13 mid + bull/bear power from the bar
     * high/low. Oracle-checked as q_elder_ray. */
   def elderRay(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
