@@ -1293,6 +1293,27 @@ object Graft {
                  valCol: String, tieBreak: String, w: Int = 22): DataFrame =
     queries.Breadth92.chandelier(df, keyCol, tsCol, valCol, tieBreak, w)
 
+  /** Top first-3-event-type journey paths.
+    * Oracle-checked as q_user_paths. */
+  def userPaths(df: DataFrame, keyCol: String, tsCol: String,
+                tieBreak: String, typeCol: String,
+                topN: Int = 20): DataFrame =
+    queries.Breadth93.userPaths(df, keyCol, tsCol, tieBreak, typeCol, topN)
+
+  /** Step-indexed transition counts over each user's opening events.
+    * Oracle-checked as q_step_transitions. */
+  def stepTransitions(df: DataFrame, keyCol: String, tsCol: String,
+                      tieBreak: String, typeCol: String): DataFrame =
+    queries.Breadth93.stepTransitions(df, keyCol, tsCol, tieBreak, typeCol)
+
+  /** Rank-exact median/p90 of first-signup→first-purchase latency.
+    * Oracle-checked as q_time_to_convert. */
+  def timeToConvert(df: DataFrame, keyCol: String, tsCol: String,
+                    tieBreak: String, typeCol: String, fromType: String,
+                    toType: String): DataFrame =
+    queries.Breadth93.timeToConvert(df, keyCol, tsCol, tieBreak, typeCol,
+      fromType, toType)
+
   /** Elder Ray per key: EMA-13 mid + bull/bear power from the bar
     * high/low. Oracle-checked as q_elder_ray. */
   def elderRay(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
