@@ -1314,6 +1314,25 @@ object Graft {
     queries.Breadth93.timeToConvert(df, keyCol, tsCol, tieBreak, typeCol,
       fromType, toType)
 
+  /** Mean move + up-share by turn-of-month bucket.
+    * Oracle-checked as q_turn_of_month. */
+  def turnOfMonth(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth94.turnOfMonth(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Month-anchored running VWAP per key.
+    * Oracle-checked as q_anchored_vwap. */
+  def anchoredVwap(df: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String, tieBreak: String,
+                   qtyJsonField: String): DataFrame =
+    queries.Breadth94.anchoredVwap(df, keyCol, tsCol, valCol, tieBreak,
+      qtyJsonField)
+
+  /** Lognormal μ/σ fit of order totals per market segment.
+    * Oracle-checked as q_price_lognorm. */
+  def priceLognorm(customer: DataFrame, orders: DataFrame): DataFrame =
+    queries.Breadth94.priceLognorm(customer, orders)
+
   /** Elder Ray per key: EMA-13 mid + bull/bear power from the bar
     * high/low. Oracle-checked as q_elder_ray. */
   def elderRay(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
