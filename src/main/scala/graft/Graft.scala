@@ -1104,6 +1104,35 @@ object Graft {
                     orders: DataFrame, lineitem: DataFrame): DataFrame =
     queries.Breadth81.nationRevenue(nation, customer, orders, lineitem)
 
+  /** Bilateral supplier-nation↔customer-nation revenue per ship year
+    * (the TPC-H Q7 skeleton). Oracle-checked as q_volume_shipping. */
+  def volumeShipping(nation: DataFrame, supplier: DataFrame,
+                     customer: DataFrame, orders: DataFrame,
+                     lineitem: DataFrame, nationA: String,
+                     nationB: String): DataFrame =
+    queries.Breadth95.volumeShipping(nation, supplier, customer, orders,
+      lineitem, nationA, nationB)
+
+  /** One nation's revenue share of a part type sold into a region, per
+    * order year (the TPC-H Q8 skeleton). Oracle-checked as
+    * q_market_share. */
+  def marketShare(region: DataFrame, nation: DataFrame, supplier: DataFrame,
+                  customer: DataFrame, orders: DataFrame,
+                  lineitem: DataFrame, part: DataFrame, shareNation: String,
+                  regionName: String, pType: String): DataFrame =
+    queries.Breadth95.marketShare(region, nation, supplier, customer,
+      orders, lineitem, part, shareNation, regionName, pType)
+
+  /** Ship-delay buckets × high/low order-priority line counts (the
+    * TPC-H Q12 skeleton). Oracle-checked as q_priority_delay. */
+  def priorityDelay(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    queries.Breadth95.priorityDelay(orders, lineitem)
+
+  /** Customer order-count distribution, zero-order customers kept (the
+    * TPC-H Q13 skeleton). Oracle-checked as q_custdist. */
+  def custdist(customer: DataFrame, orders: DataFrame): DataFrame =
+    queries.Breadth95.custdist(customer, orders)
+
   /** One-way ANOVA F + η² of a numeric column across groups.
     * Oracle-checked as q_anova_f. */
   def anovaF(df: DataFrame, grpCol: String, xCol: String): DataFrame =
