@@ -1133,6 +1133,36 @@ object Graft {
   def custdist(customer: DataFrame, orders: DataFrame): DataFrame =
     queries.Breadth95.custdist(customer, orders)
 
+  /** Cheapest observed supplier per part under a size/type screen (the
+    * TPC-H Q2 skeleton). Oracle-checked as q_min_cost_supplier. */
+  def minCostSupplier(part: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, lineitem: DataFrame, pType: String,
+                      maxSize: Int): DataFrame =
+    queries.Breadth96.minCostSupplier(part, supplier, nation, lineitem,
+      pType, maxSize)
+
+  /** Exact profit by supplier nation × order year over one part-name
+    * prefix (the TPC-H Q9 skeleton). Oracle-checked as
+    * q_product_profit. */
+  def productProfit(part: DataFrame, supplier: DataFrame, nation: DataFrame,
+                    orders: DataFrame, lineitem: DataFrame,
+                    namePrefix: String): DataFrame =
+    queries.Breadth96.productProfit(part, supplier, nation, orders,
+      lineitem, namePrefix)
+
+  /** Supplier(s) with the max exact revenue over one quarter (the
+    * TPC-H Q15 skeleton). Oracle-checked as q_top_supplier. */
+  def topSupplier(supplier: DataFrame, lineitem: DataFrame,
+                  start: String): DataFrame =
+    queries.Breadth96.topSupplier(supplier, lineitem, start)
+
+  /** Avg weekly revenue in sub-20%-of-average-quantity lines of one
+    * brand (the TPC-H Q17 skeleton). Oracle-checked as
+    * q_small_qty_revenue. */
+  def smallQtyRevenue(part: DataFrame, lineitem: DataFrame,
+                      brand: String): DataFrame =
+    queries.Breadth96.smallQtyRevenue(part, lineitem, brand)
+
   /** One-way ANOVA F + η² of a numeric column across groups.
     * Oracle-checked as q_anova_f. */
   def anovaF(df: DataFrame, grpCol: String, xCol: String): DataFrame =

@@ -69,7 +69,7 @@ object SparkEntry {
     (Breadth89.defs, Breadth89.oracle), (Breadth90.defs, Breadth90.oracle),
     (Breadth91.defs, Breadth91.oracle), (Breadth92.defs, Breadth92.oracle),
     (Breadth93.defs, Breadth93.oracle), (Breadth94.defs, Breadth94.oracle),
-    (Breadth95.defs, Breadth95.oracle),
+    (Breadth95.defs, Breadth95.oracle), (Breadth96.defs, Breadth96.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
