@@ -1163,6 +1163,45 @@ object Graft {
                       brand: String): DataFrame =
     queries.Breadth96.smallQtyRevenue(part, lineitem, brand)
 
+  /** Parts whose exact revenue exceeds (pct10/10)× the average part
+    * revenue, cross-multiplied (the TPC-H Q11 skeleton with a
+    * scale-invariant threshold). Oracle-checked as q_important_parts. */
+  def importantParts(lineitem: DataFrame, pct10: Int = 15): DataFrame =
+    queries.Breadth97.importantParts(lineitem, pct10)
+
+  /** Distinct non-blacklisted suppliers per (brand, type, size) (the
+    * TPC-H Q16 skeleton). Oracle-checked as q_supplier_part_counts. */
+  def supplierPartCounts(part: DataFrame, supplier: DataFrame,
+                         lineitem: DataFrame, minAcct: Double): DataFrame =
+    queries.Breadth97.supplierPartCounts(part, supplier, lineitem, minAcct)
+
+  /** Exact revenue under an OR of brand×qty×size conjunctions (the
+    * TPC-H Q19 skeleton). Oracle-checked as q_disjunctive_revenue. */
+  def disjunctiveRevenue(part: DataFrame, lineitem: DataFrame): DataFrame =
+    queries.Breadth97.disjunctiveRevenue(part, lineitem)
+
+  /** Suppliers shipping >1.5× the per-supplier part average in a year
+    * (the TPC-H Q20 skeleton). Oracle-checked as q_excess_shippers. */
+  def excessShippers(part: DataFrame, supplier: DataFrame, nation: DataFrame,
+                     lineitem: DataFrame, namePrefix: String,
+                     shipYear: Int): DataFrame =
+    queries.Breadth97.excessShippers(part, supplier, nation, lineitem,
+      namePrefix, shipYear)
+
+  /** Sole-late-supplier wait counts over multi-supplier orders (the
+    * TPC-H Q21 skeleton). Oracle-checked as q_waiting_suppliers. */
+  def waitingSuppliers(supplier: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, lateDays: Int = 60,
+                       k: Int = 10): DataFrame =
+    queries.Breadth97.waitingSuppliers(supplier, orders, lineitem, lateDays,
+      k)
+
+  /** Per nation, rich customers with no order since the cutoff (the
+    * TPC-H Q22 skeleton). Oracle-checked as q_idle_customers. */
+  def idleCustomers(customer: DataFrame, orders: DataFrame,
+                    nation: DataFrame, cutoff: String): DataFrame =
+    queries.Breadth97.idleCustomers(customer, orders, nation, cutoff)
+
   /** One-way ANOVA F + η² of a numeric column across groups.
     * Oracle-checked as q_anova_f. */
   def anovaF(df: DataFrame, grpCol: String, xCol: String): DataFrame =
