@@ -1202,6 +1202,34 @@ object Graft {
                     nation: DataFrame, cutoff: String): DataFrame =
     queries.Breadth97.idleCustomers(customer, orders, nation, cutoff)
 
+  /** Welch's unequal-variance t between two groups of `grpCol`.
+    * Oracle-checked as q_welch_t. */
+  def welchT(df: DataFrame, grpCol: String, valCol: String, a: String,
+             b: String): DataFrame =
+    queries.Breadth98.welchT(df, grpCol, valCol, a, b)
+
+  /** Brown–Forsythe Levene test (median-based dispersion ANOVA).
+    * Oracle-checked as q_levene_bf. */
+  def leveneBF(df: DataFrame, grpCol: String, valCol: String): DataFrame =
+    queries.Breadth98.leveneBF(df, grpCol, valCol)
+
+  /** Grubbs' max-studentized-deviation outlier score per group.
+    * Oracle-checked as q_grubbs. */
+  def grubbs(df: DataFrame, grpCol: String, valCol: String): DataFrame =
+    queries.Breadth98.grubbs(df, grpCol, valCol)
+
+  /** Tie-robust Chatterjee ξ (time → value dependence) per key.
+    * Oracle-checked as q_chatterjee_xi. */
+  def chatterjeeXi(df: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth98.chatterjeeXi(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Wilcoxon signed-rank z over per-(key, day) open→close moves.
+    * Oracle-checked as q_wilcoxon_signed. */
+  def wilcoxonSigned(df: DataFrame, keyCol: String, tsCol: String,
+                     valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth98.wilcoxonSigned(df, keyCol, tsCol, valCol, tieBreak)
+
   /** One-way ANOVA F + η² of a numeric column across groups.
     * Oracle-checked as q_anova_f. */
   def anovaF(df: DataFrame, grpCol: String, xCol: String): DataFrame =
