@@ -1230,6 +1230,24 @@ object Graft {
                      valCol: String, tieBreak: String): DataFrame =
     queries.Breadth98.wilcoxonSigned(df, keyCol, tsCol, valCol, tieBreak)
 
+  /** Additive Holt–Winters(7) level/trend/weekday-season per key.
+    * Oracle-checked as q_holt_winters. */
+  def holtWinters(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth99.holtWinters(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Croston's intermittent-demand forecast over positive day demands.
+    * Oracle-checked as q_croston. */
+  def croston(df: DataFrame, keyCol: String, tsCol: String,
+              qtyJsonField: String): DataFrame =
+    queries.Breadth99.croston(df, keyCol, tsCol, qtyJsonField)
+
+  /** Theta-method θ=2 line + SES per key over day bars.
+    * Oracle-checked as q_theta. */
+  def theta(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+            tieBreak: String): DataFrame =
+    queries.Breadth99.theta(df, keyCol, tsCol, valCol, tieBreak)
+
   /** One-way ANOVA F + η² of a numeric column across groups.
     * Oracle-checked as q_anova_f. */
   def anovaF(df: DataFrame, grpCol: String, xCol: String): DataFrame =
