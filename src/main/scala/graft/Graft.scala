@@ -1248,6 +1248,29 @@ object Graft {
             tieBreak: String): DataFrame =
     queries.Breadth99.theta(df, keyCol, tsCol, valCol, tieBreak)
 
+  /** Per-type adoption curve: daily new + cumulative first-time users.
+    * Oracle-checked as q_feature_adoption. */
+  def featureAdoption(df: DataFrame, keyCol: String, tsCol: String,
+                      typeCol: String): DataFrame =
+    queries.Breadth100.featureAdoption(df, keyCol, tsCol, typeCol)
+
+  /** Day-N retention at N ∈ {1,7,14,28}. Oracle-checked as
+    * q_dayn_retention. */
+  def daynRetention(df: DataFrame, keyCol: String, tsCol: String): DataFrame =
+    queries.Breadth100.daynRetention(df, keyCol, tsCol)
+
+  /** Rank-exact p50/p90 of 30-min-gap session durations.
+    * Oracle-checked as q_session_quantiles. */
+  def sessionQuantiles(df: DataFrame, keyCol: String, tsCol: String,
+                       tieBreak: String): DataFrame =
+    queries.Breadth100.sessionQuantiles(df, keyCol, tsCol, tieBreak)
+
+  /** Exact mean / p50 / p90 of per-key repeat-event day gaps.
+    * Oracle-checked as q_repeat_interval. */
+  def repeatInterval(df: DataFrame, keyCol: String, tsCol: String,
+                     typeCol: String, typeVal: String): DataFrame =
+    queries.Breadth100.repeatInterval(df, keyCol, tsCol, typeCol, typeVal)
+
   /** One-way ANOVA F + η² of a numeric column across groups.
     * Oracle-checked as q_anova_f. */
   def anovaF(df: DataFrame, grpCol: String, xCol: String): DataFrame =
