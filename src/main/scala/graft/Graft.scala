@@ -1271,6 +1271,24 @@ object Graft {
                      typeCol: String, typeVal: String): DataFrame =
     queries.Breadth100.repeatInterval(df, keyCol, tsCol, typeCol, typeVal)
 
+  /** Exact trailing-window median of day-bar closes per key.
+    * Oracle-checked as q_rolling_median. */
+  def rollingMedian(df: DataFrame, keyCol: String, tsCol: String,
+                    valCol: String, tieBreak: String,
+                    win: Int = 7): DataFrame =
+    queries.Breadth101.rollingMedian(df, keyCol, tsCol, valCol, tieBreak,
+      win)
+
+  /** k-core of the mutual within-label kNN graph after bounded peel rounds.
+    * Oracle-checked as q_kcore. */
+  def kcore(emb: DataFrame, k: Long = 2L, rounds: Int = 8): DataFrame =
+    queries.Breadth101.kcore(emb, k, rounds)
+
+  /** Rank-exact 10%-per-side trimmed mean per group. Oracle-checked as
+    * q_trimmed_mean. */
+  def trimmedMean(df: DataFrame, grpCol: String, valCol: String): DataFrame =
+    queries.Breadth101.trimmedMean(df, grpCol, valCol)
+
   /** One-way ANOVA F + η² of a numeric column across groups.
     * Oracle-checked as q_anova_f. */
   def anovaF(df: DataFrame, grpCol: String, xCol: String): DataFrame =

@@ -73,6 +73,7 @@ object SparkEntry {
     (Breadth97.defs, Breadth97.oracle), (Breadth98.defs, Breadth98.oracle),
     (Breadth99.defs, Breadth99.oracle),
     (Breadth100.defs, Breadth100.oracle),
+    (Breadth101.defs, Breadth101.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),

@@ -46,7 +46,15 @@ object Breadth43 {
   /** Undirected canonical edge set of the within-label kNN graph: each
     * vector contributes its top-k same-label neighbours by (cos DESC,
     * id ASC); the union of directed kNN edges, deduped as (min, max). */
-  private[graft] def knnEdges(emb: DataFrame, k: Int = KnnK): DataFrame = {
+  private[graft] def knnEdges(emb: DataFrame, k: Int = KnnK): DataFrame =
+    knnDirected(emb, k)
+      .select(least(col("src"), col("dst")).as("id_a"),
+        greatest(col("src"), col("dst")).as("id_b"))
+      .distinct()
+
+  /** The DIRECTED top-k rows the undirected edge set unions — exposed
+    * for derived graphs (the mutual-kNN edges of q_kcore). */
+  private[graft] def knnDirected(emb: DataFrame, k: Int = KnnK): DataFrame = {
     val a = emb.select(col("label"), col("vec_id").as("src"),
       col("embedding").as("__va"))
     val b = emb.select(col("label"), col("vec_id").as("dst"),
@@ -58,9 +66,7 @@ object Breadth43 {
       .orderBy(col("cos").desc, col("dst").asc)
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
-      .select(least(col("src"), col("dst")).as("id_a"),
-        greatest(col("src"), col("dst")).as("id_b"))
-      .distinct()
+      .select(col("src"), col("dst"))
   }
 
   /** Per-node degree over the undirected edge set. */
