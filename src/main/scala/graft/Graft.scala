@@ -1289,6 +1289,21 @@ object Graft {
   def trimmedMean(df: DataFrame, grpCol: String, valCol: String): DataFrame =
     queries.Breadth101.trimmedMean(df, grpCol, valCol)
 
+  /** BM25 top-k of documents against the fixed three-term query.
+    * Oracle-checked as q_bm25. */
+  def bm25(docs: DataFrame, textCol: String, k: Int = 20): DataFrame =
+    queries.Breadth102.bm25(docs, textCol, k)
+
+  /** Per-dimension mean/σ of the embedding corpus (quantized-exact).
+    * Oracle-checked as q_dim_stats. */
+  def dimStats(emb: DataFrame): DataFrame =
+    queries.Breadth102.dimStats(emb)
+
+  /** Cosine-to-centroid spread of the embedding corpus.
+    * Oracle-checked as q_isotropy. */
+  def isotropy(emb: DataFrame): DataFrame =
+    queries.Breadth102.isotropy(emb)
+
   /** One-way ANOVA F + η² of a numeric column across groups.
     * Oracle-checked as q_anova_f. */
   def anovaF(df: DataFrame, grpCol: String, xCol: String): DataFrame =

@@ -74,6 +74,7 @@ object SparkEntry {
     (Breadth99.defs, Breadth99.oracle),
     (Breadth100.defs, Breadth100.oracle),
     (Breadth101.defs, Breadth101.oracle),
+    (Breadth102.defs, Breadth102.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
