@@ -1291,6 +1291,22 @@ object Graft {
 
   /** BM25 top-k of documents against the fixed three-term query.
     * Oracle-checked as q_bm25. */
+  /** Tukey 1.5·IQR outlier fences per group, rank- and int64-exact.
+    * Oracle-checked as q_iqr_outliers. */
+  def iqrOutliers(df: DataFrame, grpCol: String, valCol: String): DataFrame =
+    queries.Breadth103.iqrOutliers(df, grpCol, valCol)
+
+  /** Process-capability Cpk per group against the fixed spec band.
+    * Oracle-checked as q_cpk. */
+  def cpk(df: DataFrame, grpCol: String, valCol: String): DataFrame =
+    queries.Breadth103.cpk(df, grpCol, valCol)
+
+  /** Corwin–Schultz 2-day high-low spread proxy per key-day.
+    * Oracle-checked as q_cs_spread. */
+  def csSpread(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+               tieBreak: String): DataFrame =
+    queries.Breadth103.csSpread(df, keyCol, tsCol, valCol, tieBreak)
+
   def bm25(docs: DataFrame, textCol: String, k: Int = 20): DataFrame =
     queries.Breadth102.bm25(docs, textCol, k)
 

@@ -75,6 +75,7 @@ object SparkEntry {
     (Breadth100.defs, Breadth100.oracle),
     (Breadth101.defs, Breadth101.oracle),
     (Breadth102.defs, Breadth102.oracle),
+    (Breadth103.defs, Breadth103.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
