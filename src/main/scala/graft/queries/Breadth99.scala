@@ -38,6 +38,26 @@ object Breadth99 {
   private def cents(c: Column) =
     floor(c * lit(100.0) + lit(0.5)).cast("long")
 
+  /** Holt–Winters accumulator — level, trend, the 7 weekday seasonals
+    * (Seq: the transformWithState product-encoder note). */
+  private[graft] case class HwAcc(l: Double, t: Double, s: Seq[Double])
+  private[graft] case class HwOut(level: Double, trend: Double,
+                                  seasonal: Double, fitted: Option[Double])
+
+  /** One HW step — shared verbatim by batch and stream. `w` is the
+    * 0=Sunday..6 weekday of the bar's day. */
+  private[graft] def hwStep(st: Option[HwAcc], c: Double,
+                            w: Int): (HwAcc, HwOut) = st match {
+    case None =>
+      (HwAcc(c, 0.0, Seq.fill(7)(0.0)), HwOut(c, 0.0, 0.0, None))
+    case Some(a) =>
+      val fit = a.l + a.t + a.s(w)
+      val lN = HwA * (c - a.s(w)) + (1.0 - HwA) * (a.l + a.t)
+      val tN = HwB * (lN - a.l) + (1.0 - HwB) * a.t
+      val sN = HwG * (c - lN) + (1.0 - HwG) * a.s(w)
+      (HwAcc(lN, tN, a.s.updated(w, sN)), HwOut(lN, tN, sN, Some(fit)))
+  }
+
   /** Additive Holt–Winters(7) per key over day-bar cent closes. */
   private[graft] def holtWinters(df: DataFrame, keyCol: String,
                                  tsCol: String, valCol: String,
@@ -49,23 +69,11 @@ object Breadth99 {
       .agg(sort_array(collect_list(struct(col("day"), col("close"),
         col("__dw")))).as("__b"))
     val fold = udf { (cs: Seq[Long], ws: Seq[Long]) =>
-      var l = 0.0; var t = 0.0
-      val s = Array.fill(7)(0.0)
+      var st: Option[HwAcc] = None
       cs.indices.map { i =>
-        val c = cs(i).toDouble; val w = ws(i).toInt
-        if (i == 0) {
-          l = c; t = 0.0
-          val sN = HwG * (c - l) + (1.0 - HwG) * s(w)
-          s(w) = sN
-          (l, t, sN, None: Option[Double])
-        } else {
-          val fit = l + t + s(w)
-          val lN = HwA * (c - s(w)) + (1.0 - HwA) * (l + t)
-          val tN = HwB * (lN - l) + (1.0 - HwB) * t
-          val sN = HwG * (c - lN) + (1.0 - HwG) * s(w)
-          l = lN; t = tN; s(w) = sN
-          (lN, tN, sN, Some(fit))
-        }
+        val (next, out) = hwStep(st, cs(i).toDouble, ws(i).toInt)
+        st = Some(next)
+        out
       }
     }
     arr
@@ -73,12 +81,23 @@ object Breadth99 {
         transform(col("__b"), _.getField("__dw"))))
       .select(col(keyCol), explode(zip_with(col("__b"), col("__s"),
         (b, s) => struct(b.getField("day").as("day"),
-          (s.getField("_1") / lit(100.0)).as("level"),
-          (s.getField("_2") / lit(100.0)).as("trend"),
-          (s.getField("_3") / lit(100.0)).as("seasonal"),
-          (s.getField("_4") / lit(100.0)).as("fitted")))).as("r"))
+          (s.getField("level") / lit(100.0)).as("level"),
+          (s.getField("trend") / lit(100.0)).as("trend"),
+          (s.getField("seasonal") / lit(100.0)).as("seasonal"),
+          (s.getField("fitted") / lit(100.0)).as("fitted")))).as("r"))
       .select(col(keyCol), col("r.*"))
       .orderBy(col(keyCol).asc, col("day").asc)
+  }
+
+  /** Croston accumulator: smoothed demand size + inter-demand gap. */
+  private[graft] case class CrAcc(z: Double, p: Double)
+
+  /** One Croston step — shared verbatim by batch and stream. */
+  private[graft] def crostonStep(st: Option[CrAcc], d: Double,
+                                 g: Double): CrAcc = st match {
+    case None => CrAcc(d, g)
+    case Some(a) =>
+      CrAcc(CrA * d + (1.0 - CrA) * a.z, CrA * g + (1.0 - CrA) * a.p)
   }
 
   /** Croston's method over positive day demands of `qtyJsonField`. */
@@ -100,15 +119,11 @@ object Breadth99 {
       .agg(sort_array(collect_list(struct(col("__day").as("day"),
         col("__gap"), col("__d")))).as("__b"))
     val fold = udf { (gaps: Seq[Long], ds: Seq[Long]) =>
-      var z = 0.0; var p = 0.0
+      var st: Option[CrAcc] = None
       ds.indices.map { i =>
-        val d = ds(i).toDouble; val g = gaps(i).toDouble
-        if (i == 0) { z = d; p = g }
-        else {
-          z = CrA * d + (1.0 - CrA) * z
-          p = CrA * g + (1.0 - CrA) * p
-        }
-        (z, p, z / p)
+        val a = crostonStep(st, ds(i).toDouble, gaps(i).toDouble)
+        st = Some(a)
+        (a.z, a.p, a.z / a.p)
       }
     }
     arr

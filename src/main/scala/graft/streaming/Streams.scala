@@ -226,6 +226,24 @@ case class PpoScored(user_id: Long, day: java.time.LocalDate,
 case class EwmaVolScored(user_id: Long, day: java.time.LocalDate,
                          close_cents: Long, ewma_vol: Option[Double])
 
+/** One scored bar from the live Holt–Winters(7) screen (append
+  * stream); fitted is None at a key's first-ever bar — the batch
+  * null. */
+case class HwScored(user_id: Long, day: java.time.LocalDate,
+                    level: Double, trend: Double, seasonal: Double,
+                    fitted: Option[Double])
+
+/** One positive-demand day — the input grain of the live Croston
+  * screen. */
+case class DemandRow(user_id: Long, day: java.time.LocalDate,
+                     demand: Long)
+
+/** One scored demand day from the live Croston screen (append
+  * stream). */
+case class CrostonScored(user_id: Long, day: java.time.LocalDate,
+                         demand: Long, z_size: Double, p_interval: Double,
+                         forecast: Double)
+
 /** A full OHLC day bar (open included) — the input grain of the
   * QStick and fractal screens. */
 case class FullBarRow(user_id: Long, day: java.time.LocalDate,
@@ -1035,6 +1053,28 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Streaming twin of the batch q_holt_winters recurrence: one HwAcc
+    * (level, trend, 7 weekday seasonals) per key, the SAME step as the
+    * batch fold — the weekday comes from the bar's calendar day, so a
+    * micro-batch split can't rotate the season (append mode). */
+  def streamingHoltWinters(ds: Dataset[BarRow]): Dataset[HwScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new HoltWintersProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Streaming twin of the batch q_croston recurrence: per key, the
+    * previous demand day + the (z, p) pair; the calendar-day gap is
+    * derived from the carried previous day, exactly the batch lag
+    * (append mode — the first demand day seeds z=d, p=1). */
+  def streamingCroston(ds: Dataset[DemandRow]): Dataset[CrostonScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new CrostonProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming twin of the batch q_qstick window: an O(k) candle-body
     * ring per key; the emit is the SAME integer sum / (k·100) as the
     * batch frame (append mode — warm-up rows None). */
@@ -1816,6 +1856,72 @@ class EwmaVolProcessor
                       a: graft.queries.Breadth69.EwmaVolAcc): EwmaVolScored =
     EwmaVolScored(user, b.day, b.close_cents,
       a.v.map(math.sqrt(_) / 100.0))
+}
+
+/** Keyed processor behind [[Streams.streamingHoltWinters]] — the batch
+  * `Breadth99.hwStep` on O(7) keyed state; the 0=Sunday weekday is
+  * derived from the bar's calendar day exactly as the batch's
+  * dayofweek−1. */
+class HoltWintersProcessor
+    extends StatefulProcessor[Long, BarRow, HwScored] {
+  @transient private var acc: ValueState[graft.queries.Breadth99.HwAcc] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState[graft.queries.Breadth99.HwAcc]("hw",
+      org.apache.spark.sql.Encoders.product[graft.queries.Breadth99.HwAcc],
+      TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, bars: Iterator[BarRow],
+                               timerValues: TimerValues)
+      : Iterator[HwScored] = {
+    var st = if (acc.exists()) Some(acc.get()) else None
+    val out = Seq.newBuilder[HwScored]
+    bars.toSeq.sortBy(_.day.toEpochDay).foreach { b =>
+      val w = b.day.getDayOfWeek.getValue % 7 // ISO Mon=1..Sun=7 → 0=Sun
+      val (next, o) = graft.queries.Breadth99.hwStep(st,
+        b.close_cents.toDouble, w)
+      st = Some(next)
+      out += HwScored(user, b.day, o.level / 100.0, o.trend / 100.0,
+        o.seasonal / 100.0, o.fitted.map(_ / 100.0))
+    }
+    st.foreach(acc.update)
+    out.result().iterator
+  }
+}
+
+/** Croston keyed state: previous demand day + the smoothed pair. */
+case class CrostonState(prevDayEpoch: Long, z: Double, p: Double)
+
+/** Keyed processor behind [[Streams.streamingCroston]] — the batch
+  * `Breadth99.crostonStep`; the inter-demand gap comes from the
+  * carried previous day (the batch lag), first gap 1. */
+class CrostonProcessor
+    extends StatefulProcessor[Long, DemandRow, CrostonScored] {
+  @transient private var acc: ValueState[CrostonState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState[CrostonState]("croston",
+      org.apache.spark.sql.Encoders.product[CrostonState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[DemandRow],
+                               timerValues: TimerValues)
+      : Iterator[CrostonScored] = {
+    var st = if (acc.exists()) Some(acc.get()) else None
+    val out = Seq.newBuilder[CrostonScored]
+    rows.toSeq.sortBy(_.day.toEpochDay).foreach { r =>
+      val gap = st match {
+        case None => 1.0
+        case Some(s) => (r.day.toEpochDay - s.prevDayEpoch).toDouble
+      }
+      val prev = st.map(s => graft.queries.Breadth99.CrAcc(s.z, s.p))
+      val a = graft.queries.Breadth99.crostonStep(prev, r.demand.toDouble,
+        gap)
+      st = Some(CrostonState(r.day.toEpochDay, a.z, a.p))
+      out += CrostonScored(user, r.day, r.demand, a.z, a.p, a.z / a.p)
+    }
+    st.foreach(acc.update)
+    out.result().iterator
+  }
 }
 
 /** The QStick ring state: last ≤k candle bodies (close − open). */
