@@ -1307,6 +1307,26 @@ object Graft {
                tieBreak: String): DataFrame =
     queries.Breadth103.csSpread(df, keyCol, tsCol, valCol, tieBreak)
 
+  /** Daily rank-exact p10/p50/p90 bands of the key cross-section.
+    * Oracle-checked as q_percentile_bands. */
+  def percentileBands(df: DataFrame, keyCol: String, tsCol: String,
+                      valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth104.percentileBands(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Jaccard of bottom-decile crash-day sets per key pair, top 15.
+    * Oracle-checked as q_tail_dependence. */
+  def tailDependence(df: DataFrame, keyCol: String, tsCol: String,
+                     valCol: String, tieBreak: String,
+                     k: Int = 15): DataFrame =
+    queries.Breadth104.tailDependence(df, keyCol, tsCol, valCol, tieBreak,
+      k)
+
+  /** One-factor beta estimated on market-down days only.
+    * Oracle-checked as q_beta_downside. */
+  def downsideBeta(df: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth104.downsideBeta(df, keyCol, tsCol, valCol, tieBreak)
+
   def bm25(docs: DataFrame, textCol: String, k: Int = 20): DataFrame =
     queries.Breadth102.bm25(docs, textCol, k)
 

@@ -76,6 +76,7 @@ object SparkEntry {
     (Breadth101.defs, Breadth101.oracle),
     (Breadth102.defs, Breadth102.oracle),
     (Breadth103.defs, Breadth103.oracle),
+    (Breadth104.defs, Breadth104.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),

@@ -85,14 +85,17 @@ object Breadth101 {
   /** k-core of the mutual-kNN graph after `rounds` unrolled peels. */
   private[graft] def kcore(emb: DataFrame, k: Long = CoreK,
                            rounds: Int = CoreRounds): DataFrame = {
-    var cur = mutualKnnEdges(emb)
-    for (i <- 1 to rounds) {
+    // materialize the (expensive, label-quadratic) kNN build ONCE, then
+    // checkpoint every round: each peel reads cur twice (deg + the two
+    // semi-joins), so an uncheckpointed chain re-evaluates the whole
+    // upstream per round — measured 62 s → seconds at sf0.1
+    var cur = mutualKnnEdges(emb).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
       val keep = deg(cur).filter(col("deg") >= k).select(col("node"))
       cur = cur
         .join(keep.select(col("node").as("id_a")), Seq("id_a"), "left_semi")
         .join(keep.select(col("node").as("id_b")), Seq("id_b"), "left_semi")
-      // truncate the 2-joins-per-round lineage before it stacks 16 deep
-      if (i % 4 == 0) cur = cur.localCheckpoint(true)
+        .localCheckpoint(true)
     }
     deg(cur)
       .select(col("node").as("vec_id"), col("deg").as("core_degree"))
