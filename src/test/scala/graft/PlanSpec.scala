@@ -761,4 +761,39 @@ class PlanSpec extends SparkSpec {
     assert(marginalExchanges(ttr).size <= 1,
       s"q_ttr_window grew a shuffle beyond the terminal sort")
   }
+
+  test("waves 98-100 TPC-H skeletons: dims broadcast, facts collapse " +
+    "before dim joins, top-k via TakeOrdered, no cartesian") {
+    for (q <- Seq("q_volume_shipping", "q_market_share", "q_custdist",
+        "q_priority_delay", "q_min_cost_supplier", "q_product_profit",
+        "q_top_supplier", "q_small_qty_revenue", "q_supplier_part_counts",
+        "q_excess_shippers", "q_waiting_suppliers", "q_idle_customers")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf0001))
+      assert(!p.contains("CartesianProduct"), q)
+    }
+    // the heavy dim chains go broadcast, never shuffled-hash both sides
+    for (q <- Seq("q_market_share", "q_product_profit")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf0001))
+      assert(p.contains("BroadcastHashJoin"), q)
+    }
+    // Q21 never builds row pairs: the verdict grain is (order, supplier)
+    // flags — bounded exchanges, no nested loop over lineitem
+    val ws = SparkEntry.queries("q_waiting_suppliers")(spark, sf0001)
+    assert(marginalExchanges(ws).size <= 6,
+      "q_waiting_suppliers shuffle count grew")
+    // the top-k surfaces as TakeOrderedAndProject, not a global sort
+    val bm = SparkEntry.queries("q_bm25")(spark, sf0001)
+    assert(plan(bm).contains("TakeOrderedAndProject"), "q_bm25 top-k")
+  }
+
+  test("waves 101-105 stats/bands: group- or day-partitioned count-table " +
+    "windows, no single-partition stage, no cartesian") {
+    for (q <- Seq("q_iqr_outliers", "q_trimmed_mean", "q_percentile_bands",
+        "q_tail_dependence", "q_rolling_median", "q_beta_downside")) {
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), q)
+      assertNoSinglePartitionShuffle(df, q)
+    }
+  }
 }
