@@ -1327,6 +1327,22 @@ object Graft {
                    valCol: String, tieBreak: String): DataFrame =
     queries.Breadth104.downsideBeta(df, keyCol, tsCol, valCol, tieBreak)
 
+  /** Quantity-weighted median line price per brand. Oracle-checked as
+    * q_weighted_median. */
+  def weightedMedian(part: DataFrame, lineitem: DataFrame): DataFrame =
+    queries.Breadth105.weightedMedian(part, lineitem)
+
+  /** Top consecutive-order dominant-type transitions. Oracle-checked
+    * as q_category_transitions. */
+  def categoryTransitions(orders: DataFrame, lineitem: DataFrame,
+                          part: DataFrame, k: Int = 20): DataFrame =
+    queries.Breadth105.categoryTransitions(orders, lineitem, part, k)
+
+  /** Rising/falling census of per-customer spend OLS slopes.
+    * Oracle-checked as q_spend_trajectory. */
+  def spendTrajectory(orders: DataFrame): DataFrame =
+    queries.Breadth105.spendTrajectory(orders)
+
   def bm25(docs: DataFrame, textCol: String, k: Int = 20): DataFrame =
     queries.Breadth102.bm25(docs, textCol, k)
 

@@ -77,6 +77,7 @@ object SparkEntry {
     (Breadth102.defs, Breadth102.oracle),
     (Breadth103.defs, Breadth103.oracle),
     (Breadth104.defs, Breadth104.oracle),
+    (Breadth105.defs, Breadth105.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
