@@ -244,6 +244,17 @@ case class CrostonScored(user_id: Long, day: java.time.LocalDate,
                          demand: Long, z_size: Double, p_interval: Double,
                          forecast: Double)
 
+/** One scored bar from the live rolling-median screen (append
+  * stream). */
+case class RollMedScored(user_id: Long, day: java.time.LocalDate,
+                         close: Double, n_in_window: Long,
+                         rolling_median: Double)
+
+/** One scored bar from the live Corwin–Schultz screen (append stream);
+  * a key's first bar emits nothing (the batch lag-null row). */
+case class CsSpreadScored(user_id: Long, day: java.time.LocalDate,
+                          cs_spread: Double)
+
 /** A full OHLC day bar (open included) — the input grain of the
   * QStick and fractal screens. */
 case class FullBarRow(user_id: Long, day: java.time.LocalDate,
@@ -1072,6 +1083,28 @@ object Streams {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.user_id)
       .transformWithState(new CrostonProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Streaming twin of the batch q_rolling_median window: an O(7)
+    * close ring per key; the emit is the SAME sorted low/high middle
+    * pick as the batch frame (append mode). */
+  def streamingRollingMedian(ds: Dataset[BarRow],
+                             win: Int = 7): Dataset[RollMedScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new RollingMedianProcessor(win), TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Streaming twin of the batch q_cs_spread: the previous bar's
+    * (high, low, quantized log-range) per key; the SAME α assembly and
+    * 6-dp-rounded spread as the batch form (append mode — a key's
+    * first bar emits nothing, the batch's lag-null row). */
+  def streamingCsSpread(ds: Dataset[OhlcBarRow]): Dataset[CsSpreadScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new CsSpreadProcessor, TimeMode.None(),
         OutputMode.Append())
   }
 
@@ -1918,6 +1951,87 @@ class CrostonProcessor
         gap)
       st = Some(CrostonState(r.day.toEpochDay, a.z, a.p))
       out += CrostonScored(user, r.day, r.demand, a.z, a.p, a.z / a.p)
+    }
+    st.foreach(acc.update)
+    out.result().iterator
+  }
+}
+
+/** Rolling-median ring state: last ≤win closes in day order. */
+case class RollMedRing(closes: Seq[Long])
+
+/** Keyed processor behind [[Streams.streamingRollingMedian]] — an O(w)
+  * close ring; the emit is the batch frame's exact sorted low/high
+  * middle pick, (lo+hi)/200. */
+class RollingMedianProcessor(win: Int)
+    extends StatefulProcessor[Long, BarRow, RollMedScored] {
+  @transient private var ring: ValueState[RollMedRing] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    ring = getHandle.getValueState[RollMedRing]("rollmed",
+      org.apache.spark.sql.Encoders.product[RollMedRing], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, bars: Iterator[BarRow],
+                               timerValues: TimerValues)
+      : Iterator[RollMedScored] = {
+    var cs = if (ring.exists()) ring.get().closes else Seq.empty[Long]
+    val out = Seq.newBuilder[RollMedScored]
+    bars.toSeq.sortBy(_.day.toEpochDay).foreach { b =>
+      cs = (cs :+ b.close_cents).takeRight(win)
+      val sorted = cs.sorted
+      val m = sorted.size
+      val med = (sorted((m + 1) / 2 - 1) + sorted(m / 2)).toDouble / 200.0
+      out += RollMedScored(user, b.day, b.close_cents.toDouble / 100.0,
+        m.toLong, med)
+    }
+    ring.update(RollMedRing(cs))
+    out.result().iterator
+  }
+}
+
+/** Corwin–Schultz keyed state: the previous bar's high/low and its
+  * 1e-6-quantized log range. */
+case class CsState(prevHigh: Long, prevLow: Long, prevLq: Long)
+
+/** Keyed processor behind [[Streams.streamingCsSpread]] — the batch
+  * q_cs_spread arithmetic verbatim: quantized 2-day log ranges, the α
+  * IEEE chain, spread 6-dp-rounded via BigDecimal (Spark round
+  * semantics). Bars with low ≤ 0 are skipped without touching state,
+  * exactly the batch pre-lag filter. */
+class CsSpreadProcessor
+    extends StatefulProcessor[Long, OhlcBarRow, CsSpreadScored] {
+  @transient private var acc: ValueState[CsState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState[CsState]("csspread",
+      org.apache.spark.sql.Encoders.product[CsState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, bars: Iterator[OhlcBarRow],
+                               timerValues: TimerValues)
+      : Iterator[CsSpreadScored] = {
+    var st = if (acc.exists()) Some(acc.get()) else None
+    val out = Seq.newBuilder[CsSpreadScored]
+    bars.toSeq.sortBy(_.day.toEpochDay)
+      .filter(_.low_cents > 0).foreach { b =>
+      val lq = math.floor(math.log(b.high_cents.toDouble /
+        b.low_cents.toDouble) * 1.0e6 + 0.5).toLong
+      st.foreach { p =>
+        val h2 = math.max(b.high_cents, p.prevHigh)
+        val l2 = math.min(b.low_cents, p.prevLow)
+        val gq = math.floor(math.log(h2.toDouble / l2.toDouble) * 1.0e6 +
+          0.5).toLong
+        val beta = (lq * lq + p.prevLq * p.prevLq).toDouble
+        val gamma = (gq * gq).toDouble
+        val den = 3.0 - 2.0 * math.sqrt(2.0)
+        val alpha = (math.sqrt(2.0 * beta) - math.sqrt(beta)) / den -
+          math.sqrt(gamma / den)
+        val ea = math.exp(alpha / 1.0e6)
+        val spread = java.math.BigDecimal
+          .valueOf(2.0 * (ea - 1.0) / (1.0 + ea))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        out += CsSpreadScored(user, b.day, spread)
+      }
+      st = Some(CsState(b.high_cents, b.low_cents, lq))
     }
     st.foreach(acc.update)
     out.result().iterator
