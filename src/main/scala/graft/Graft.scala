@@ -1343,6 +1343,27 @@ object Graft {
   def spendTrajectory(orders: DataFrame): DataFrame =
     queries.Breadth105.spendTrajectory(orders)
 
+  /** Trailing volume-weighted moving average per key-day.
+    * Oracle-checked as q_vwma. */
+  def vwma(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+           tieBreak: String, qtyJsonField: String, n: Int = 10): DataFrame =
+    queries.Breadth106.vwma(df, keyCol, tsCol, valCol, tieBreak,
+      qtyJsonField, n)
+
+  /** SMA envelope with integer-exact breakout flags. Oracle-checked as
+    * q_envelope. */
+  def envelope(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+               tieBreak: String, n: Int = 20,
+               permille: Long = 25L): DataFrame =
+    queries.Breadth106.envelope(df, keyCol, tsCol, valCol, tieBreak, n,
+      permille)
+
+  /** Disparity index 100·close/SMA per key-day. Oracle-checked as
+    * q_disparity. */
+  def disparity(df: DataFrame, keyCol: String, tsCol: String,
+                valCol: String, tieBreak: String, n: Int = 13): DataFrame =
+    queries.Breadth106.disparity(df, keyCol, tsCol, valCol, tieBreak, n)
+
   def bm25(docs: DataFrame, textCol: String, k: Int = 20): DataFrame =
     queries.Breadth102.bm25(docs, textCol, k)
 
