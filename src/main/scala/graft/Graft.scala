@@ -1364,6 +1364,11 @@ object Graft {
                 valCol: String, tieBreak: String, n: Int = 13): DataFrame =
     queries.Breadth106.disparity(df, keyCol, tsCol, valCol, tieBreak, n)
 
+  /** Global top-k centroid-proxy hard negatives for contrastive
+    * training. Oracle-checked as q_hard_negatives. */
+  def hardNegatives(emb: DataFrame, k: Int = 20): DataFrame =
+    queries.Breadth107.hardNegatives(emb, k)
+
   def bm25(docs: DataFrame, textCol: String, k: Int = 20): DataFrame =
     queries.Breadth102.bm25(docs, textCol, k)
 

@@ -79,6 +79,7 @@ object SparkEntry {
     (Breadth104.defs, Breadth104.oracle),
     (Breadth105.defs, Breadth105.oracle),
     (Breadth106.defs, Breadth106.oracle),
+    (Breadth107.defs, Breadth107.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
