@@ -1369,6 +1369,44 @@ object Graft {
   def hardNegatives(emb: DataFrame, k: Int = 20): DataFrame =
     queries.Breadth107.hardNegatives(emb, k)
 
+  /** Mann–Kendall trend test per key (tie-corrected, continuity z).
+    * Oracle-checked as q_mann_kendall. */
+  def mannKendall(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth108.mannKendall(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Poisson(1) bootstrap CI of the mean day move per key.
+    * Oracle-checked as q_poisson_bootstrap. */
+  def poissonBootstrap(df: DataFrame, keyCol: String, tsCol: String,
+                       valCol: String, tieBreak: String,
+                       nBoot: Int = 32): DataFrame =
+    queries.Breadth108.poissonBootstrap(df, keyCol, tsCol, valCol,
+      tieBreak, nBoot)
+
+  /** Cliff's δ effect size between two groups (count-table exact).
+    * Oracle-checked as q_cliffs_delta. */
+  def cliffsDelta(df: DataFrame, grpCol: String, valCol: String, a: String,
+                  b: String): DataFrame =
+    queries.Breadth108.cliffsDelta(df, grpCol, valCol, a, b)
+
+  /** 1-Wasserstein distance between two groups' value distributions.
+    * Oracle-checked as q_wasserstein1. */
+  def wasserstein1(df: DataFrame, grpCol: String, valCol: String, a: String,
+                   b: String): DataFrame =
+    queries.Breadth109.wasserstein1(df, grpCol, valCol, a, b)
+
+  /** Squared energy distance between two groups on an int column.
+    * Oracle-checked as q_energy_distance. */
+  def energyDistance(docs: DataFrame, grpCol: String, numCol: String,
+                     a: String, b: String): DataFrame =
+    queries.Breadth109.energyDistance(docs, grpCol, numCol, a, b)
+
+  /** Rank-exact decile QQ table between two groups. Oracle-checked as
+    * q_qq_deciles. */
+  def qqDeciles(docs: DataFrame, grpCol: String, numCol: String, a: String,
+                b: String): DataFrame =
+    queries.Breadth109.qqDeciles(docs, grpCol, numCol, a, b)
+
   def bm25(docs: DataFrame, textCol: String, k: Int = 20): DataFrame =
     queries.Breadth102.bm25(docs, textCol, k)
 

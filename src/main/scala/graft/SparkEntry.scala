@@ -80,6 +80,8 @@ object SparkEntry {
     (Breadth105.defs, Breadth105.oracle),
     (Breadth106.defs, Breadth106.oracle),
     (Breadth107.defs, Breadth107.oracle),
+    (Breadth108.defs, Breadth108.oracle),
+    (Breadth109.defs, Breadth109.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
