@@ -1407,6 +1407,26 @@ object Graft {
                 b: String): DataFrame =
     queries.Breadth109.qqDeciles(docs, grpCol, numCol, a, b)
 
+  /** PACF at lags 1–3 per key (Durbin–Levinson over exact-moment lag
+    * correlations). Oracle-checked as q_pacf. */
+  def pacf(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+           tieBreak: String): DataFrame =
+    queries.Breadth110.pacf(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Spectral power at fixed calendar periods over day moves.
+    * Oracle-checked as q_periodogram. */
+  def periodogram(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, tieBreak: String,
+                  periods: Seq[Int] = Seq(7, 30)): DataFrame =
+    queries.Breadth110.periodogram(df, keyCol, tsCol, valCol, tieBreak,
+      periods)
+
+  /** Turning-point randomness z per key. Oracle-checked as
+    * q_turning_points. */
+  def turningPoints(df: DataFrame, keyCol: String, tsCol: String,
+                    valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth110.turningPoints(df, keyCol, tsCol, valCol, tieBreak)
+
   def bm25(docs: DataFrame, textCol: String, k: Int = 20): DataFrame =
     queries.Breadth102.bm25(docs, textCol, k)
 

@@ -82,6 +82,7 @@ object SparkEntry {
     (Breadth107.defs, Breadth107.oracle),
     (Breadth108.defs, Breadth108.oracle),
     (Breadth109.defs, Breadth109.oracle),
+    (Breadth110.defs, Breadth110.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
