@@ -1427,6 +1427,24 @@ object Graft {
                     valCol: String, tieBreak: String): DataFrame =
     queries.Breadth110.turningPoints(df, keyCol, tsCol, valCol, tieBreak)
 
+  /** Per-supplier ship-delay consistency, top-k most erratic by CV².
+    * Oracle-checked as q_vendor_consistency. */
+  def vendorConsistency(supplier: DataFrame, orders: DataFrame,
+                        lineitem: DataFrame, k: Int = 10): DataFrame =
+    queries.Breadth111.vendorConsistency(supplier, orders, lineitem, k)
+
+  /** Granger-lite: market-lag F beyond the own lag, per key.
+    * Oracle-checked as q_granger_lite. */
+  def grangerLite(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth111.grangerLite(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Dollar-grain zero-move share + mean unchanged-run length per key.
+    * Oracle-checked as q_price_stickiness. */
+  def priceStickiness(df: DataFrame, keyCol: String, tsCol: String,
+                      valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth111.priceStickiness(df, keyCol, tsCol, valCol, tieBreak)
+
   def bm25(docs: DataFrame, textCol: String, k: Int = 20): DataFrame =
     queries.Breadth102.bm25(docs, textCol, k)
 

@@ -83,6 +83,7 @@ object SparkEntry {
     (Breadth108.defs, Breadth108.oracle),
     (Breadth109.defs, Breadth109.oracle),
     (Breadth110.defs, Breadth110.oracle),
+    (Breadth111.defs, Breadth111.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
