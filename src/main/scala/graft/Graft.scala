@@ -1445,6 +1445,25 @@ object Graft {
                       valCol: String, tieBreak: String): DataFrame =
     queries.Breadth111.priceStickiness(df, keyCol, tsCol, valCol, tieBreak)
 
+  /** Bollinger-inside-Keltner squeeze flags (integer verdict).
+    * Oracle-checked as q_ttm_squeeze. */
+  def ttmSqueeze(df: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String, tieBreak: String, n: Int = 20): DataFrame =
+    queries.Breadth112.ttmSqueeze(df, keyCol, tsCol, valCol, tieBreak, n)
+
+  /** JdK-style relative strength ratio vs the equal-weight market.
+    * Oracle-checked as q_rs_ratio. */
+  def rsRatio(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+              tieBreak: String, n: Int = 10): DataFrame =
+    queries.Breadth112.rsRatio(df, keyCol, tsCol, valCol, tieBreak, n)
+
+  /** Volume-price trend (quantized proportional flows).
+    * Oracle-checked as q_vpt. */
+  def vpt(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+          tieBreak: String, qtyJsonField: String): DataFrame =
+    queries.Breadth112.vpt(df, keyCol, tsCol, valCol, tieBreak,
+      qtyJsonField)
+
   def bm25(docs: DataFrame, textCol: String, k: Int = 20): DataFrame =
     queries.Breadth102.bm25(docs, textCol, k)
 
