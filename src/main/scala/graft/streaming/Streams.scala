@@ -255,6 +255,22 @@ case class RollMedScored(user_id: Long, day: java.time.LocalDate,
 case class CsSpreadScored(user_id: Long, day: java.time.LocalDate,
                           cs_spread: Double)
 
+/** One scored bar from the live VWMA screen (append stream — the
+  * existing [[VolBarRow]] is the input grain); None while the
+  * window's volume is zero. */
+case class VwmaScored(user_id: Long, day: java.time.LocalDate,
+                      close: Double, vwma: Option[Double])
+
+/** One scored bar from the live envelope screen (append stream). */
+case class EnvScored(user_id: Long, day: java.time.LocalDate,
+                     close: Double, sma: Double, upper: Double,
+                     lower: Double, above_upper: Boolean,
+                     below_lower: Boolean)
+
+/** One scored bar from the live disparity screen (append stream). */
+case class DisparityScored(user_id: Long, day: java.time.LocalDate,
+                           close: Double, disparity: Double)
+
 /** A full OHLC day bar (open included) — the input grain of the
   * QStick and fractal screens. */
 case class FullBarRow(user_id: Long, day: java.time.LocalDate,
@@ -1108,6 +1124,39 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Streaming twin of the batch q_vwma window: an O(n) (close, vol)
+    * ring per key; the emit is the SAME Σcv/Σv single division as the
+    * batch frame (append mode; input = bars that HAVE a day volume,
+    * the batch inner-join row set). */
+  def streamingVwma(ds: Dataset[VolBarRow],
+                    win: Int = 10): Dataset[VwmaScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new VwmaProcessor(win), TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Streaming twin of the batch q_envelope: an O(n) close ring; the
+    * SAME integer-product band edges and cross-multiplied breakout
+    * flags (append mode). */
+  def streamingEnvelope(ds: Dataset[BarRow], win: Int = 20,
+                        permille: Long = 25L): Dataset[EnvScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new EnvelopeProcessor(win, permille),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming twin of the batch q_disparity: an O(n) close ring; the
+    * SAME 100·c·m/Σc single division (append mode). */
+  def streamingDisparity(ds: Dataset[BarRow],
+                         win: Int = 13): Dataset[DisparityScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new DisparityProcessor(win), TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming twin of the batch q_qstick window: an O(k) candle-body
     * ring per key; the emit is the SAME integer sum / (k·100) as the
     * batch frame (append mode — warm-up rows None). */
@@ -1953,6 +2002,99 @@ class CrostonProcessor
       out += CrostonScored(user, r.day, r.demand, a.z, a.p, a.z / a.p)
     }
     st.foreach(acc.update)
+    out.result().iterator
+  }
+}
+
+/** VWMA ring state: last ≤win (close, vol) pairs in day order. */
+case class VwmaRing(closes: Seq[Long], vols: Seq[Long])
+
+/** Keyed processor behind [[Streams.streamingVwma]] — the batch
+  * frame's exact Σcv/Σv. */
+class VwmaProcessor(win: Int)
+    extends StatefulProcessor[Long, VolBarRow, VwmaScored] {
+  @transient private var ring: ValueState[VwmaRing] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    ring = getHandle.getValueState[VwmaRing]("vwma",
+      org.apache.spark.sql.Encoders.product[VwmaRing], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, bars: Iterator[VolBarRow],
+                               timerValues: TimerValues)
+      : Iterator[VwmaScored] = {
+    var (cs, vs) = if (ring.exists()) {
+      val r = ring.get(); (r.closes, r.vols)
+    } else (Seq.empty[Long], Seq.empty[Long])
+    val out = Seq.newBuilder[VwmaScored]
+    bars.toSeq.sortBy(_.day.toEpochDay).foreach { b =>
+      cs = (cs :+ b.close_cents).takeRight(win)
+      vs = (vs :+ b.vol).takeRight(win)
+      val spv = cs.zip(vs).map { case (c, v) => c * v }.sum
+      val sv = vs.sum
+      val vwma = if (sv > 0)
+        Some(spv.toDouble / sv.toDouble / 100.0) else None
+      out += VwmaScored(user, b.day, b.close_cents.toDouble / 100.0, vwma)
+    }
+    ring.update(VwmaRing(cs, vs))
+    out.result().iterator
+  }
+}
+
+/** Close-ring state shared by the envelope and disparity screens. */
+case class CloseRing(closes: Seq[Long])
+
+/** Keyed processor behind [[Streams.streamingEnvelope]] — the batch
+  * integer-product band edges and cross-multiplied flags verbatim. */
+class EnvelopeProcessor(win: Int, permille: Long)
+    extends StatefulProcessor[Long, BarRow, EnvScored] {
+  @transient private var ring: ValueState[CloseRing] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    ring = getHandle.getValueState[CloseRing]("envelope",
+      org.apache.spark.sql.Encoders.product[CloseRing], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, bars: Iterator[BarRow],
+                               timerValues: TimerValues)
+      : Iterator[EnvScored] = {
+    var cs = if (ring.exists()) ring.get().closes else Seq.empty[Long]
+    val out = Seq.newBuilder[EnvScored]
+    bars.toSeq.sortBy(_.day.toEpochDay).foreach { b =>
+      cs = (cs :+ b.close_cents).takeRight(win)
+      val s = cs.sum; val m = cs.size.toLong
+      out += EnvScored(user, b.day, b.close_cents.toDouble / 100.0,
+        s.toDouble / m.toDouble / 100.0,
+        (s * (1000L + permille)).toDouble / (m * 1000L).toDouble / 100.0,
+        (s * (1000L - permille)).toDouble / (m * 1000L).toDouble / 100.0,
+        b.close_cents * m * 1000L > s * (1000L + permille),
+        b.close_cents * m * 1000L < s * (1000L - permille))
+    }
+    ring.update(CloseRing(cs))
+    out.result().iterator
+  }
+}
+
+/** Keyed processor behind [[Streams.streamingDisparity]] — the batch
+  * 100·c·m/Σc single division. */
+class DisparityProcessor(win: Int)
+    extends StatefulProcessor[Long, BarRow, DisparityScored] {
+  @transient private var ring: ValueState[CloseRing] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    ring = getHandle.getValueState[CloseRing]("disparity",
+      org.apache.spark.sql.Encoders.product[CloseRing], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, bars: Iterator[BarRow],
+                               timerValues: TimerValues)
+      : Iterator[DisparityScored] = {
+    var cs = if (ring.exists()) ring.get().closes else Seq.empty[Long]
+    val out = Seq.newBuilder[DisparityScored]
+    bars.toSeq.sortBy(_.day.toEpochDay).foreach { b =>
+      cs = (cs :+ b.close_cents).takeRight(win)
+      val s = cs.sum; val m = cs.size.toLong
+      out += DisparityScored(user, b.day, b.close_cents.toDouble / 100.0,
+        (b.close_cents * m * 100L).toDouble / s.toDouble)
+    }
+    ring.update(CloseRing(cs))
     out.result().iterator
   }
 }
