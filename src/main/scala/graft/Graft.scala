@@ -1464,6 +1464,24 @@ object Graft {
     queries.Breadth112.vpt(df, keyCol, tsCol, valCol, tieBreak,
       qtyJsonField)
 
+  /** ES₀.₁ gain/loss tail means and the Rachev ratio per key.
+    * Oracle-checked as q_rachev_ratio. */
+  def rachevRatio(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth113.rachevRatio(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Mean day move / ulcer index per key. Oracle-checked as
+    * q_martin_ratio. */
+  def martinRatio(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth113.martinRatio(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Mean day move / mean of the 3 deepest drawdown episodes.
+    * Oracle-checked as q_sterling_lite. */
+  def sterlingLite(df: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth113.sterlingLite(df, keyCol, tsCol, valCol, tieBreak)
+
   def bm25(docs: DataFrame, textCol: String, k: Int = 20): DataFrame =
     queries.Breadth102.bm25(docs, textCol, k)
 

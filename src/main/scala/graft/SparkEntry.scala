@@ -85,6 +85,7 @@ object SparkEntry {
     (Breadth110.defs, Breadth110.oracle),
     (Breadth111.defs, Breadth111.oracle),
     (Breadth112.defs, Breadth112.oracle),
+    (Breadth113.defs, Breadth113.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
