@@ -1482,6 +1482,22 @@ object Graft {
                    valCol: String, tieBreak: String): DataFrame =
     queries.Breadth113.sterlingLite(df, keyCol, tsCol, valCol, tieBreak)
 
+  /** Lines-per-order histogram with exact mean basket value.
+    * Oracle-checked as q_basket_size_dist. */
+  def basketSizeDist(lineitem: DataFrame): DataFrame =
+    queries.Breadth114.basketSizeDist(lineitem)
+
+  /** Per-part price spread over the rank-exact median, top 20.
+    * Oracle-checked as q_price_dispersion. */
+  def priceDispersion(lineitem: DataFrame, k: Int = 20): DataFrame =
+    queries.Breadth114.priceDispersion(lineitem, k)
+
+  /** Repurchase share per part over its distinct buyers, top 20.
+    * Oracle-checked as q_repurchase_rate. */
+  def repurchaseRate(orders: DataFrame, lineitem: DataFrame,
+                     k: Int = 20): DataFrame =
+    queries.Breadth114.repurchaseRate(orders, lineitem, k)
+
   def bm25(docs: DataFrame, textCol: String, k: Int = 20): DataFrame =
     queries.Breadth102.bm25(docs, textCol, k)
 

@@ -86,6 +86,7 @@ object SparkEntry {
     (Breadth111.defs, Breadth111.oracle),
     (Breadth112.defs, Breadth112.oracle),
     (Breadth113.defs, Breadth113.oracle),
+    (Breadth114.defs, Breadth114.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
