@@ -1498,6 +1498,21 @@ object Graft {
                      k: Int = 20): DataFrame =
     queries.Breadth114.repurchaseRate(orders, lineitem, k)
 
+  /** Quantity share index per (part type, ship month). Oracle-checked
+    * as q_type_seasonality. */
+  def typeSeasonality(part: DataFrame, lineitem: DataFrame): DataFrame =
+    queries.Breadth115.typeSeasonality(part, lineitem)
+
+  /** Rank-exact p50/p90 of order totals per month. Oracle-checked as
+    * q_spend_quantile_trend. */
+  def spendQuantileTrend(orders: DataFrame): DataFrame =
+    queries.Breadth115.spendQuantileTrend(orders)
+
+  /** Volume / revenue response per exact discount level.
+    * Oracle-checked as q_discount_effect. */
+  def discountEffect(lineitem: DataFrame): DataFrame =
+    queries.Breadth115.discountEffect(lineitem)
+
   def bm25(docs: DataFrame, textCol: String, k: Int = 20): DataFrame =
     queries.Breadth102.bm25(docs, textCol, k)
 
