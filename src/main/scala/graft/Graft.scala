@@ -1513,6 +1513,16 @@ object Graft {
   def discountEffect(lineitem: DataFrame): DataFrame =
     queries.Breadth115.discountEffect(lineitem)
 
+  /** Centroid-argmax purity, mean own cosine and margin per label.
+    * Oracle-checked as q_label_purity. */
+  def labelPurity(emb: DataFrame): DataFrame =
+    queries.Breadth116.labelPurity(emb)
+
+  /** Centroid-form simplified silhouette per label. Oracle-checked as
+    * q_silhouette_lite. */
+  def silhouetteLite(emb: DataFrame): DataFrame =
+    queries.Breadth116.silhouetteLite(emb)
+
   def bm25(docs: DataFrame, textCol: String, k: Int = 20): DataFrame =
     queries.Breadth102.bm25(docs, textCol, k)
 

@@ -88,6 +88,7 @@ object SparkEntry {
     (Breadth113.defs, Breadth113.oracle),
     (Breadth114.defs, Breadth114.oracle),
     (Breadth115.defs, Breadth115.oracle),
+    (Breadth116.defs, Breadth116.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
