@@ -30,7 +30,11 @@ object Breadth116 {
   /** Per-(vector, label) quantized cosine to every label centroid,
     * with the own/other flag. */
   private def vecCentroidCos(emb: DataFrame): DataFrame = {
-    val e = emb.select(col("vec_id"), col("label"),
+    // spread the corpus across the executor slots BEFORE the ×dims
+    // ×labels explode-join: a single-file parquet scan otherwise runs
+    // the 12.8M-row join + partial agg on 1-2 partitions
+    val e = emb.repartition(col("vec_id"))
+      .select(col("vec_id"), col("label"),
         posexplode(col("embedding").cast("array<double>"))
           .as(Seq("__p0", "__x")))
       .select(col("vec_id"), col("label"),
@@ -52,9 +56,13 @@ object Breadth116 {
           (sqrt(d(col("__svv"))) * sqrt(d(col("__scc"))))).as("__cosq"))
   }
 
-  /** Per-vector own cosine + best-other cosine (ties by label asc). */
+  /** Per-vector own cosine + best-other cosine (ties by label asc).
+    * The |V|·|labels| cos table is materialized ONCE — the own and
+    * best-other branches below would otherwise each re-run the
+    * |V|·|dims|·|labels| explode-join (measured 19×/24× super-linear
+    * at the sf1 step before the checkpoint). */
   private def ownVsBest(emb: DataFrame): DataFrame = {
-    val vc = vecCentroidCos(emb)
+    val vc = vecCentroidCos(emb).localCheckpoint(true)
     val own = vc.filter(col("label") === col("__cl"))
       .select(col("vec_id"), col("label"), col("__cosq").as("__own"))
     val w = Window.partitionBy(col("vec_id"))
