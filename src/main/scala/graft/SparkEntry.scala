@@ -89,6 +89,7 @@ object SparkEntry {
     (Breadth114.defs, Breadth114.oracle),
     (Breadth115.defs, Breadth115.oracle),
     (Breadth116.defs, Breadth116.oracle),
+    (Breadth117.defs, Breadth117.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),

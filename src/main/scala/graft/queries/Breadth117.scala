@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Hundred-eighteenth wave — two iterative graph shapes the engine's
+  * centrality/propagation tier did not yet cover:
+  *
+  *  - **q_hits**: Kleinberg HITS hubs/authorities over the bipartite
+  *    supplier→part supply graph (hub = a supplier whose parts are
+  *    themselves widely supplied; authority = a part carried by the
+  *    strongest suppliers). Four unrolled iterations, ENTIRELY in
+  *    integer micro-score units with L1 floor-division normalization —
+  *    the q_pagerank_int discipline: every step is an order-free
+  *    integer sum, so the 4-deep join chain hash-matches DuckDB
+  *    bit-exactly. Int64 headroom: the iteration-1 authority sum is
+  *    |S|·SCALE before normalizing, so (a·SCALE) wraps past |S| ≈ 9·10⁶
+  *    source nodes at SCALE = 10⁶; later iterations are L1-bounded at
+  *    SCALE. Production knob at bigger graphs: seed h₀ = SCALE // |S|.
+  *  - **q_hop_histogram**: multi-source BFS over the within-label kNN
+  *    graph (one seed per label — its minimum graph node), emitting the
+  *    hop-distance histogram for hops 0..6 plus an explicit `-1` row
+  *    for graph nodes unreached in 6 hops. This is the landmark-BFS
+  *    reachability sketch a curation pipeline runs to judge cluster
+  *    compactness (a label whose members sit ≤2 hops from the seed is
+  *    coherent; mass at -1 is fragmentation).
+  *
+  * Scale shape: both loops are the 2-shuffle-per-iteration pattern
+  * (one equi-join + one groupBy), every generation localCheckpoint'd
+  * (the label-propagation lineage-truncation discipline — an
+  * unmaterialized 4-level iterative lineage re-derives the prefix
+  * exponentially). Normalization totals ride as broadcast one-row
+  * frames, never driver collects. The kNN edge set is the memoized
+  * chain_knn_edges frame every graph query shares. */
+object Breadth117 {
+
+  private[graft] val HitsScale = 1000000L
+  private[graft] val HitsIters = 4
+  private val HitsTopN = 10
+  private[graft] val MaxHops = 6
+
+  /** Integer HITS over a directed bipartite edge set: per iteration
+    * a(d) = Σ_in h, then L1-normalize to SCALE by floor division, then
+    * h(s) = Σ_out a, normalized the same way. Returns the top-10 of
+    * each side as (side, node, score). */
+  private[graft] def hits(edgesRaw: DataFrame,
+                          iters: Int = HitsIters): DataFrame = {
+    val edges = edgesRaw.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var h = edges.select(col("src")).distinct()
+      .select(col("src").as("node"), lit(HitsScale).as("h"))
+      .localCheckpoint()
+    var a: DataFrame = null
+    (1 to iters).foreach { _ =>
+      val ar = edges.join(h, edges("src") === h("node"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("ra"))
+      val at = ar.agg(sum(col("ra")).as("ta"))
+      a = ar.crossJoin(broadcast(at))
+        .select(col("dst"), expr(s"(ra * $HitsScale) div ta").as("a"))
+        .localCheckpoint()
+      val hr = edges.join(a, Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("a")).as("rh"))
+      val ht = hr.agg(sum(col("rh")).as("th"))
+      h = hr.crossJoin(broadcast(ht))
+        .select(col("src").as("node"), expr(s"(rh * $HitsScale) div th").as("h"))
+        .localCheckpoint()
+    }
+    val auths = a.orderBy(col("a").desc, col("dst").asc).limit(HitsTopN)
+      .select(lit("authority").as("side"), col("dst").as("node"),
+        col("a").as("score"))
+    val hubs = h.orderBy(col("h").desc, col("node").asc).limit(HitsTopN)
+      .select(lit("hub").as("side"), col("node"), col("h").as("score"))
+    auths.unionAll(hubs)
+      .orderBy(col("side").asc, col("score").desc, col("node").asc)
+  }
+
+  /** Hop-distance histogram of a multi-source BFS over an undirected
+    * edge set: `labels` (node, label) picks one seed per label (the
+    * minimum graph node); unreached graph nodes land on hop -1. */
+  private[graft] def hopHistogram(edgesU: DataFrame, labels: DataFrame,
+                                  maxHops: Int = MaxHops): DataFrame = {
+    val adj = edgesU.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionAll(edgesU.select(col("id_b").as("u"), col("id_a").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = adj.select(col("u").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcs = nodes.join(labels, Seq("node"))
+      .groupBy(col("label")).agg(min(col("node")).as("node"))
+      .select(col("node"))
+    var visited = srcs.select(col("node"), lit(0).as("hop"))
+      .localCheckpoint()
+    var frontier = visited.select(col("node"))
+    (1 to maxHops).foreach { i =>
+      // checkpointed frontiers keep each generation's attributes fresh,
+      // so the repeated self-shaped joins against `adj` never alias
+      val next = frontier.join(adj, frontier("node") === adj("u"))
+        .select(col("v").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(i).as("hop"))
+        .localCheckpoint()
+      visited = visited.unionAll(next).localCheckpoint()
+      frontier = next.select(col("node"))
+    }
+    val hist = visited.groupBy(col("hop")).agg(count(lit(1)).as("n_nodes"))
+    val unreached = nodes.agg(count(lit(1)).as("__nn"))
+      .crossJoin(broadcast(visited.agg(count(lit(1)).as("__nv"))))
+      .select(lit(-1).as("hop"), (col("__nn") - col("__nv")).as("n_nodes"))
+    hist.unionAll(unreached).orderBy(col("hop").asc)
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q_hits" -> ((s, dir) =>
+      hits(Tables.lineitem(s, dir).select(
+        col("l_suppkey").as("src"), col("l_partkey").as("dst")))),
+    "q_hop_histogram" -> ((s, dir) =>
+      hopHistogram(Extensions.knnGraphEdges(s, dir),
+        Tables.embeddings(s, dir)
+          .select(col("vec_id").as("node"), col("label")))))
+
+  /** One unrolled HITS iteration (authority pass + hub pass). */
+  private def hitsSteps: String = (1 to HitsIters).map { i =>
+    s""",
+       |ar$i AS MATERIALIZED (
+       |  SELECT e.dst, CAST(sum(h.h) AS BIGINT) AS ra
+       |  FROM edges e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst),
+       |a$i AS MATERIALIZED (
+       |  SELECT dst, CAST((ra * $HitsScale)
+       |    // (SELECT CAST(sum(ra) AS BIGINT) FROM ar$i) AS BIGINT) AS a
+       |  FROM ar$i),
+       |hr$i AS MATERIALIZED (
+       |  SELECT e.src, CAST(sum(a$i.a) AS BIGINT) AS rh
+       |  FROM edges e JOIN a$i ON e.dst = a$i.dst GROUP BY e.src),
+       |h$i AS MATERIALIZED (
+       |  SELECT src AS node, CAST((rh * $HitsScale)
+       |    // (SELECT CAST(sum(rh) AS BIGINT) FROM hr$i) AS BIGINT) AS h
+       |  FROM hr$i)""".stripMargin
+  }.mkString
+
+  /** One unrolled BFS hop (frontier expansion + visited union). */
+  private def bfsSteps: String = (1 to MaxHops).map { i =>
+    s""",
+       |f$i AS MATERIALIZED (
+       |  SELECT DISTINCT a.v AS node
+       |  FROM f${i - 1} f JOIN adj a ON f.node = a.u
+       |  WHERE NOT EXISTS (SELECT 1 FROM v${i - 1} p WHERE p.node = a.v)),
+       |v$i AS MATERIALIZED (
+       |  SELECT * FROM v${i - 1}
+       |  UNION ALL SELECT node, $i AS hop FROM f$i)""".stripMargin
+  }.mkString
+
+  val oracle: Map[String, String] = Map(
+    "q_hits" ->
+      s"""WITH edges AS MATERIALIZED (
+         |  SELECT DISTINCT l_suppkey AS src, l_partkey AS dst
+         |  FROM lineitem),
+         |h0 AS (
+         |  SELECT src AS node, CAST($HitsScale AS BIGINT) AS h
+         |  FROM (SELECT DISTINCT src FROM edges))$hitsSteps,
+         |sides AS (
+         |  SELECT 'authority' AS side, dst AS node, a AS score
+         |  FROM a$HitsIters
+         |  UNION ALL
+         |  SELECT 'hub' AS side, node, h AS score FROM h$HitsIters),
+         |ranked AS (
+         |  SELECT side, node, score, row_number() OVER (
+         |    PARTITION BY side ORDER BY score DESC, node) AS rn
+         |  FROM sides)
+         |SELECT side, node, score FROM ranked WHERE rn <= $HitsTopN
+         |ORDER BY side, score DESC, node""".stripMargin,
+
+    "q_hop_histogram" ->
+      s"""WITH ${Breadth43.knnEdgesSql},
+         |adj AS MATERIALIZED (
+         |  SELECT id_a AS u, id_b AS v FROM edges
+         |  UNION ALL SELECT id_b, id_a FROM edges),
+         |gn AS MATERIALIZED (SELECT DISTINCT u AS node FROM adj),
+         |srcs AS (
+         |  SELECT min(gn.node) AS node
+         |  FROM gn JOIN embeddings em ON em.vec_id = gn.node
+         |  GROUP BY em.label),
+         |v0 AS MATERIALIZED (SELECT node, 0 AS hop FROM srcs),
+         |f0 AS (SELECT node FROM v0)$bfsSteps
+         |SELECT hop, CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM v$MaxHops GROUP BY 1
+         |UNION ALL
+         |SELECT -1 AS hop,
+         |  (SELECT count(*) FROM gn) - (SELECT count(*) FROM v$MaxHops)
+         |    AS n_nodes
+         |ORDER BY hop""".stripMargin)
+}
