@@ -90,6 +90,7 @@ object SparkEntry {
     (Breadth115.defs, Breadth115.oracle),
     (Breadth116.defs, Breadth116.oracle),
     (Breadth117.defs, Breadth117.oracle),
+    (Breadth118.defs, Breadth118.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),

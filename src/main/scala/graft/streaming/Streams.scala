@@ -221,6 +221,12 @@ case class DemaScored(user_id: Long, day: java.time.LocalDate,
 case class PpoScored(user_id: Long, day: java.time.LocalDate,
                      close_cents: Long, ppo: Option[Double])
 
+/** One scored bar from the live Kalman local-level screen (append
+  * stream) — filtered level in the price domain plus this step's
+  * gain, the batch q_kalman columns. */
+case class KalmanScored(user_id: Long, day: java.time.LocalDate,
+                        close_cents: Long, kalman: Double, gain: Double)
+
 /** One scored bar from the live EWMA-volatility screen (append
   * stream); None at a key's first-ever bar — the batch null. */
 case class EwmaVolScored(user_id: Long, day: java.time.LocalDate,
@@ -1198,6 +1204,16 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Streaming twin of the batch q_kalman recurrence: one KalmanAcc
+    * per key (posterior mean/variance/gain), the SAME step function
+    * (append mode — one row per bar). */
+  def streamingKalman(ds: Dataset[BarRow]): Dataset[KalmanScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new KalmanProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming twin of the batch q_vpin volume buckets: O(1) keyed
     * state (last close, cumulative volume, the open bucket's running
     * imbalance); a completed bucket is emitted the moment a tick opens
@@ -1920,6 +1936,23 @@ class DemaProcessor
   protected def score(user: Long, b: BarRow,
                       a: graft.queries.Breadth28.DemaAcc): DemaScored =
     DemaScored(user, b.day, b.close_cents, (2.0 * a.e1 - a.e2) / 100.0)
+}
+
+/** Keyed processor behind [[Streams.streamingKalman]] — the batch
+  * `Breadth118.kalmanStep` on O(1) keyed state, emit in the price
+  * domain with the batch form's exact x/100 and gain. */
+class KalmanProcessor
+    extends BarFoldProcessor[graft.queries.Breadth118.KalmanAcc,
+      KalmanScored](
+      "kalman",
+      org.apache.spark.sql.Encoders.product[
+        graft.queries.Breadth118.KalmanAcc]) {
+  protected def step(st: Option[graft.queries.Breadth118.KalmanAcc],
+                     closeCents: Long): graft.queries.Breadth118.KalmanAcc =
+    graft.queries.Breadth118.kalmanStep(st, closeCents)
+  protected def score(user: Long, b: BarRow,
+                      a: graft.queries.Breadth118.KalmanAcc): KalmanScored =
+    KalmanScored(user, b.day, b.close_cents, a.x / 100.0, a.k)
 }
 
 /** Keyed processor behind [[Streams.streamingEwmaVol]] — the batch
