@@ -91,6 +91,7 @@ object SparkEntry {
     (Breadth116.defs, Breadth116.oracle),
     (Breadth117.defs, Breadth117.oracle),
     (Breadth118.defs, Breadth118.oracle),
+    (Breadth119.defs, Breadth119.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
