@@ -92,6 +92,7 @@ object SparkEntry {
     (Breadth117.defs, Breadth117.oracle),
     (Breadth118.defs, Breadth118.oracle),
     (Breadth119.defs, Breadth119.oracle),
+    (Breadth120.defs, Breadth120.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
