@@ -93,6 +93,7 @@ object SparkEntry {
     (Breadth118.defs, Breadth118.oracle),
     (Breadth119.defs, Breadth119.oracle),
     (Breadth120.defs, Breadth120.oracle),
+    (Breadth121.defs, Breadth121.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
