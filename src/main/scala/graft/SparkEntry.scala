@@ -94,6 +94,7 @@ object SparkEntry {
     (Breadth119.defs, Breadth119.oracle),
     (Breadth120.defs, Breadth120.oracle),
     (Breadth121.defs, Breadth121.oracle),
+    (Breadth122.defs, Breadth122.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
