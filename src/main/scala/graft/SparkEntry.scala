@@ -95,6 +95,7 @@ object SparkEntry {
     (Breadth120.defs, Breadth120.oracle),
     (Breadth121.defs, Breadth121.oracle),
     (Breadth122.defs, Breadth122.oracle),
+    (Breadth123.defs, Breadth123.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),

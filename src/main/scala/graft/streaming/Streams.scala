@@ -227,6 +227,11 @@ case class PpoScored(user_id: Long, day: java.time.LocalDate,
 case class KalmanScored(user_id: Long, day: java.time.LocalDate,
                         close_cents: Long, kalman: Double, gain: Double)
 
+/** One scored bar from the live clamped-balance screen (append
+  * stream) — the batch q_clamped_balance columns. */
+case class ClampScored(user_id: Long, day: java.time.LocalDate,
+                       close_cents: Long, balance: Long)
+
 /** One scored bar from the live EWMA-volatility screen (append
   * stream); None at a key's first-ever bar — the batch null. */
 case class EwmaVolScored(user_id: Long, day: java.time.LocalDate,
@@ -1214,6 +1219,16 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Streaming twin of the batch q_clamped_balance recurrence: one
+    * ClampAcc per key (prev close + clamped balance), the SAME step
+    * function (append mode). */
+  def streamingClampedBalance(ds: Dataset[BarRow]): Dataset[ClampScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new ClampProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming twin of the batch q_vpin volume buckets: O(1) keyed
     * state (last close, cumulative volume, the open bucket's running
     * imbalance); a completed bucket is emitted the moment a tick opens
@@ -1953,6 +1968,22 @@ class KalmanProcessor
   protected def score(user: Long, b: BarRow,
                       a: graft.queries.Breadth118.KalmanAcc): KalmanScored =
     KalmanScored(user, b.day, b.close_cents, a.x / 100.0, a.k)
+}
+
+/** Keyed processor behind [[Streams.streamingClampedBalance]] — the
+  * batch `Breadth123.clampStep` on O(1) keyed state. */
+class ClampProcessor
+    extends BarFoldProcessor[graft.queries.Breadth123.ClampAcc,
+      ClampScored](
+      "clamp",
+      org.apache.spark.sql.Encoders.product[
+        graft.queries.Breadth123.ClampAcc]) {
+  protected def step(st: Option[graft.queries.Breadth123.ClampAcc],
+                     closeCents: Long): graft.queries.Breadth123.ClampAcc =
+    graft.queries.Breadth123.clampStep(st, closeCents)
+  protected def score(user: Long, b: BarRow,
+                      a: graft.queries.Breadth123.ClampAcc): ClampScored =
+    ClampScored(user, b.day, b.close_cents, a.bal)
 }
 
 /** Keyed processor behind [[Streams.streamingEwmaVol]] — the batch
