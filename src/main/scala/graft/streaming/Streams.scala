@@ -232,6 +232,14 @@ case class KalmanScored(user_id: Long, day: java.time.LocalDate,
 case class ClampScored(user_id: Long, day: java.time.LocalDate,
                        close_cents: Long, balance: Long)
 
+/** One typed event for the live sequence-match screen. */
+case class SeqEvent(user_id: Long, event_id: Long,
+                    ts: java.sql.Timestamp, initial: String)
+
+/** The live sequence-match verdict after each micro-batch (update
+  * stream): events seen so far and whether `s[^e]*p` has matched. */
+case class SeqMatchScored(user_id: Long, seq_len: Long, matched: Boolean)
+
 /** One scored bar from the live EWMA-volatility screen (append
   * stream); None at a key's first-ever bar — the batch null. */
 case class EwmaVolScored(user_id: Long, day: java.time.LocalDate,
@@ -1229,6 +1237,20 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Streaming twin of the batch q_sequence_match regex: the pattern
+    * `s[^e]*p` ("a signup converts with no error between") compiled to
+    * an O(1) DFA per key — active-signup flag, absorbing matched flag,
+    * event count — emitting the current verdict each micro-batch
+    * (update mode). The batch regex over the collected string and this
+    * DFA decide the same language, so the LAST emit equals the batch
+    * verdict on the same prefix. */
+  def streamingSequenceMatch(ds: Dataset[SeqEvent]): Dataset[SeqMatchScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new SeqMatchProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Streaming twin of the batch q_vpin volume buckets: O(1) keyed
     * state (last close, cumulative volume, the open bucket's running
     * imbalance); a completed bucket is emitted the moment a tick opens
@@ -1984,6 +2006,40 @@ class ClampProcessor
   protected def score(user: Long, b: BarRow,
                       a: graft.queries.Breadth123.ClampAcc): ClampScored =
     ClampScored(user, b.day, b.close_cents, a.bal)
+}
+
+/** Keyed processor behind [[Streams.streamingSequenceMatch]] — the
+  * `s[^e]*p` DFA on O(1) keyed state: `active` = a signup with no
+  * error since, `matched` absorbing. Rows fold in (ts, event_id)
+  * order within each batch (the arrival-order convention of the bar
+  * twins). */
+class SeqMatchProcessor
+    extends StatefulProcessor[Long, SeqEvent, SeqMatchScored] {
+  @transient private var st: ValueState[(Boolean, Boolean, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Boolean, Boolean, Long)]("seqmatch",
+      org.apache.spark.sql.Encoders.product[(Boolean, Boolean, Long)],
+      TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[SeqEvent],
+                               timerValues: TimerValues)
+      : Iterator[SeqMatchScored] = {
+    var (active, matched, n) =
+      if (st.exists()) st.get() else (false, false, 0L)
+    rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      .foreach { e =>
+      e.initial match {
+        case "s" => active = true
+        case "e" => active = false
+        case "p" => if (active) matched = true
+        case _ =>
+      }
+      n += 1
+    }
+    st.update((active, matched, n))
+    Iterator.single(SeqMatchScored(user, n, matched))
+  }
 }
 
 /** Keyed processor behind [[Streams.streamingEwmaVol]] — the batch

@@ -796,4 +796,26 @@ class PlanSpec extends SparkSpec {
       assertNoSinglePartitionShuffle(df, q)
     }
   }
+
+  test("waves 117-124: broadcast small sides, no cartesian, key-" +
+    "distributed heavy stages") {
+    // no unbounded cartesian anywhere in the new tier (the bitemporal
+    // probe grid and the PQ probe-dot table ride as broadcasts)
+    for (q <- Seq("q_hits", "q_window_funnel", "q_sequence_match",
+        "q_perm_test", "q_pq_adc", "q_bitemporal", "q_dup_ngram_coverage",
+        "q_kalman", "q_clamped_balance", "q_dtw_market")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf0001))
+      assert(!p.contains("CartesianProduct"), q)
+    }
+    // the funnel is ONE user-keyed aggregate over the scan plus the
+    // |levels|-sized histogram — the per-user greedy never shuffles pairs
+    val wf = SparkEntry.queries("q_window_funnel")(spark, sf0001)
+    assert(marginalExchanges(wf).size <= 3, "q_window_funnel shuffles grew")
+    assertNoSinglePartitionShuffle(
+      SparkEntry.queries("q_perm_test")(spark, sf0001), "q_perm_test")
+    // PQ ADC scores against BROADCAST probe-dot / codebook tables — the
+    // corpus side never lands in a shuffled-hash build
+    val pq = plan(SparkEntry.queries("q_pq_adc")(spark, sf0001))
+    assert(pq.contains("BroadcastHashJoin"), "q_pq_adc broadcast lookup")
+  }
 }
