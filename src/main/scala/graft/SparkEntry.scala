@@ -97,6 +97,7 @@ object SparkEntry {
     (Breadth122.defs, Breadth122.oracle),
     (Breadth123.defs, Breadth123.oracle),
     (Breadth124.defs, Breadth124.oracle),
+    (Breadth125.defs, Breadth125.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),

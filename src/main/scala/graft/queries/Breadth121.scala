@@ -147,8 +147,10 @@ object Breadth121 {
     "q_pq_adc" -> ((s, dir) => pqAdc(Tables.embeddings(s, dir))),
     "q_pq_recall" -> ((s, dir) => pqRecall(s, dir)))
 
-  /** The PQ chain as WITH-chain body CTEs (no leading WITH). */
-  private val PqSql =
+  /** The PQ chain as WITH-chain body CTEs (no leading WITH) — shared
+    * with the RRF fusion oracle (Breadth125) so the encoding cannot
+    * drift. */
+  private[queries] val PqSql =
     s"""pe0 AS (
        |  SELECT vec_id, label,
        |    unnest(range(1, 65)) AS pos,
