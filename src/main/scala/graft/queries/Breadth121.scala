@@ -98,7 +98,20 @@ object Breadth121 {
   }
 
   /** ADC shortlist size for the exact re-rank stage. */
-  private val PqShortlist = 50
+  private[queries] val PqShortlist = 50
+
+  /** The ADC shortlist (top-50 per probe), memoized per (session, sf
+    * dir) — q_pq_adc, q_pq_recall and the RRF fusion all read the SAME
+    * encoded ranking instead of each re-running the |V|·|labels|·dims
+    * encode join (measured 10.6×/9.8× duplicated at the sf1 step
+    * before the memo). Bench attributes the one-time build to
+    * `chain_pq_topk`. The top-5 is a filter on it: row_number ranks
+    * agree on every prefix. */
+  private[queries] def pqShortlist(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): DataFrame =
+    Extensions.memoized(s, s"pqadc$PqShortlist|$dir") {
+      pqAdc(Tables.embeddings(s, dir), PqShortlist)
+    }
 
   /** Mean recall@5 of (a) the raw ADC top-5 and (b) the production
     * two-stage pipeline — ADC top-50 shortlist re-ranked by EXACT
@@ -108,7 +121,7 @@ object Breadth121 {
   private[graft] def pqRecall(s: org.apache.spark.sql.SparkSession,
                               dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val short = pqAdc(emb, PqShortlist)
+    val short = pqShortlist(s, dir)
       .select(col("probe_id"), col("rank"), col("neighbor_id"))
     val pv = emb.select(col("vec_id").as("probe_id"),
       col("embedding").as("__pv"))
@@ -144,7 +157,9 @@ object Breadth121 {
   }
 
   val defs: Map[String, Q] = Map(
-    "q_pq_adc" -> ((s, dir) => pqAdc(Tables.embeddings(s, dir))),
+    "q_pq_adc" -> ((s, dir) =>
+      pqShortlist(s, dir).filter(col("rank") <= PqTopK)
+        .orderBy(col("probe_id").asc, col("rank").asc)),
     "q_pq_recall" -> ((s, dir) => pqRecall(s, dir)))
 
   /** The PQ chain as WITH-chain body CTEs (no leading WITH) — shared

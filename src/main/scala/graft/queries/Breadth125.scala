@@ -31,7 +31,7 @@ object Breadth125 {
     val brute = Extensions.bruteTopK(s, dir)
       .filter(col("rank") <= TopK)
       .select(col("probe_id"), col("neighbor_id"), col("rank").as("__ra"))
-    val pq = Breadth121.pqAdc(Tables.embeddings(s, dir))
+    val pq = Breadth121.pqShortlist(s, dir)
       .filter(col("rank") <= TopK)
       .select(col("probe_id"), col("neighbor_id"), col("rank").as("__rb"))
     val fused = brute.join(pq, Seq("probe_id", "neighbor_id"), "full_outer")

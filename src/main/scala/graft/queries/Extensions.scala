@@ -142,6 +142,8 @@ object Extensions {
     // Int8-quantized top-5 ranking shared by the wave-47 eval pair
     // (q_quant_ndcg, q_recall_curve).
     "chain_quant_topk" -> (() => Breadth46.quantTop5(s, dir)),
+    // PQ ADC shortlist shared by q_pq_adc / q_pq_recall / q_rrf_fusion.
+    "chain_pq_topk" -> (() => Breadth121.pqShortlist(s, dir)),
     // kNN-graph component labels (wave-50 q_graph_components) — RUNS
     // propagation generations, hence the eager memo.
     "chain_knn_components" -> (() => knnComponents(s, dir)))
