@@ -99,6 +99,7 @@ object SparkEntry {
     (Breadth124.defs, Breadth124.oracle),
     (Breadth125.defs, Breadth125.oracle),
     (Breadth126.defs, Breadth126.oracle),
+    (Breadth127.defs, Breadth127.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
