@@ -100,6 +100,7 @@ object SparkEntry {
     (Breadth125.defs, Breadth125.oracle),
     (Breadth126.defs, Breadth126.oracle),
     (Breadth127.defs, Breadth127.oracle),
+    (Breadth128.defs, Breadth128.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
