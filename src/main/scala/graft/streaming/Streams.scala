@@ -240,6 +240,17 @@ case class SeqEvent(user_id: Long, event_id: Long,
   * stream): events seen so far and whether `s[^e]*p` has matched. */
 case class SeqMatchScored(user_id: Long, seq_len: Long, matched: Boolean)
 
+/** The live funnel level after each micro-batch (update stream). */
+case class FunnelScored(user_id: Long, level: Int)
+
+/** Keyed state of the live window funnel: current level, the views
+  * not yet paired with a later click (µs), and the open (click,
+  * deadline) frontier a future purchase could complete. Both lists
+  * are bounded by the events inside one funnel window — a dead anchor
+  * (deadline before the newest seen ts) is pruned every batch. */
+case class FunnelState(level: Int, pendingViews: Seq[Long],
+                       frontier: Seq[(Long, Long)], maxTs: Long)
+
 /** One scored bar from the live EWMA-volatility screen (append
   * stream); None at a key's first-ever bar — the batch null. */
 case class EwmaVolScored(user_id: Long, day: java.time.LocalDate,
@@ -1251,6 +1262,24 @@ object Streams {
         OutputMode.Update())
   }
 
+  /** Streaming twin of the batch q_window_funnel: per key, the live
+    * view→click→purchase level under the 48 h deadline, on BOUNDED
+    * state — pending views (awaiting their earliest later click) and
+    * the open (click, deadline) anchor frontier a future purchase can
+    * still complete; anchors whose deadline passed the newest seen ts
+    * are pruned each batch, so state is bounded by one window's
+    * events. Emits the current level per batch (update mode); the
+    * final level equals the batch greedy on the same prefix (events
+    * assumed in ts order across batches — the bar twins' convention). */
+  def streamingWindowFunnel(ds: Dataset[SeqEvent],
+                            windowUs: Long = graft.queries.Breadth120
+                              .FunnelWindowUs): Dataset[FunnelScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(windowUs), TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Streaming twin of the batch q_vpin volume buckets: O(1) keyed
     * state (last close, cumulative volume, the open bucket's running
     * imbalance); a completed bucket is emitted the moment a tick opens
@@ -2039,6 +2068,61 @@ class SeqMatchProcessor
     }
     st.update((active, matched, n))
     Iterator.single(SeqMatchScored(user, n, matched))
+  }
+}
+
+/** Keyed processor behind [[Streams.streamingWindowFunnel]]. Event
+  * semantics mirror the batch greedy exactly: a view opens a pending
+  * anchor; the EARLIEST later click pairs every pending view (those
+  * within deadline join the frontier, the rest die — any later click
+  * is later still); a purchase strictly after some frontier click and
+  * within its anchor's deadline completes level 3 (absorbing). */
+class FunnelProcessor(windowUs: Long)
+    extends StatefulProcessor[Long, SeqEvent, FunnelScored] {
+  @transient private var st: ValueState[FunnelState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[FunnelState]("funnel",
+      org.apache.spark.sql.Encoders.product[FunnelState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[SeqEvent],
+                               timerValues: TimerValues)
+      : Iterator[FunnelScored] = {
+    var s = if (st.exists()) st.get()
+            else FunnelState(0, Seq.empty, Seq.empty, Long.MinValue)
+    rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      .foreach { e =>
+        val t = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+        if (s.level < 3) {
+          e.initial match {
+            case "v" =>
+              s = s.copy(level = math.max(s.level, 1),
+                pendingViews = s.pendingViews :+ t, maxTs = t)
+            case "c" =>
+              val (alive, _) = s.pendingViews.filter(_ < t)
+                .partition(v => t <= v + windowUs)
+              val kept = s.pendingViews.filterNot(_ < t)
+              val newFrontier = s.frontier ++ alive.map(v => (t, v + windowUs))
+              s = s.copy(
+                level = if (alive.nonEmpty) math.max(s.level, 2) else s.level,
+                pendingViews = kept,
+                frontier = newFrontier.filter(_._2 >= t), maxTs = t)
+            case "p" =>
+              if (s.frontier.exists(f => t > f._1 && t <= f._2))
+                s = s.copy(level = 3, pendingViews = Seq.empty,
+                  frontier = Seq.empty, maxTs = t)
+              else s = s.copy(maxTs = t)
+            case _ => s = s.copy(maxTs = t)
+          }
+          // prune anchors no in-order future purchase can complete and
+          // pending views no in-order future click can pair in-window
+          if (s.level < 3)
+            s = s.copy(frontier = s.frontier.filter(_._2 >= s.maxTs),
+              pendingViews = s.pendingViews.filter(_ + windowUs >= s.maxTs))
+        }
+      }
+    st.update(s)
+    Iterator.single(FunnelScored(user, s.level))
   }
 }
 
