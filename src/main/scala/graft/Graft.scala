@@ -2279,4 +2279,119 @@ object Graft {
     * text.Web.canonicalUrl. */
   def canonicalUrl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     text.Web.canonicalUrl(c)
+
+  // ---- round-10 operators (waves 123-136), re-exported ----------------
+
+  /** Integer HITS hubs/authorities over a directed (src, dst) edge
+    * frame — see queries.Breadth117.hits. */
+  def hits(edges: DataFrame): DataFrame = queries.Breadth117.hits(edges)
+
+  /** Multi-source BFS hop histogram over an undirected (id_a, id_b)
+    * edge frame with (node, label) seeds per label. */
+  def hopHistogram(edges: DataFrame, labels: DataFrame): DataFrame =
+    queries.Breadth117.hopHistogram(edges, labels)
+
+  /** 1-D local-level Kalman filter per key over daily close bars. */
+  def kalman(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+             tieBreak: String): DataFrame =
+    queries.Breadth118.kalman(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** DTW distance from each key's close series to the per-day median
+    * market series (all-integer DP). */
+  def dtwMarket(df: DataFrame, keyCol: String, tsCol: String,
+                valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth118.dtwMarket(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Sign-flip permutation test of mean day move = 0, exact rational
+    * p-values. */
+  def permTest(df: DataFrame, keyCol: String, tsCol: String,
+               valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth119.permTest(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Benjamini–Hochberg step-up over the permutation p-values. */
+  def bhFdr(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+            tieBreak: String): DataFrame =
+    queries.Breadth119.bhFdr(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** 48 h view→click→purchase funnel level histogram (greedy merge). */
+  def windowFunnel(df: DataFrame, keyCol: String = "user_id",
+                   typeCol: String = "event_type",
+                   tsCol: String = "ts"): DataFrame =
+    queries.Breadth120.windowFunnel(df, keyCol, typeCol, tsCol)
+
+  /** Ordered event-type sequence regex verdict per key. */
+  def sequenceMatch(df: DataFrame, keyCol: String = "user_id",
+                    typeCol: String = "event_type", tsCol: String = "ts",
+                    tieBreak: String = "event_id",
+                    pattern: String = "s[^e]*p"): DataFrame =
+    queries.Breadth120.sequenceMatch(df, keyCol, typeCol, tsCol, tieBreak,
+      pattern)
+
+  /** Product-quantization ADC top-k for the probe vectors. */
+  def pqAdc(embeddings: DataFrame, k: Int = 5): DataFrame =
+    queries.Breadth121.pqAdc(embeddings, k)
+
+  /** JL sign-projection cosine-distortion report over the kNN pairs. */
+  def rpDistortion(spark: SparkSession, dir: String): DataFrame =
+    queries.Breadth122.rpDistortion(spark, dir)
+
+  /** Cluster-aware vs naive split near-dup leakage report. */
+  def leakageSplit(spark: SparkSession, dir: String): DataFrame =
+    queries.Breadth122.leakageSplit(spark, dir)
+
+  /** Per-document duplicate-5-gram corpus coverage. */
+  def dupNgramCoverage(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    queries.Breadth123.dupNgramCoverage(docs, idCol, textCol)
+
+  /** Zero-clamped running balance of day moves per key. */
+  def clampedBalance(df: DataFrame, keyCol: String, tsCol: String,
+                     valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth123.clampedBalance(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Bitemporal value-as-of over the 3×3 (tx, valid) probe grid. */
+  def bitemporal(df: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth124.bitemporal(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Reciprocal-rank fusion of the exact and PQ retrieval rankings. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame =
+    queries.Breadth125.rrfFusion(spark, dir)
+
+  /** MMR diversity re-ranking of each probe's top-10 candidates. */
+  def mmrDiversify(embeddings: DataFrame): DataFrame =
+    queries.Breadth126.mmrDiversify(embeddings)
+
+  /** Content-defined chunking + dedup stats over (media_id, kind,
+    * bytes) blobs. */
+  def cdcChunks(media: DataFrame): DataFrame =
+    queries.Breadth127.cdcChunks(media)
+
+  /** Per-language over-represented tokens by exact integer lift. */
+  def distinctiveTokens(docs: DataFrame): DataFrame =
+    queries.Breadth128.distinctiveTokens(docs)
+
+  /** Pairwise language vocabulary Jaccard. */
+  def vocabOverlap(docs: DataFrame): DataFrame =
+    queries.Breadth128.vocabOverlap(docs)
+
+  /** Live Kalman screen — see streaming.Streams.streamingKalman. */
+  def liveKalman(bars: org.apache.spark.sql.Dataset[streaming.BarRow])
+      : org.apache.spark.sql.Dataset[streaming.KalmanScored] =
+    streaming.Streams.streamingKalman(bars)
+
+  /** Live clamped-balance screen. */
+  def liveClampedBalance(bars: org.apache.spark.sql.Dataset[streaming.BarRow])
+      : org.apache.spark.sql.Dataset[streaming.ClampScored] =
+    streaming.Streams.streamingClampedBalance(bars)
+
+  /** Live sequence-match DFA. */
+  def liveSequenceMatch(ev: org.apache.spark.sql.Dataset[streaming.SeqEvent])
+      : org.apache.spark.sql.Dataset[streaming.SeqMatchScored] =
+    streaming.Streams.streamingSequenceMatch(ev)
+
+  /** Live window funnel on bounded anchor-frontier state. */
+  def liveWindowFunnel(ev: org.apache.spark.sql.Dataset[streaming.SeqEvent])
+      : org.apache.spark.sql.Dataset[streaming.FunnelScored] =
+    streaming.Streams.streamingWindowFunnel(ev)
 }

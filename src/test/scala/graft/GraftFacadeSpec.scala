@@ -283,4 +283,38 @@ class GraftFacadeSpec extends SparkSpec {
       "k")) == q("q_dollar_bars"))
     assert(rows(Graft.langPrf(docs)) == q("q_lang_prf"))
   }
+
+  test("Graft round-10 facades (hits / kalman / dtwMarket / permTest / " +
+    "windowFunnel / sequenceMatch / pqAdc / bitemporal / rrfFusion / " +
+    "mmrDiversify / clampedBalance / dupNgramCoverage / " +
+    "distinctiveTokens / vocabOverlap) match their oracle-checked " +
+    "queries") {
+    val e = Tables.events(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
+    def q(name: String) = rows(SparkEntry.queries(name)(spark, sf0001))
+    assert(rows(Graft.hits(Tables.lineitem(spark, sf0001).select(
+      col("l_suppkey").as("src"), col("l_partkey").as("dst"))))
+      == q("q_hits"))
+    assert(rows(Graft.kalman(e, "user_id", "ts", "value", "event_id")
+      .orderBy(col("user_id").asc, col("day").asc)) == q("q_kalman"))
+    assert(rows(Graft.dtwMarket(e, "user_id", "ts", "value", "event_id"))
+      == q("q_dtw_market"))
+    assert(rows(Graft.permTest(e, "user_id", "ts", "value", "event_id"))
+      == q("q_perm_test"))
+    assert(rows(Graft.windowFunnel(e)) == q("q_window_funnel"))
+    assert(rows(Graft.sequenceMatch(e)) == q("q_sequence_match"))
+    assert(rows(Graft.pqAdc(emb).orderBy(col("probe_id").asc,
+      col("rank").asc)) == q("q_pq_adc"))
+    assert(rows(Graft.bitemporal(e, "user_id", "ts", "value", "event_id"))
+      == q("q_bitemporal"))
+    assert(rows(Graft.rrfFusion(spark, sf0001)) == q("q_rrf_fusion"))
+    assert(rows(Graft.mmrDiversify(emb)) == q("q_mmr_diversify"))
+    assert(rows(Graft.clampedBalance(e, "user_id", "ts", "value",
+      "event_id").orderBy(col("user_id").asc, col("day").asc))
+      == q("q_clamped_balance"))
+    assert(rows(Graft.dupNgramCoverage(docs)) == q("q_dup_ngram_coverage"))
+    assert(rows(Graft.distinctiveTokens(docs)) == q("q_distinctive_tokens"))
+    assert(rows(Graft.vocabOverlap(docs)) == q("q_vocab_overlap"))
+  }
 }
