@@ -101,6 +101,7 @@ object SparkEntry {
     (Breadth126.defs, Breadth126.oracle),
     (Breadth127.defs, Breadth127.oracle),
     (Breadth128.defs, Breadth128.oracle),
+    (Breadth129.defs, Breadth129.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
