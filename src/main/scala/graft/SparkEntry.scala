@@ -102,6 +102,7 @@ object SparkEntry {
     (Breadth127.defs, Breadth127.oracle),
     (Breadth128.defs, Breadth128.oracle),
     (Breadth129.defs, Breadth129.oracle),
+    (Breadth130.defs, Breadth130.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),

@@ -243,6 +243,12 @@ case class SeqMatchScored(user_id: Long, seq_len: Long, matched: Boolean)
 /** The live funnel level after each micro-batch (update stream). */
 case class FunnelScored(user_id: Long, level: Int)
 
+/** One scored bar from the live Page–Hinkley drift screen (append
+  * stream) — the batch q_page_hinkley columns. */
+case class PhScored(user_id: Long, day: java.time.LocalDate,
+                    close_cents: Long, ph_m: Double, ph_stat: Double,
+                    alarmed: Boolean)
+
 /** Keyed state of the live window funnel: current level, the views
   * not yet paired with a later click (µs), and the open (click,
   * deadline) frontier a future purchase could complete. Both lists
@@ -1238,6 +1244,15 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Streaming twin of the batch q_page_hinkley drift detector: one
+    * PhAcc per key, the SAME step function (append mode). */
+  def streamingPageHinkley(ds: Dataset[BarRow]): Dataset[PhScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new PageHinkleyProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming twin of the batch q_clamped_balance recurrence: one
     * ClampAcc per key (prev close + clamped balance), the SAME step
     * function (append mode). */
@@ -2019,6 +2034,21 @@ class KalmanProcessor
   protected def score(user: Long, b: BarRow,
                       a: graft.queries.Breadth118.KalmanAcc): KalmanScored =
     KalmanScored(user, b.day, b.close_cents, a.x / 100.0, a.k)
+}
+
+/** Keyed processor behind [[Streams.streamingPageHinkley]] — the
+  * batch `Breadth130.phStep` on O(1) keyed state. */
+class PageHinkleyProcessor
+    extends BarFoldProcessor[graft.queries.Breadth130.PhAcc, PhScored](
+      "pagehinkley",
+      org.apache.spark.sql.Encoders.product[
+        graft.queries.Breadth130.PhAcc]) {
+  protected def step(st: Option[graft.queries.Breadth130.PhAcc],
+                     closeCents: Long): graft.queries.Breadth130.PhAcc =
+    graft.queries.Breadth130.phStep(st, closeCents)
+  protected def score(user: Long, b: BarRow,
+                      a: graft.queries.Breadth130.PhAcc): PhScored =
+    PhScored(user, b.day, b.close_cents, a.m, a.m - a.minM, a.alarmed)
 }
 
 /** Keyed processor behind [[Streams.streamingClampedBalance]] — the
