@@ -103,6 +103,7 @@ object SparkEntry {
     (Breadth128.defs, Breadth128.oracle),
     (Breadth129.defs, Breadth129.oracle),
     (Breadth130.defs, Breadth130.oracle),
+    (Breadth131.defs, Breadth131.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
