@@ -104,6 +104,7 @@ object SparkEntry {
     (Breadth129.defs, Breadth129.oracle),
     (Breadth130.defs, Breadth130.oracle),
     (Breadth131.defs, Breadth131.oracle),
+    (Breadth132.defs, Breadth132.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
