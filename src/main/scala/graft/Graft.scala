@@ -2394,4 +2394,37 @@ object Graft {
   def liveWindowFunnel(ev: org.apache.spark.sql.Dataset[streaming.SeqEvent])
       : org.apache.spark.sql.Dataset[streaming.FunnelScored] =
     streaming.Streams.streamingWindowFunnel(ev)
+
+  /** Forecast-baseline MAEs + MASE ratios per key. */
+  def forecastEval(df: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth129.forecastEval(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** 7×24 ISO-weekday × hour activity grid. */
+  def hourDowGrid(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    queries.Breadth129.hourDowGrid(df, tsCol)
+
+  /** Page–Hinkley drift statistic + absorbing alarm per key. */
+  def pageHinkley(df: DataFrame, keyCol: String, tsCol: String,
+                  valCol: String, tieBreak: String): DataFrame =
+    queries.Breadth130.pageHinkley(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Leave-one-out kNN label accuracy per label. */
+  def knnEval(embeddings: DataFrame): DataFrame =
+    queries.Breadth131.knnEval(embeddings)
+
+  /** Two-sample Anderson–Darling between two groups of a column. */
+  def andersonDarling(df: DataFrame, grpCol: String, valCol: String,
+                      a: String, b: String): DataFrame =
+    queries.Breadth132.andersonDarling(df, grpCol, valCol, a, b)
+
+  /** Split × language stratification balance of the leakage-safe
+    * split. */
+  def splitBalance(spark: SparkSession, dir: String): DataFrame =
+    queries.Breadth133.splitBalance(spark, dir)
+
+  /** Live Page–Hinkley drift screen. */
+  def livePageHinkley(bars: org.apache.spark.sql.Dataset[streaming.BarRow])
+      : org.apache.spark.sql.Dataset[streaming.PhScored] =
+    streaming.Streams.streamingPageHinkley(bars)
 }
