@@ -106,6 +106,7 @@ object SparkEntry {
     (Breadth131.defs, Breadth131.oracle),
     (Breadth132.defs, Breadth132.oracle),
     (Breadth133.defs, Breadth133.oracle),
+    (Breadth134.defs, Breadth134.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
