@@ -2427,4 +2427,9 @@ object Graft {
   def livePageHinkley(bars: org.apache.spark.sql.Dataset[streaming.BarRow])
       : org.apache.spark.sql.Dataset[streaming.PhScored] =
     streaming.Streams.streamingPageHinkley(bars)
+
+  /** CUPED variance reduction over pre/post user halves. */
+  def cuped(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+            tieBreak: String): DataFrame =
+    queries.Breadth134.cuped(df, keyCol, tsCol, valCol, tieBreak)
 }
