@@ -107,6 +107,7 @@ object SparkEntry {
     (Breadth132.defs, Breadth132.oracle),
     (Breadth133.defs, Breadth133.oracle),
     (Breadth134.defs, Breadth134.oracle),
+    (Breadth135.defs, Breadth135.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
