@@ -53,8 +53,27 @@ object Breadth43 {
       .distinct()
 
   /** The DIRECTED top-k rows the undirected edge set unions — exposed
-    * for derived graphs (the mutual-kNN edges of q_kcore). */
+    * for derived graphs (the mutual-kNN edges of q_kcore). Built via
+    * the metric-pruned IVF path (`Ivf.exactKnnDirected`): identical
+    * output to [[knnDirectedExact]] — recall 1.0 by the triangle-
+    * inequality cell bound, pinned in KnnExactIvfSpec — at
+    * Θ(n^1.5/√blocks) instead of the all-pairs Σ|block|² (which a
+    * single hot block turns quadratic at 100 TB). The one count job
+    * here sizes the cell grid; the oracle keeps the all-pairs
+    * definition, so the twin pair cannot drift apart silently. */
   private[graft] def knnDirected(emb: DataFrame, k: Int = KnnK): DataFrame = {
+    val r = emb.agg(count(lit(1)).as("n"),
+      count_distinct(col("label")).as("b")).head()
+    graft.sim.Ivf.exactKnnDirected(emb, k,
+      graft.sim.Ivf.adaptiveCells(r.getLong(0), r.getLong(1)))
+  }
+
+  /** The all-pairs within-block build — the ORACLE TWIN of
+    * [[knnDirected]] (mirrors `knnEdgesSql` line for line) and the
+    * ground truth KnnExactIvfSpec pins the IVF path against. Quadratic
+    * per block by construction: correct at gate SFs, never the
+    * production path. */
+  private[graft] def knnDirectedExact(emb: DataFrame, k: Int = KnnK): DataFrame = {
     val a = emb.select(col("label"), col("vec_id").as("src"),
       col("embedding").as("__va"))
     val b = emb.select(col("label"), col("vec_id").as("dst"),

@@ -164,8 +164,16 @@ object Extensions {
     * block-quadratic kNN build. */
   private[queries] def knnGraphEdges(s: org.apache.spark.sql.SparkSession,
                                      dir: String): org.apache.spark.sql.DataFrame =
-    memoized(s, s"knngraph|$dir") {
-      Breadth43.knnEdges(Tables.embeddings(s, dir))
+    memoCache.synchronized { memoCache.get((s, s"knngraph|$dir")) } match {
+      case Some(df) => df
+      // knnEdges runs one sizing count job (the IVF cell grid), so the
+      // plan is BUILT before taking the memo lock — the memoized
+      // contract is that nothing under the lock runs a Spark job. Two
+      // racing builders are benign: getOrElseUpdate keeps the first,
+      // the loser's plan was never materialized.
+      case None =>
+        val edges = Breadth43.knnEdges(Tables.embeddings(s, dir))
+        memoized(s, s"knngraph|$dir")(edges)
     }
 
   /** Brute-force cosine top-5 ground truth for the 10 probe vectors,
