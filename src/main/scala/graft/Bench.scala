@@ -22,10 +22,10 @@ object Bench {
     // exceeded per-query signal — q_aroon ×20→×4 warm, 5.5× gaps between
     // structural twins): one DISCARDED cold run (absorbs per-query
     // codegen + first-touch), then median of 3 warm runs. Chain lines
-    // are the exception — their first run IS the number (a chain line
-    // exists to attribute one-time materialization cost), so they time
-    // cold. A failing query records the sentinel -1.0 (timing the
-    // exception path would report a crash as a fast success).
+    // materialize real state so they cannot re-run in place — they get
+    // min-of-2 via timedChain below (round-10 verdict). A failing query
+    // records the sentinel -1.0 (timing the exception path would report
+    // a crash as a fast success).
     def once(name: String)(body: => Unit): Double = {
       val t0 = System.nanoTime()
       try { body; (System.nanoTime() - t0) / 1e9 }
@@ -34,8 +34,6 @@ object Bench {
         -1.0
       }
     }
-    def timedCold(name: String)(body: => Unit): (String, Double) =
-      name -> once(name)(body)
     // SPARK_GRAFT_BENCH_RUNS: warm repeats after the discarded cold run
     // (default 3 → median-of-3). 0 = report the cold run itself — the
     // scale-step harness times each query once (an sf10 query can cost
@@ -61,9 +59,64 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def selected(name: String): Boolean = only.forall(_.contains(name))
+    // Cluster-wide task metrics, snapshot-delta'd around each chain run:
+    // wall time alone cannot distinguish driver-machine contention from a
+    // real chain regression (round-10: chain_day_vols 0.97→32.4 s across
+    // rounds with untouched code). task_s >> wall gap ⇒ the work itself
+    // grew; wall >> task_s ⇒ the box was oversubscribed.
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val shufMb = new java.util.concurrent.atomic.AtomicLong // bytes, read+write
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            taskMs.addAndGet(m.executorRunTime)
+            shufMb.addAndGet(m.shuffleReadMetrics.totalBytesRead +
+              m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      })
+    def snapshot(): (Long, Long) = {
+      org.apache.spark.graft.SparkInternals.flushListenerBus(spark.sparkContext)
+      (taskMs.get(), shufMb.get())
+    }
+    // Chain lines: min-of-2 — the first (timed cold) materialization IS
+    // the memo every consumer reads; the second rebuilds the same plan
+    // OUTSIDE the memo (Extensions.chainResamples) and is discarded. A
+    // load spike must hit both materializations to fake a regression,
+    // and the emitted task/shuffle metrics expose it when it does.
+    // SPARK_GRAFT_BENCH_RUNS=0 (the sf10 scale-step harness) skips the
+    // resample like it skips warm repeats.
+    val resamples = graft.queries.Extensions.chainResamples(spark, sfDir)
+    val chainMeta = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def timedChain(name: String, thunk: () => org.apache.spark.sql.DataFrame)
+        : (String, Double) = {
+      val (t0, s0) = snapshot()
+      val w1 = once(name) { thunk().count(): Unit }
+      val (t1, s1) = snapshot()
+      val (w2, t2, s2) =
+        if (w1 < 0 || warmRuns == 0) (-1.0, t1, s1)
+        else {
+          val w = resamples.get(name) match {
+            case Some(r) => once(s"$name#2") { r() }
+            case None => -1.0
+          }
+          val (t, sh) = snapshot()
+          (w, t, sh)
+        }
+      def r3(x: Double) = math.rint(x * 1000) / 1000
+      chainMeta(name) =
+        s"""{"wall1":${r3(w1)},"wall2":${r3(w2)},""" +
+          s""""task1_s":${r3((t1 - t0) / 1e3)},"task2_s":${r3((t2 - t1) / 1e3)},""" +
+          s""""shuf1_mb":${r3((s1 - s0) / 1e6)},"shuf2_mb":${r3((s2 - s1) / 1e6)}}"""
+      val best = if (w2 >= 0) math.min(w1, w2) else w1
+      name -> best
+    }
     val chain = graft.queries.Extensions.sharedIntermediates(spark, sfDir)
       .filter { case (name, _) => selected(name) }
-      .map { case (name, thunk) => timedCold(name) { thunk().count(): Unit } }
+      .map { case (name, thunk) => timedChain(name, thunk) }
     val results = chain ++ SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => selected(name) }
       .map { case (name, fn) => timedWarm(name) { fn(spark, sfDir).count(): Unit } }
@@ -75,8 +128,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failures = results.map(_._2).count(_ < 0)
+    val chains = chainMeta
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"warm":true,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"warm":true,"queries":$qs,"chains":$chains,"sf":"$sfDir"}"""
     // Emit both ways: bare line on real stdout (build.sbt sets
     // run/outputStrategy := StdoutOutput so sbt does not "[info]"-prefix
     // it), and a file a consumer can read without scraping sbt logs.

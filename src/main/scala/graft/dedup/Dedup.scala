@@ -283,12 +283,20 @@ object Dedup {
     * second changed-row count per generation. */
   def clusterMembers(pairs: DataFrame, idCol: String,
                      maxIters: Int = 10): DataFrame = {
-    // undirected edge list, both directions
+    // undirected edge list, both directions. localCheckpoint, not
+    // persist: the loop's generations reference `edges` once per round
+    // (plus the 3-way label fan-out below), so an un-truncated input
+    // LINEAGE gets re-rendered up to ~13× in every action's SQL-event
+    // explain string — with a deep upstream plan (the IVF kNN build)
+    // that is a multi-GB string and a driver OOM, not a slowdown
+    // (caught live at sf0.1). The checkpoint roots the loop at a
+    // LogicalRDD; blocks are reclaimed by the ContextCleaner when the
+    // frame goes out of scope.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materializes the edge cache AND sizes the plan hints below
+      .localCheckpoint(eager = false)
+    // materializes the edge checkpoint AND sizes the plan hints below
     val nEdges = edges.count()
     val small = nEdges <= SmallGraphEdges
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
@@ -309,9 +317,24 @@ object Dedup {
       val neighborLabels = edges
         .join(hinted(labels.select(col(idCol).as("dst"), col("cluster_id").as("nl"))), "dst")
         .select(col("src").as(idCol), col("nl").as("cluster_id"))
+      // pointer jumping: L(L(v)) rides the same union — every label is a
+      // graph-node id by construction (iteration 0 emits node ids; min
+      // preserves that), so the label→label join never drops a row. The
+      // combined update min(L(v), min_N L(u), L(L(v))) halves remaining
+      // chain depth per round: convergence in O(log diameter) rounds
+      // instead of O(diameter) — a 2000-node kNN path graph went ~40
+      // generations → 8, and at 100 TB a pathological crawl chain can't
+      // hold the job hostage for diameter rounds. Fixpoint unchanged
+      // (sum-stable ⟹ the neighbor-min term alone is stable ⟹ labels
+      // constant per component at the component min), so cluster ids are
+      // bit-identical to the plain propagation.
+      val jumped = labels.select(col("cluster_id").as("__j"), col(idCol))
+        .join(hinted(labels.select(col(idCol).as("__j"),
+          col("cluster_id").as("__jl"))), "__j")
+        .select(col(idCol), col("__jl").as("cluster_id"))
       // own previous label rides the union, so groupBy-min is the whole
       // update — no second join against the previous generation
-      val joined = labels.unionByName(neighborLabels)
+      val joined = labels.unionByName(neighborLabels).unionByName(jumped)
         .groupBy(col(idCol)).agg(min("cluster_id").as("cluster_id"))
       // localCheckpoint every 3rd generation: persist truncates the
       // PHYSICAL lineage but the logical plan still grows per iteration
@@ -340,7 +363,9 @@ object Dedup {
       // surfaced, not silent: callers can re-run with a higher bound
       System.err.println(
         s"[graft.Dedup.clusterMembers] label propagation stopped at maxIters=$maxIters before convergence; cluster ids may be non-canonical for long chains")
-    edges.unpersist(blocking = false)
+    // checkpoint blocks are ContextCleaner-reclaimed once `edges` is
+    // unreachable (unpersist() only talks to the CacheManager, which
+    // never saw this frame)
     labels
   }
 

@@ -110,8 +110,13 @@ object Breadth121 {
   private[queries] def pqShortlist(s: org.apache.spark.sql.SparkSession,
                                    dir: String): DataFrame =
     Extensions.memoized(s, s"pqadc$PqShortlist|$dir") {
-      pqAdc(Tables.embeddings(s, dir), PqShortlist)
+      pqShortlistPlan(Tables.embeddings(s, dir))
     }
+
+  /** The raw (un-memoized) ADC-shortlist plan — the bench's min-of-2
+    * chain resample. */
+  private[queries] def pqShortlistPlan(emb: DataFrame): DataFrame =
+    pqAdc(emb, PqShortlist)
 
   /** Mean recall@5 of (a) the raw ADC top-5 and (b) the production
     * two-stage pipeline — ADC top-50 shortlist re-ranked by EXACT

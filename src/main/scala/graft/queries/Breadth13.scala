@@ -77,6 +77,14 @@ object Breadth13 {
   private[graft] def dayBarsCents(df: DataFrame, keyCol: String, tsCol: String,
                                   valCol: String, tieBreak: String): DataFrame =
     memoizedOnPlan(df, s"bars|$keyCol|$tsCol|$valCol|$tieBreak") {
+      dayBarsCentsPlan(df, keyCol, tsCol, valCol, tieBreak)
+    }
+
+  /** The raw (un-memoized) bar-grid plan — the bench's min-of-2 chain
+    * resample builds it directly so the second materialization can never
+    * hit the memo. */
+  private[graft] def dayBarsCentsPlan(df: DataFrame, keyCol: String, tsCol: String,
+                                      valCol: String, tieBreak: String): DataFrame = {
       val bar = Window.partitionBy(col(keyCol), col("__day"))
         .orderBy(col(tsCol).asc, col(tieBreak).asc)
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -87,7 +95,7 @@ object Breadth13 {
         .groupBy(col(keyCol), col("__day").as("day"))
         .agg(max(col("__open")).as("open"), max(col("__close")).as("close"),
           max(col("__c")).as("high"), min(col("__c")).as("low"))
-    }
+  }
 
   /** Candlestick pattern flags over the daily bars — all comparisons in
     * integer cents (body·20 vs range, shadows vs body), engulfing reads

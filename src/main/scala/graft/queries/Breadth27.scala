@@ -61,13 +61,19 @@ object Breadth27 {
   private[graft] def dayVols(df: DataFrame, keyCol: String, tsCol: String,
                              qtyJsonField: String): DataFrame =
     Breadth13.memoizedOnPlan(df, s"vols|$keyCol|$tsCol|$qtyJsonField") {
-      df.withColumn("__day", col(tsCol).cast("date"))
-        .withColumn("__q",
-          get_json_object(col("props"), s"$$.$qtyJsonField").cast("long"))
-        .groupBy(col(keyCol), col("__day").as("day"))
-        .agg(sum(col("__q")).as("__v"))
-        .filter(col("__v").isNotNull)
+      dayVolsPlan(df, keyCol, tsCol, qtyJsonField)
     }
+
+  /** The raw (un-memoized) day-volume plan — see Breadth13
+    * .dayBarsCentsPlan (the bench chain-resample twin). */
+  private[graft] def dayVolsPlan(df: DataFrame, keyCol: String, tsCol: String,
+                                 qtyJsonField: String): DataFrame =
+    df.withColumn("__day", col(tsCol).cast("date"))
+      .withColumn("__q",
+        get_json_object(col("props"), s"$$.$qtyJsonField").cast("long"))
+      .groupBy(col(keyCol), col("__day").as("day"))
+      .agg(sum(col("__q")).as("__v"))
+      .filter(col("__v").isNotNull)
 
   /** The per-bar money-flow quantum as a plain function — shared
     * verbatim by the streaming twin; the Column expression in

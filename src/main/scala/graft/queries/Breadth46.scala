@@ -84,11 +84,16 @@ object Breadth46 {
   private[queries] def quantTop5(s: org.apache.spark.sql.SparkSession,
                                  dir: String): DataFrame =
     Extensions.memoized(s, s"quanttopk|$dir") {
-      val dq = Extensions11.quantizeInt8(Tables.embeddings(s, dir),
-        "vec_id", "embedding")
-      graft.sim.Similarity.bruteForceTopK(dq.filter(col("vec_id") < 10), dq,
-        5, vecCol = "dv")
+      quantTop5Plan(Tables.embeddings(s, dir))
     }
+
+  /** The raw (un-memoized) quantized-ranking plan — the bench's
+    * min-of-2 chain resample. */
+  private[queries] def quantTop5Plan(emb: DataFrame): DataFrame = {
+    val dq = Extensions11.quantizeInt8(emb, "vec_id", "embedding")
+    graft.sim.Similarity.bruteForceTopK(dq.filter(col("vec_id") < 10), dq,
+      5, vecCol = "dv")
+  }
 
   val defs: Map[String, Q] = Map(
     "q_quant_ndcg" -> ((s, dir) =>
