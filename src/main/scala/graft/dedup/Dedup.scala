@@ -454,14 +454,101 @@ object Dedup {
     }: _*)
   }
 
+  /** C(k, d) without overflow drama: returns `cap + 1` as soon as the
+    * running value exceeds `cap` (callers only compare against a table
+    * budget). */
+  private def choose(k: Int, d: Int, cap: Long): Long = {
+    val m = math.min(d, k - d)
+    var v = 1L
+    var i = 1
+    while (i <= m) {
+      v = v * (k - m + i) / i // exact: prefix products of C are integral
+      if (v > cap) return cap + 1
+      i += 1
+    }
+    v
+  }
+
+  /** The narrowest packed key any (k−d)-block combination can have when
+    * 64 bits split into k near-equal blocks: the (k−d) narrowest blocks
+    * concatenated. */
+  private def minComboWidth(k: Int, d: Int): Int = {
+    val base = 64 / k; val extra = 64 % k
+    (k - d) * base + math.max(0, extra - d)
+  }
+
+  /** Combination-banding operating point (Manku/Jain/Sarma): the block
+    * count k ≥ d+1 sized to the CORPUS, so candidate volume stays ~linear
+    * in n instead of quadratic at a fixed point. With k blocks and
+    * hamming ≤ d, a true pair agrees on ≥ k−d blocks, so candidates come
+    * from C(k, d) tables each keyed on a (k−d)-block concatenation of
+    * width W ≈ 64(k−d)/k bits — expected collisions ≈ C(k,d) · n²/2^W
+    * under random bits. The rule: the smallest k whose expected volume is
+    * ≤ `candidatesPerDoc`·n, capped by the C(k,d) ≤ `maxTables` explode
+    * budget (past the cap the widest feasible k wins — volume then grows
+    * with n²/2^W(k_max), still a ~2^30× smaller constant than the minimal
+    * point at k_max = d+9, d = 3). k = d+1 (one-block tables) is the
+    * d-knob's old fixed point and what tiny corpora get. Real token
+    * distributions skew bits, so the uniform estimate is optimistic by a
+    * corpus-dependent factor — `candidatesPerDoc` is the margin, and the
+    * 10× growth property is pinned in SimhashScaleSpec, not assumed. */
+  def simhashOperatingPoint(maxHamming: Int, corpusSize: Long,
+                            maxTables: Int = 256,
+                            candidatesPerDoc: Int = 8): Int = {
+    val d = maxHamming
+    if (d <= 0 || d >= 63) return math.max(1, math.min(64, d + 1))
+    val n = math.max(1L, corpusSize).toDouble
+    var k = d + 1
+    var best = k
+    while (k < 64) {
+      val tables = choose(k, d, maxTables.toLong)
+      if (tables > maxTables) return best
+      best = k
+      val vol = tables.toDouble * n * n / math.pow(2.0, minComboWidth(k, d))
+      if (vol <= candidatesPerDoc.toDouble * n) return k
+      k += 1
+    }
+    best
+  }
+
+  /** One (band_idx, band_val) struct per (k−d)-block combination — the
+    * combination-banding generalization of [[simhashBandStructs]]:
+    * band_val packs the selected blocks' values into one long (total
+    * selected width < 64 whenever d ≥ 1). At k = d+1 the combinations
+    * are exactly the single blocks, so the minimal operating point emits
+    * the same candidates as the classic banding. */
+  def simhashComboStructs(simCol: Column, k: Int, d: Int): Column = {
+    require(k >= d + 1 && k <= 64 && d >= 1,
+      s"need maxHamming >= 1 and blocks in [d+1, 64], got k=$k d=$d")
+    val base = 64 / k; val extra = 64 % k
+    val bounds = (0 until k).scanLeft(0)((lo, j) =>
+      lo + base + (if (j < extra) 1 else 0))
+    val combos = (0 until k).combinations(k - d).toSeq
+    array(combos.zipWithIndex.map { case (sel, ci) =>
+      var key: Column = lit(0L)
+      var shift = 0
+      sel.foreach { j =>
+        val lo = bounds(j); val w = bounds(j + 1) - lo
+        val mask = if (w == 64) -1L else (1L << w) - 1
+        key = key + (shiftright(simCol, lo).bitwiseAND(lit(mask)) *
+          lit(1L << shift))
+        shift += w
+      }
+      struct(lit(ci).as("band_idx"), key.as("band_val"))
+    }: _*)
+  }
+
   /** Candidate pairs within a block sharing >= 1 simhash band — the
     * skew-safe replacement for all-pairs-within-block. A single giant
     * block (one crawl source dominating a 100 TB corpus) costs
     * Σ bucket² over (band, band_val) buckets, not block², and similar
     * docs concentrate in shared buckets by construction. `sims` must
-    * carry (idCol, blockCol, simhash). */
+    * carry (idCol, blockCol, simhash). `numBlocks` picks the
+    * combination-banding operating point (0 → the minimal d+1-block
+    * point; see [[simhashOperatingPoint]]) — candidates can differ
+    * between points, the verified pair set never does. */
   def simhashBandCandidates(sims: DataFrame, idCol: String, blockCol: String,
-                            maxHamming: Int): DataFrame = {
+                            maxHamming: Int, numBlocks: Int = 0): DataFrame = {
     // Degenerate bound: at maxHamming >= 64 EVERY in-block pair qualifies
     // on a 64-bit hash, and banding cannot deliver it — with the maximal
     // 64 one-bit bands, an exact-complement pair (hamming 64) disagrees
@@ -475,7 +562,7 @@ object Dedup {
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
     }
-    simhashBandCandidatesRaw(sims, idCol, blockCol, maxHamming)
+    simhashBandCandidatesRaw(sims, idCol, blockCol, maxHamming, numBlocks)
       // a pair sharing m bands surfaces m times; the sim columns are
       // functionally dependent on the ids, so keep-any dedup is exact
       .dropDuplicates("id_a", "id_b")
@@ -483,17 +570,25 @@ object Dedup {
   }
 
   /** The band self-join WITHOUT the pair dedup: a pair sharing m bands
-    * surfaces m ≤ maxHamming+1 times. Callers that verify candidates
-    * (hamming filter) should do so on THIS frame and dedup the
-    * survivors — the dedup is a shuffle, and shuffling |candidates|
+    * surfaces m ≤ C(numBlocks, maxHamming) times. Callers that verify
+    * candidates (hamming filter) should do so on THIS frame and dedup
+    * the survivors — the dedup is a shuffle, and shuffling |candidates|
     * rows to then discard most of them was q_simhash's dominant sf1
     * cost; the hamming test is a per-row xor+bit_count that runs inside
     * the join stage for free. */
   private def simhashBandCandidatesRaw(sims: DataFrame, idCol: String,
-                                       blockCol: String, maxHamming: Int): DataFrame = {
-    val k = maxHamming + 1 // pigeonhole: > maxHamming bands
+                                       blockCol: String, maxHamming: Int,
+                                       numBlocks: Int = 0): DataFrame = {
+    val k = if (numBlocks > 0) numBlocks
+            else maxHamming + 1 // pigeonhole: > maxHamming bands
+    require(k >= maxHamming + 1,
+      s"completeness needs blocks > maxHamming, got k=$k d=$maxHamming")
+    // d = 0 degenerates to exact-hash equality: one full-hash table
+    // (comboStructs needs d >= 1 so the packed key stays under 64 bits)
+    val structs = if (maxHamming == 0) simhashBandStructs(col("simhash"), 1)
+                  else simhashComboStructs(col("simhash"), k, maxHamming)
     val banded = sims.select(col(blockCol), col(idCol), col("simhash"),
-        explode(simhashBandStructs(col("simhash"), k)).as("__b"))
+        explode(structs).as("__b"))
       .select(col(blockCol), col(idCol), col("simhash"),
         col("__b.band_idx").as("band_idx"), col("__b.band_val").as("band_val"))
     val a = banded.select(col(blockCol), col("band_idx"), col("band_val"),
@@ -512,7 +607,8 @@ object Dedup {
     * self-join, with candidate count ∝ band-bucket sizes instead of
     * block size squared (asserted in TextDedupSpec). */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      blockCol: String, maxHamming: Int): DataFrame = {
+                      blockCol: String, maxHamming: Int,
+                      numBlocks: Int = 0): DataFrame = {
     // one row per doc; read twice by the band self-join — persist so the
     // in-row hash fold runs once, not per side. Row-wise simhash keeps
     // the block column on the row: no shuffle, no join-back (the grouped
@@ -526,11 +622,21 @@ object Dedup {
     // shuffle — never the full candidate volume
     val raw = if (maxHamming >= 64)
       simhashBandCandidates(sims, idCol, blockCol, maxHamming)
-    else simhashBandCandidatesRaw(sims, idCol, blockCol, maxHamming)
+    else simhashBandCandidatesRaw(sims, idCol, blockCol, maxHamming, numBlocks)
     raw
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** [[simhashNearDups]] at the corpus-sized combination-banding point:
+    * one count job picks the block count (see [[simhashOperatingPoint]]),
+    * so candidate volume tracks ~n instead of n² as the corpus grows.
+    * Identical verified pairs at every operating point (pinned in
+    * SimhashScaleSpec) — the knob moves COST, never semantics. */
+  def simhashNearDupsAdaptive(docs: DataFrame, idCol: String, textCol: String,
+                              blockCol: String, maxHamming: Int): DataFrame =
+    simhashNearDups(docs, idCol, textCol, blockCol, maxHamming,
+      simhashOperatingPoint(maxHamming, docs.count()))
 }

@@ -387,9 +387,13 @@ object Extensions {
     // at sf1). At true warehouse scale the knob is the same: keep d
     // small so bands stay wide (Manku's production setting is d=3 →
     // 4 × 16-bit bands, fraction 6·10⁻⁵).
+    // Adaptive entry: the combination-banding block count is derived
+    // from the corpus size (Dedup.simhashOperatingPoint), so the d-knob
+    // prose above is CODE — the verified pair set is operating-point-
+    // invariant, the oracle stays the all-pairs definition.
     "q_simhash" -> ((s, dir) => {
-      Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
-          "source", maxHamming = 8)
+      Dedup.simhashNearDupsAdaptive(Tables.documents(s, dir), "doc_id",
+          "text", "source", maxHamming = 8)
         .orderBy(col("id_a").asc, col("id_b").asc)
     }),
 
@@ -403,8 +407,8 @@ object Extensions {
     // so the d=8→d=3 "recall trade" is precisely the pairs with hamming
     // 4..8 — a threshold choice, not a lost-pair risk.
     "q_simhash_d3" -> ((s, dir) => {
-      Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text",
-          "source", maxHamming = 3)
+      Dedup.simhashNearDupsAdaptive(Tables.documents(s, dir), "doc_id",
+          "text", "source", maxHamming = 3)
         .orderBy(col("id_a").asc, col("id_b").asc)
     }),
 
