@@ -15,10 +15,10 @@ import org.apache.spark.storage.StorageLevel
   *    integer micro-score units with L1 floor-division normalization —
   *    the q_pagerank_int discipline: every step is an order-free
   *    integer sum, so the 4-deep join chain hash-matches DuckDB
-  *    bit-exactly. Int64 headroom: the iteration-1 authority sum is
-  *    |S|·SCALE before normalizing, so (a·SCALE) wraps past |S| ≈ 9·10⁶
-  *    source nodes at SCALE = 10⁶; later iterations are L1-bounded at
-  *    SCALE. Production knob at bigger graphs: seed h₀ = SCALE // |S|.
+  *    bit-exactly. Int64 headroom: the seed h₀ = max(1, SCALE div |S|)
+  *    keeps every iteration L1-bounded at SCALE, so normalizer products
+  *    stay ≤ SCALE² = 10¹² at any |S| (see `hits` — the uniform-SCALE
+  *    seed wrapped past |S| ≈ 9·10⁶ sources on a hot authority).
   *  - **q_hop_histogram**: multi-source BFS over the within-label kNN
   *    graph (one seed per label — its minimum graph node), emitting the
   *    hop-distance histogram for hops 0..6 plus an explicit `-1` row
@@ -44,13 +44,35 @@ object Breadth117 {
   /** Integer HITS over a directed bipartite edge set: per iteration
     * a(d) = Σ_in h, then L1-normalize to SCALE by floor division, then
     * h(s) = Σ_out a, normalized the same way. Returns the top-10 of
-    * each side as (side, node, score). */
+    * each side as (side, node, score).
+    *
+    * Seed: h₀ = max(1, SCALE div |S|) — NOT a uniform SCALE. The seed
+    * keeps iteration-1 sums L1-bounded: Σ_in h₀ ≤ |S|·(SCALE div |S|) ≤
+    * SCALE, so the normalizer's worst product ra·SCALE ≤ SCALE² = 10¹²
+    * regardless of |S| (a uniform-SCALE seed wraps int64 past |S| ≈
+    * 9·10⁶ sources on a single hot authority; guard-tested in
+    * Wave125Spec with a 10⁷-source edge set). Output is IDENTICAL to
+    * the uniform seed whenever the latter doesn't overflow: iteration 1
+    * normalizes (indeg·h₀·SCALE) div (h₀·Σindeg), and (c·x) div (c·y) =
+    * x div y exactly for positive integers — the seed cancels before the
+    * floor, and later iterations depend only on a₁.
+    *
+    * Choosing `scale` for a bigger graph: scale ≥ max(|S|, |D|) so the
+    * floor normalization keeps ≥ 1 quantum per node (below that a whole
+    * side's mass floors to zero and the next normalizer divides by
+    * zero — loud, not silent), and scale ≤ ~3·10⁹ so scale² fits int64.
+    * Past ~3·10⁹ nodes integer HITS needs DECIMAL(38) accumulators.
+    * Guard-tested at |S| = 10⁷, scale = 2³¹ in Wave123Spec. */
   private[graft] def hits(edgesRaw: DataFrame,
-                          iters: Int = HitsIters): DataFrame = {
+                          iters: Int = HitsIters,
+                          scale: Long = HitsScale): DataFrame = {
     val edges = edgesRaw.select(col("src"), col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var h = edges.select(col("src")).distinct()
-      .select(col("src").as("node"), lit(HitsScale).as("h"))
+    val srcs = edges.select(col("src")).distinct()
+    var h = srcs
+      .crossJoin(broadcast(srcs.agg(count(lit(1)).as("__ns"))))
+      .select(col("src").as("node"),
+        greatest(expr(s"$scale div __ns"), lit(1L)).as("h"))
       .localCheckpoint()
     var a: DataFrame = null
     (1 to iters).foreach { _ =>
@@ -58,13 +80,13 @@ object Breadth117 {
         .groupBy(col("dst")).agg(sum(col("h")).as("ra"))
       val at = ar.agg(sum(col("ra")).as("ta"))
       a = ar.crossJoin(broadcast(at))
-        .select(col("dst"), expr(s"(ra * $HitsScale) div ta").as("a"))
+        .select(col("dst"), expr(s"(ra * $scale) div ta").as("a"))
         .localCheckpoint()
       val hr = edges.join(a, Seq("dst"))
         .groupBy(col("src")).agg(sum(col("a")).as("rh"))
       val ht = hr.agg(sum(col("rh")).as("th"))
       h = hr.crossJoin(broadcast(ht))
-        .select(col("src").as("node"), expr(s"(rh * $HitsScale) div th").as("h"))
+        .select(col("src").as("node"), expr(s"(rh * $scale) div th").as("h"))
         .localCheckpoint()
     }
     val auths = a.orderBy(col("a").desc, col("dst").asc).limit(HitsTopN)
@@ -156,7 +178,9 @@ object Breadth117 {
          |  SELECT DISTINCT l_suppkey AS src, l_partkey AS dst
          |  FROM lineitem),
          |h0 AS (
-         |  SELECT src AS node, CAST($HitsScale AS BIGINT) AS h
+         |  SELECT src AS node,
+         |    greatest($HitsScale // (SELECT CAST(count(*) AS BIGINT)
+         |      FROM (SELECT DISTINCT src FROM edges)), 1) AS h
          |  FROM (SELECT DISTINCT src FROM edges))$hitsSteps,
          |sides AS (
          |  SELECT 'authority' AS side, dst AS node, a AS score

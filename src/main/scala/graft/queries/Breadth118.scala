@@ -33,9 +33,11 @@ import org.apache.spark.sql.functions._
   * Scale shape: Kalman is the memoized bar grid + one O(L) fold per
   * key (calendar-bounded L). DTW per key is O(n·m) with m = |days| —
   * calendar-bounded on both axes, so the quadratic never touches data
-  * volume; the market series rides as ONE broadcast row. Production
-  * knob at long horizons: a Sakoe–Chiba band caps each row's DP width
-  * (documented, not needed at calendar scale). */
+  * volume; the market series rides as ONE broadcast row. At long
+  * horizons the Sakoe–Chiba band (`dtwBanded`) caps each row's DP width
+  * at Θ(band); the calendar-scale query runs it at band = max(n, m),
+  * the exact full-DP point (equivalence + monotonicity pinned in
+  * Wave124Spec). */
 object Breadth118 {
 
   /** Binary-exact noise constants (cent² units). */
@@ -71,31 +73,56 @@ object Breadth118 {
         s.getField("_1").as("kalman"), s.getField("_2").as("gain"))
     }
 
-  /** Classic O(n·m) DTW over two integer series with |·| cell cost —
-    * executor-local, one call per key. Border convention: c(0,0) = 0,
-    * other borders +∞, so c(1,1) = d(1,1). */
-  private[graft] val dtwUdf =
-    udf { (a: Seq[Long], b: Seq[Long]) =>
-      val n = a.length; val m = b.length
-      val Inf = Long.MaxValue / 4
-      var prev = Array.fill(m + 1)(Inf)
-      prev(0) = 0L
-      var cur = Array.fill(m + 1)(Inf)
-      var i = 1
-      while (i <= n) {
-        var j = 1
-        while (j <= m) {
-          val d = math.abs(a(i - 1) - b(j - 1))
-          cur(j) = d + math.min(prev(j - 1), math.min(prev(j), cur(j - 1)))
-          j += 1
-        }
-        val t = prev; prev = cur; cur = t
-        java.util.Arrays.fill(cur, Inf)
-        prev(0) = Inf // only row 0 opens from the (0,0) corner
-        i += 1
+  /** Sentinel for "no warping path within the band". */
+  private[graft] val DtwInf = Long.MaxValue / 4
+
+  /** Sakoe–Chiba-banded O(n·band) DTW over two integer series with |·|
+    * cell cost — executor-local, one call per key. Cells with
+    * |i − j| > band are +∞; band ≥ max(n, m) degenerates to the full
+    * O(n·m) DP bit-exactly (pinned in Wave124Spec, with the monotone
+    * distance-growth property as the band narrows — a band is a PATH
+    * RESTRICTION, so banded distance can only be ≥ the full one).
+    * Border convention: c(0,0) = 0, other borders +∞, so
+    * c(1,1) = d(1,1). Returns DtwInf when |n − m| > band (no monotone
+    * path can end at (n, m) inside the band).
+    *
+    * The production knob the calendar-scale queries didn't need: at
+    * horizon L days the full DP is Θ(L²) per key; band w caps it at
+    * Θ(L·w), and for market alignment w ≈ a few weeks bounds how far
+    * time may warp — wider is semantically meaningless drift. */
+  private[graft] def dtwBanded(a: Seq[Long], b: Seq[Long],
+                               band: Long): Long = {
+    val n = a.length; val m = b.length
+    if (math.abs(n - m) > band) return DtwInf
+    if (n == 0 || m == 0) return if (n == m) 0L else DtwInf
+    var prev = Array.fill(m + 1)(DtwInf)
+    prev(0) = 0L
+    var cur = Array.fill(m + 1)(DtwInf)
+    var i = 1
+    while (i <= n) {
+      val jLo = math.max(1L, i - band).toInt
+      val jHi = math.min(m.toLong, i + band).toInt
+      var j = jLo
+      while (j <= jHi) {
+        val d = math.abs(a(i - 1) - b(j - 1))
+        val best = math.min(prev(j - 1), math.min(prev(j), cur(j - 1)))
+        // out-of-band neighbours hold ≥ DtwInf from the row fill; keep
+        // the sentinel saturated instead of accumulating d past it
+        cur(j) = if (best >= DtwInf) DtwInf else d + best
+        j += 1
       }
-      prev(m)
+      val t = prev; prev = cur; cur = t
+      java.util.Arrays.fill(cur, DtwInf)
+      prev(0) = DtwInf // only row 0 opens from the (0,0) corner
+      i += 1
     }
+    prev(m)
+  }
+
+  /** The banded DP as a UDF; q_dtw_market calls it at band = max(n, m)
+    * (the exact full-DP point — calendar horizons are band-free). */
+  private[graft] val dtwUdf =
+    udf { (a: Seq[Long], b: Seq[Long], band: Long) => dtwBanded(a, b, band) }
 
   /** DTW distance of each key's day-close series to the market's
     * per-day lower-median close series. */
@@ -126,7 +153,8 @@ object Breadth118 {
       .select(col(keyCol), transform(col("__as"), _.getField("close")).as("__a"),
         size(col("__as")).cast("long").as("n_bars"))
     aseq.crossJoin(broadcast(bseq))
-      .withColumn("dtw", dtwUdf(col("__a"), col("__b")))
+      .withColumn("dtw", dtwUdf(col("__a"), col("__b"),
+        greatest(col("n_bars"), col("m_bars"))))
       .select(col(keyCol), col("n_bars"), col("m_bars"), col("dtw"),
         (col("dtw").cast("double") /
           (col("n_bars") + col("m_bars")).cast("double")).as("dtw_norm"))

@@ -37,12 +37,46 @@ class Wave124Spec extends SparkSpec {
 
   test("dtwUdf: textbook elastic alignment, zero for identical series") {
     val df = Seq((Seq(1L, 2L, 3L), Seq(1L, 3L))).toDF("a", "b")
-    val got = df.select(Breadth118.dtwUdf(col("a"), col("b"))).head.getLong(0)
+    val got = df.select(Breadth118.dtwUdf(col("a"), col("b"), lit(3L)))
+      .head.getLong(0)
     // c(3,2): path (1,1)→(2,1|2)→(3,2) accumulates |2−1| or |2−3| = 1
     assert(got === 1L)
     val same = Seq((Seq(5L, 7L, 9L), Seq(5L, 7L, 9L))).toDF("a", "b")
-    assert(same.select(Breadth118.dtwUdf(col("a"), col("b")))
+    assert(same.select(Breadth118.dtwUdf(col("a"), col("b"), lit(3L)))
       .head.getLong(0) === 0L)
+  }
+
+  test("dtwBanded: band >= max(n, m) equals the full DP bit-exactly on " +
+    "pseudo-random integer series") {
+    def series(seed: Long, len: Int): Seq[Long] =
+      (0 until len).map(i => ((seed * 37L + i * 101L) % 50) - 25)
+    for (t <- 0 until 20) {
+      val a = series(t * 13L + 1, 5 + t % 9)
+      val b = series(t * 29L + 7, 4 + (t * 3) % 11)
+      val full = Breadth118.dtwBanded(a, b,
+        math.max(a.length, b.length).toLong)
+      val huge = Breadth118.dtwBanded(a, b, 1000L)
+      assert(full == huge, s"t=$t: band=max(n,m) $full != unbounded $huge")
+    }
+  }
+
+  test("dtwBanded: distance grows monotonically as the band narrows (a " +
+    "band is a path restriction), and |n-m| > band has no path") {
+    def series(seed: Long, len: Int): Seq[Long] =
+      (0 until len).map(i => (seed * 17L + i * 53L) % 40)
+    for (t <- 0 until 12) {
+      val a = series(t + 3L, 10)
+      val b = series(t * 7L + 5, 8)
+      val byBand = (2L to 10L).map(w => Breadth118.dtwBanded(a, b, w))
+      byBand.sliding(2).foreach { case Seq(narrow, wide) =>
+        assert(narrow >= wide, s"t=$t: narrowing must not shrink distance")
+      }
+      // |n-m| = 2 > band = 1: the end cell is outside the band
+      assert(Breadth118.dtwBanded(a, b, 1L) == Breadth118.DtwInf)
+    }
+    // degenerate empties
+    assert(Breadth118.dtwBanded(Nil, Nil, 0L) == 0L)
+    assert(Breadth118.dtwBanded(Seq(1L), Nil, 5L) == Breadth118.DtwInf)
   }
 
   test("dtwMarket: two mirrored keys around a median key score " +
