@@ -2432,4 +2432,19 @@ object Graft {
   def cuped(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
             tieBreak: String): DataFrame =
     queries.Breadth134.cuped(df, keyCol, tsCol, valCol, tieBreak)
+
+  /** Live mass-index screen (O(w) ratio ring; full windows only —
+    * exactly the batch q_mass_index rows). */
+  def liveMassIndex(bars: org.apache.spark.sql.Dataset[streaming.OhlcBarRow])
+      : org.apache.spark.sql.Dataset[streaming.MassScored] =
+    streaming.Streams.streamingMassIndex(bars)
+
+  /** SimHash near-dup pairs at the corpus-sized combination-banding
+    * operating point (hamming ≤ maxHamming; block count from one count
+    * job — see Dedup.simhashOperatingPoint). */
+  def simhashNearDups(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", blockCol: String = "source",
+                      maxHamming: Int = 3): DataFrame =
+    dedup.Dedup.simhashNearDupsAdaptive(docs, idCol, textCol, blockCol,
+      maxHamming)
 }

@@ -33,8 +33,8 @@ import org.apache.spark.sql.functions._
   * one additional key window over the folded ratio rows. Streaming
   * twins for NVI/PVI (volume-carrying bars), TRIX and KAMA ride the
   * transformWithState scaffolding; the mass index's window-over-fold
-  * hybrid stays batch (its streaming form would need a ratio ring —
-  * deferred until a user asks).
+  * hybrid rides an O(w) ratio ring (Streams.streamingMassIndex),
+  * bit-equal to the batch via the shared `massRatioStep`.
   */
 object Breadth28 {
 
@@ -258,20 +258,29 @@ object Breadth28 {
     * e2 can only be 0 when every range is 0). The EMA pair is one
     * Recurrence fold (e2 reads the SAME step's new e1); the window sum
     * rides on the emitted quanta. */
+  /** One mass-index EMA-pair step over a bar's range, emitting the
+    * 1e-8-quantized ratio — shared VERBATIM by the batch fold and the
+    * streaming ring twin (Streams.streamingMassIndex), so the two are
+    * bit-equal by construction. */
+  private[graft] def massRatioStep(st: Option[(Double, Double)],
+                                   high: Long, low: Long)
+      : ((Double, Double), Long) = {
+    val rng = (high - low).toDouble
+    val (e1, e2) = st match {
+      case None => (rng, rng)
+      case Some((p1, p2)) =>
+        val n1 = MassEmaA * rng + (1.0 - MassEmaA) * p1
+        (n1, MassEmaA * n1 + (1.0 - MassEmaA) * p2)
+    }
+    ((e1, e2), if (e2 > 0) math.floor(1.0e8 * e1 / e2).toLong else 0L)
+  }
+
   private[graft] def massIndex(df: DataFrame, keyCol: String, tsCol: String,
                                valCol: String, tieBreak: String): DataFrame = {
     val folded = graft.ops.Recurrence.series(
         df, keyCol, tsCol, valCol, tieBreak) {
       (st: Option[(Double, Double)], b: graft.ops.Bar) =>
-        val rng = (b.high - b.low).toDouble
-        val (e1, e2) = st match {
-          case None => (rng, rng)
-          case Some((p1, p2)) =>
-            val n1 = MassEmaA * rng + (1.0 - MassEmaA) * p1
-            (n1, MassEmaA * n1 + (1.0 - MassEmaA) * p2)
-        }
-        ((e1, e2),
-          if (e2 > 0) math.floor(1.0e8 * e1 / e2).toLong else 0L)
+        massRatioStep(st, b.high, b.low)
     } { (b, s) =>
       struct(b.getField("day").as("day"),
         b.getField("close").as("close_cents"), s.as("ratio_q"))

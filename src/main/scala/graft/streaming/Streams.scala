@@ -211,6 +211,17 @@ case class TrixScored28(user_id: Long, day: java.time.LocalDate,
 case class KamaScored(user_id: Long, day: java.time.LocalDate,
                       close_cents: Long, kama: Option[Double])
 
+/** Mass-index keyed state: the EMA pair + the trailing ≤MassW ratio
+  * quanta (the O(w) ring the batch window-sum reads implicitly). */
+case class MassAcc28(e1: Double, e2: Double, ring: Seq[Long])
+
+/** One scored bar from the live mass-index screen (append stream) —
+  * emitted only once the ratio ring is full, exactly the batch
+  * q_mass_index row set. */
+case class MassScored(user_id: Long, day: java.time.LocalDate,
+                      close_cents: Long, sum_ratio_q: Long,
+                      mass_index: Double)
+
 /** One scored bar from the live DEMA screen (append stream) — price
   * domain, like the batch q_dema. */
 case class DemaScored(user_id: Long, day: java.time.LocalDate,
@@ -1093,6 +1104,19 @@ object Streams {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.user_id)
       .transformWithState(new TrixProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Streaming twin of the batch q_mass_index window-over-fold: one
+    * MassAcc28 per key — the EMA pair via the SAME step function
+    * (Breadth28.massRatioStep) plus an O(w) ring of the trailing ratio
+    * quanta standing in for the batch's window sum (integer sums are
+    * order-free, so ring-sum == window-sum exactly). Emits only full
+    * windows, the batch row set (append mode). */
+  def streamingMassIndex(ds: Dataset[OhlcBarRow]): Dataset[MassScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new MassIndexProcessor, TimeMode.None(),
         OutputMode.Append())
   }
 
@@ -2002,6 +2026,57 @@ class KamaProcessor
   protected def score(user: Long, b: BarRow,
                       a: graft.queries.Breadth28.KamaAcc): KamaScored =
     KamaScored(user, b.day, b.close_cents, a.kama.map(_ / 100.0))
+}
+
+/** Keyed processor behind [[Streams.streamingMassIndex]] — the batch
+  * `Breadth28.massRatioStep` on O(w) keyed state (EMA pair + ratio
+  * ring); a row is emitted only when the ring holds MassW quanta, the
+  * batch's full-windows-only contract. */
+class MassIndexProcessor
+    extends OhlcBarFoldEmitProcessor[MassAcc28, MassScored](
+      "massindex",
+      org.apache.spark.sql.Encoders.product[MassAcc28]) {
+  private val w = graft.queries.Breadth28.MassW
+  protected def step(st: Option[MassAcc28], b: OhlcBarRow): MassAcc28 = {
+    val (pair, q) = graft.queries.Breadth28.massRatioStep(
+      st.map(a => (a.e1, a.e2)), b.high_cents, b.low_cents)
+    MassAcc28(pair._1, pair._2,
+      ((st.map(_.ring).getOrElse(Seq.empty)) :+ q).takeRight(w))
+  }
+  protected def score(user: Long, b: OhlcBarRow,
+                      a: MassAcc28): Option[MassScored] =
+    if (a.ring.size < w) None
+    else {
+      val s = a.ring.sum
+      Some(MassScored(user, b.day, b.close_cents, s, s.toDouble / 1.0e8))
+    }
+}
+
+/** [[OhlcBarFoldProcessor]] with OPTIONAL emission (warm-up bars emit
+  * nothing — the batch full-window contract of the mass index). */
+abstract class OhlcBarFoldEmitProcessor[A, O](stateName: String,
+    enc: org.apache.spark.sql.Encoder[A])
+    extends StatefulProcessor[Long, OhlcBarRow, O] {
+  @transient private var acc: ValueState[A] = _
+
+  protected def step(st: Option[A], b: OhlcBarRow): A
+  protected def score(user: Long, b: OhlcBarRow, a: A): Option[O]
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    acc = getHandle.getValueState[A](stateName, enc, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, bars: Iterator[OhlcBarRow],
+                               timerValues: TimerValues): Iterator[O] = {
+    var st = if (acc.exists()) Some(acc.get()) else None
+    val out = Seq.newBuilder[O]
+    bars.toSeq.sortBy(_.day.toEpochDay).foreach { b =>
+      val a = step(st, b)
+      st = Some(a)
+      score(user, b, a).foreach(out += _)
+    }
+    st.foreach(acc.update)
+    out.result().iterator
+  }
 }
 
 /** Keyed processor behind [[Streams.streamingDema]] — the batch

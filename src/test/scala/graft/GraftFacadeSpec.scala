@@ -317,4 +317,26 @@ class GraftFacadeSpec extends SparkSpec {
     assert(rows(Graft.distinctiveTokens(docs)) == q("q_distinctive_tokens"))
     assert(rows(Graft.vocabOverlap(docs)) == q("q_vocab_overlap"))
   }
+
+  test("Graft round-10 tail facades (pageHinkley / forecastEval / " +
+    "hourDowGrid / knnEval / andersonDarling / splitBalance / cuped / " +
+    "simhashNearDups) match their oracle-checked queries") {
+    val e = Tables.events(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
+    def q(name: String) = rows(SparkEntry.queries(name)(spark, sf0001))
+    assert(rows(Graft.pageHinkley(e, "user_id", "ts", "value", "event_id")
+      .orderBy(col("user_id").asc, col("day").asc)) == q("q_page_hinkley"))
+    assert(rows(Graft.forecastEval(e, "user_id", "ts", "value", "event_id"))
+      == q("q_forecast_eval"))
+    assert(rows(Graft.hourDowGrid(e)) == q("q_hour_dow_grid"))
+    assert(rows(Graft.knnEval(emb)) == q("q_knn_eval"))
+    assert(rows(Graft.andersonDarling(e, "event_type", "value", "click",
+      "view")) == q("q_anderson_darling"))
+    assert(rows(Graft.splitBalance(spark, sf0001)) == q("q_split_balance"))
+    assert(rows(Graft.cuped(e, "user_id", "ts", "value", "event_id"))
+      == q("q_cuped"))
+    assert(rows(Graft.simhashNearDups(docs)
+      .orderBy(col("id_a").asc, col("id_b").asc)) == q("q_simhash_d3"))
+  }
 }

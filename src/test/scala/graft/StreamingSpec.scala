@@ -1415,6 +1415,66 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingMassIndex == batch q_mass_index bit-for-bit across a " +
+    "CHECKPOINTED RESTART landing mid-ring (the O(w) ratio ring must " +
+    "survive in the state store)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.OhlcBarRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // 11 day bars: (high, low, close) cents with doji (h==l) included
+      val bars = Seq(
+        (1100L, 1000L, 1050L), (1200L, 1080L, 1090L), (1150L, 1150L, 1150L),
+        (1300L, 1100L, 1270L), (1280L, 1210L, 1220L), (1350L, 1190L, 1340L),
+        (1360L, 1290L, 1300L), (1400L, 1250L, 1390L), (1380L, 1310L, 1330L),
+        (1500L, 1280L, 1460L), (1470L, 1400L, 1410L))
+      val rows = bars.zipWithIndex.map { case ((h, l, c), i) =>
+        OhlcBarRow(1L, java.time.LocalDate.of(2024, 1, i + 1), c, h, l) }
+      val ckpt = Files.createTempDirectory("graft_mass_ckpt").toString
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Double)]
+      val mem = MemoryStream[OhlcBarRow]
+      def run(): org.apache.spark.sql.streaming.StreamingQuery =
+        Streams.streamingMassIndex(mem.toDS())
+          .writeStream.option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[graft.streaming.MassScored],
+             _: Long) =>
+              b.collect().foreach(m => got += ((m.day.toString,
+                m.close_cents, m.sum_ratio_q, m.mass_index))): Unit
+          }.start()
+      // restart after day 5 — the ring holds 5 of 7 quanta, no row
+      // emitted yet; a lost ring would shift every post-restart window
+      val q1 = run()
+      mem.addData(rows.take(5): _*); q1.processAllAvailable(); q1.stop()
+      assert(got.isEmpty, "no full window before day 7")
+      val q2 = run()
+      mem.addData(rows.drop(5): _*); q2.processAllAvailable(); q2.stop()
+      // batch twin over two ticks per day (high then low/close order so
+      // the day bar reproduces (h, l, c) exactly: open=h, close=c)
+      val tick = bars.zipWithIndex.flatMap { case ((h, l, c), i) =>
+        Seq((1L, h.toDouble / 100.0, i * 10L + 1, f"2024-01-${i + 1}%02d 10:00:00"),
+          (1L, l.toDouble / 100.0, i * 10L + 2, f"2024-01-${i + 1}%02d 12:00:00"),
+          (1L, c.toDouble / 100.0, i * 10L + 3, f"2024-01-${i + 1}%02d 15:00:00"))
+      }.toDF("user_id", "value", "event_id", "at")
+        .withColumn("ts", to_timestamp_ntz(col("at"))).drop("at")
+      val want = Graft.massIndex(tick, "user_id", "ts", "value", "event_id")
+        .select("day", "close_cents", "sum_ratio_q", "mass_index")
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+          r.getLong(2), r.getDouble(3))).sortBy(_._1).toSeq
+      assert(got.sortBy(_._1).toSeq === want, "mass-index stream vs batch")
+      assert(want.size === bars.size - graft.queries.Breadth28.MassW + 1)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streamingNviPvi / streamingTrix / streamingKama == batch " +
     "recurrences bit-for-bit across micro-batch splits (incl. the KAMA " +
     "warm-up boundary and a volume tie)") {
