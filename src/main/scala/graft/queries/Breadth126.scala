@@ -63,9 +63,13 @@ object Breadth126 {
         var bestId = -1L
         var bestScore = Long.MinValue
         remaining.foreach { c =>
+          // missing pair → 0, the oracle's coalesce(max(p.sq), 0)
+          // convention: every candidate pair is materialized today, but
+          // a sparser candidate source (the documented ANN-shortlist
+          // swap) must not overflow rel − Long.MinValue
           val maxSim =
             if (sel.isEmpty) 0L
-            else sel.map(s => sim.getOrElse((c, s), Long.MinValue)).max
+            else sel.map(s => sim.getOrElse((c, s), 0L)).max
           val score = rel(c) - maxSim
           if (score > bestScore || (score == bestScore && c < bestId)) {
             bestScore = score; bestId = c

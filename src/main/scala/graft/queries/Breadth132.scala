@@ -24,7 +24,16 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: one |value-domain|-bounded count table + prefix-sum
   * windows ordered by value — no per-row global sort, the q_chi2 /
-  * q_cliffs_delta altitude. */
+  * q_cliffs_delta altitude.
+  *
+  * Int headroom (the wave convention): the decimal numerator
+  * l·(N·M − n_i·B)² grows ~N⁵, and decimal(38,0) (= DuckDB HUGEINT's
+  * ~1.7e38) overflows near N ≈ 6·10⁷ merged rows — under non-ANSI
+  * Spark an overflowing term becomes NULL and silently DROPS from the
+  * sum on both engines. Past that row count, pre-divide each term by
+  * B(N−B) in double BEFORE squaring (ulp-drift, not overflow) or
+  * rank-bucket the value domain first; at the gate SFs (N ≤ 2·10⁵)
+  * the exact-decimal form is the parity-safe choice. */
 object Breadth132 {
 
   private def d(x: Column): Column = x.cast("double")

@@ -249,10 +249,11 @@ case class SeqEvent(user_id: Long, event_id: Long,
 
 /** The live sequence-match verdict after each micro-batch (update
   * stream): events seen so far and whether `s[^e]*p` has matched. */
-case class SeqMatchScored(user_id: Long, seq_len: Long, matched: Boolean)
+case class SeqMatchScored(user_id: Long, seq_len: Long, matched: Boolean,
+                          n_late: Long)
 
 /** The live funnel level after each micro-batch (update stream). */
-case class FunnelScored(user_id: Long, level: Int)
+case class FunnelScored(user_id: Long, level: Int, n_late: Long)
 
 /** One scored bar from the live Page–Hinkley drift screen (append
   * stream) — the batch q_page_hinkley columns. */
@@ -266,7 +267,8 @@ case class PhScored(user_id: Long, day: java.time.LocalDate,
   * are bounded by the events inside one funnel window — a dead anchor
   * (deadline before the newest seen ts) is pruned every batch. */
 case class FunnelState(level: Int, pendingViews: Seq[Long],
-                       frontier: Seq[(Long, Long)], maxTs: Long)
+                       frontier: Seq[(Long, Long)], maxTs: Long,
+                       nLate: Long)
 
 /** One scored bar from the live EWMA-volatility screen (append
   * stream); None at a key's first-ever bar — the batch null. */
@@ -1293,7 +1295,9 @@ object Streams {
     * event count — emitting the current verdict each micro-batch
     * (update mode). The batch regex over the collected string and this
     * DFA decide the same language, so the LAST emit equals the batch
-    * verdict on the same prefix. */
+    * verdict on the same prefix. Cross-batch late rows (event time
+    * below an earlier batch's fold horizon) are dropped and counted in
+    * `n_late` — loud, never a silent divergence. */
   def streamingSequenceMatch(ds: Dataset[SeqEvent]): Dataset[SeqMatchScored] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.user_id)
@@ -1308,8 +1312,11 @@ object Streams {
     * still complete; anchors whose deadline passed the newest seen ts
     * are pruned each batch, so state is bounded by one window's
     * events. Emits the current level per batch (update mode); the
-    * final level equals the batch greedy on the same prefix (events
-    * assumed in ts order across batches — the bar twins' convention). */
+    * final level equals the batch greedy on the same IN-ORDER prefix;
+    * cross-batch late rows (event time below an earlier batch's fold
+    * horizon — the pruned state could pair them differently than the
+    * batch greedy) are dropped and counted in `n_late`, never folded
+    * silently. */
   def streamingWindowFunnel(ds: Dataset[SeqEvent],
                             windowUs: Long = graft.queries.Breadth120
                               .FunnelWindowUs): Dataset[FunnelScored] = {
@@ -2149,30 +2156,43 @@ class ClampProcessor
   * twins). */
 class SeqMatchProcessor
     extends StatefulProcessor[Long, SeqEvent, SeqMatchScored] {
-  @transient private var st: ValueState[(Boolean, Boolean, Long)] = _
+  @transient private var st:
+    ValueState[(Boolean, Boolean, Long, Long, Long)] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    st = getHandle.getValueState[(Boolean, Boolean, Long)]("seqmatch",
-      org.apache.spark.sql.Encoders.product[(Boolean, Boolean, Long)],
+    st = getHandle.getValueState[(Boolean, Boolean, Long, Long, Long)](
+      "seqmatch",
+      org.apache.spark.sql.Encoders.product[
+        (Boolean, Boolean, Long, Long, Long)],
       TTLConfig.NONE)
 
   override def handleInputRows(user: Long, rows: Iterator[SeqEvent],
                                timerValues: TimerValues)
       : Iterator[SeqMatchScored] = {
-    var (active, matched, n) =
-      if (st.exists()) st.get() else (false, false, 0L)
+    var (active, matched, n, maxTs, nLate) =
+      if (st.exists()) st.get() else (false, false, 0L, Long.MinValue, 0L)
+    // the funnel twin's late-row guard: an event-time row below what an
+    // earlier batch folded is dropped and counted (the DFA is
+    // order-sensitive — a late 'e' would otherwise rewrite history
+    // silently); within a batch the sort handles order
+    val lateFloor = maxTs
     rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
       .foreach { e =>
-      e.initial match {
-        case "s" => active = true
-        case "e" => active = false
-        case "p" => if (active) matched = true
-        case _ =>
+      val t = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+      if (t < lateFloor) nLate += 1
+      else {
+        e.initial match {
+          case "s" => active = true
+          case "e" => active = false
+          case "p" => if (active) matched = true
+          case _ =>
+        }
+        n += 1
+        maxTs = math.max(maxTs, t)
       }
-      n += 1
     }
-    st.update((active, matched, n))
-    Iterator.single(SeqMatchScored(user, n, matched))
+    st.update((active, matched, n, maxTs, nLate))
+    Iterator.single(SeqMatchScored(user, n, matched, nLate))
   }
 }
 
@@ -2194,11 +2214,18 @@ class FunnelProcessor(windowUs: Long)
                                timerValues: TimerValues)
       : Iterator[FunnelScored] = {
     var s = if (st.exists()) st.get()
-            else FunnelState(0, Seq.empty, Seq.empty, Long.MinValue)
+            else FunnelState(0, Seq.empty, Seq.empty, Long.MinValue, 0L)
+    // late-row guard: an event whose time precedes what an EARLIER
+    // batch already folded could pair differently than the batch greedy
+    // (state was pruned against maxTs) — drop it and COUNT it, so
+    // out-of-order input surfaces in n_late instead of diverging
+    // silently (within a batch, the sort handles order)
+    val lateFloor = s.maxTs
     rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
       .foreach { e =>
         val t = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
-        if (s.level < 3) {
+        if (t < lateFloor) s = s.copy(nLate = s.nLate + 1)
+        else if (s.level < 3) {
           e.initial match {
             case "v" =>
               s = s.copy(level = math.max(s.level, 1),
@@ -2227,7 +2254,7 @@ class FunnelProcessor(windowUs: Long)
         }
       }
     st.update(s)
-    Iterator.single(FunnelScored(user, s.level))
+    Iterator.single(FunnelScored(user, s.level, s.nLate))
   }
 }
 

@@ -83,4 +83,50 @@ class Wave136Spec extends SparkSpec {
       }
     }
   }
+
+  test("funnel + sequence-match late-row guard: a cross-batch " +
+    "out-of-order event is dropped and COUNTED, never folded silently") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ev(u: Long, i: Long, t: String, sec: Long) =
+        SeqEvent(u, i, new java.sql.Timestamp(1700000000000L + sec * 1000L),
+          t.take(1))
+      // batch 1 folds up to sec 100; batch 2 delivers a LATE view
+      // (sec 50) plus an in-order click
+      val memF = MemoryStream[SeqEvent]
+      val qf = Streams.streamingWindowFunnel(memF.toDS())
+        .writeStream.format("memory").queryName("funnel_late")
+        .outputMode("update").start()
+      memF.addData(ev(1, 1, "view", 100)); qf.processAllAvailable()
+      memF.addData(ev(1, 2, "view", 50), ev(1, 3, "click", 200))
+      qf.processAllAvailable(); qf.stop()
+      val fl = spark.table("funnel_late")
+        .orderBy(col("n_late").desc).collect()
+      assert(fl.head.getLong(2) === 1L, s"late view must be counted: ${fl.toSeq}")
+      assert(fl.head.getInt(1) === 2, "in-order click still pairs the sec-100 view")
+      // sequence match: a LATE error must not cancel the signup
+      val memS = MemoryStream[SeqEvent]
+      val qs = Streams.streamingSequenceMatch(memS.toDS())
+        .writeStream.format("memory").queryName("seq_late")
+        .outputMode("update").start()
+      memS.addData(ev(2, 1, "signup", 100)); qs.processAllAvailable()
+      memS.addData(ev(2, 2, "error", 50), ev(2, 3, "purchase", 200))
+      qs.processAllAvailable(); qs.stop()
+      val sl = spark.table("seq_late").orderBy(col("seq_len").desc).collect()
+      assert(sl.head.getBoolean(2) === true,
+        "the late error is dropped, so the signup still converts")
+      assert(sl.head.getLong(3) === 1L, "late error counted in n_late")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
