@@ -108,6 +108,7 @@ object SparkEntry {
     (Breadth133.defs, Breadth133.oracle),
     (Breadth134.defs, Breadth134.oracle),
     (Breadth135.defs, Breadth135.oracle),
+    (Breadth136.defs, Breadth136.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
