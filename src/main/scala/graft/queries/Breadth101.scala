@@ -74,22 +74,31 @@ object Breadth101 {
 
   /** Mutual-kNN undirected edges: kept only where BOTH endpoints rank
     * each other top-k (canonical a<b orientation). */
-  private[graft] def mutualKnnEdges(emb: DataFrame): DataFrame = {
-    val d = Breadth43.knnDirected(emb)
+  private[graft] def mutualKnnEdges(emb: DataFrame): DataFrame =
+    mutualFromDirected(Breadth43.knnDirected(emb))
+
+  /** The mutual filter over an ALREADY-BUILT directed edge frame — the
+    * memoized-chain entry (q_kcore previously re-ran the whole kNN
+    * build inside the query; the shared chain_knn_edges frame makes
+    * its bench number the peel's marginal cost). */
+  private[graft] def mutualFromDirected(d: DataFrame): DataFrame =
     d.select(col("src").as("id_a"), col("dst").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .join(d.select(col("dst").as("id_a"), col("src").as("id_b")),
         Seq("id_a", "id_b"), "left_semi")
-  }
 
   /** k-core of the mutual-kNN graph after `rounds` unrolled peels. */
   private[graft] def kcore(emb: DataFrame, k: Long = CoreK,
-                           rounds: Int = CoreRounds): DataFrame = {
-    // materialize the (expensive, label-quadratic) kNN build ONCE, then
+                           rounds: Int = CoreRounds): DataFrame =
+    kcoreFromDirected(Breadth43.knnDirected(emb), k, rounds)
+
+  private[graft] def kcoreFromDirected(directed: DataFrame, k: Long = CoreK,
+                                       rounds: Int = CoreRounds): DataFrame = {
+    // materialize the (expensive) mutual edge set ONCE, then
     // checkpoint every round: each peel reads cur twice (deg + the two
     // semi-joins), so an uncheckpointed chain re-evaluates the whole
     // upstream per round — measured 62 s → seconds at sf0.1
-    var cur = mutualKnnEdges(emb).localCheckpoint(true)
+    var cur = mutualFromDirected(directed).localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val keep = deg(cur).filter(col("deg") >= k).select(col("node"))
       cur = cur
@@ -140,7 +149,8 @@ object Breadth101 {
     "q_rolling_median" -> ((s, dir) =>
       rollingMedian(Tables.events(s, dir), "user_id", "ts", "value",
         "event_id")),
-    "q_kcore" -> ((s, dir) => kcore(Tables.embeddings(s, dir))),
+    "q_kcore" -> ((s, dir) =>
+      kcoreFromDirected(Extensions.knnDirectedEdges(s, dir))),
     "q_trimmed_mean" -> ((s, dir) =>
       trimmedMean(Tables.events(s, dir), "event_type", "value")))
 

@@ -47,7 +47,12 @@ object Breadth43 {
     * vector contributes its top-k same-label neighbours by (cos DESC,
     * id ASC); the union of directed kNN edges, deduped as (min, max). */
   private[graft] def knnEdges(emb: DataFrame, k: Int = KnnK): DataFrame =
-    knnDirected(emb, k)
+    undirect(knnDirected(emb, k))
+
+  /** Directed → undirected canonical edges (shared so the memoized
+    * directed frame and the direct API project identically). */
+  private[graft] def undirect(directed: DataFrame): DataFrame =
+    directed
       .select(least(col("src"), col("dst")).as("id_a"),
         greatest(col("src"), col("dst")).as("id_b"))
       .distinct()
