@@ -60,7 +60,11 @@ object Breadth121 {
         .cast("long"))
 
   /** Per-(vector, subspace) code: argmin label by exact squared
-    * distance. */
+    * distance. Kept as the row_number window (NOT a min(struct)
+    * second aggregate): measured at the sf1 step, the struct-min form
+    * ran 15–18 s vs the window's 12 s — a struct MIN plans as a
+    * SortAggregate, so the "order-free aggregate" buys nothing over
+    * the window's sort while adding a second exchange. */
   private def encoded(e: DataFrame, cw: DataFrame): DataFrame = {
     val d2 = e.join(broadcast(cw), col("pos") === col("cp"))
       .withColumn("__df", col("xq") - col("cq"))
