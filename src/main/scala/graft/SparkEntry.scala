@@ -109,6 +109,7 @@ object SparkEntry {
     (Breadth134.defs, Breadth134.oracle),
     (Breadth135.defs, Breadth135.oracle),
     (Breadth136.defs, Breadth136.oracle),
+    (Breadth137.defs, Breadth137.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
