@@ -2447,4 +2447,17 @@ object Graft {
                       maxHamming: Int = 3): DataFrame =
     dedup.Dedup.simhashNearDupsAdaptive(docs, idCol, textCol, blockCol,
       maxHamming)
+
+  /** Greedy k-center (Gonzalez max-min) coreset over the embeddings. */
+  def kcenter(embeddings: DataFrame, k: Int = 8): DataFrame =
+    queries.Breadth136.kcenter(embeddings, k)
+
+  /** Round-robin curriculum order over (source, length rank). */
+  def curriculum(docs: DataFrame, n: Int = 30): DataFrame =
+    queries.Breadth136.curriculum(docs, n)
+
+  /** Dominant right-singular direction of the quantized embedding
+    * matrix (distributed power iteration). */
+  def powerIteration(embeddings: DataFrame, iters: Int = 8): DataFrame =
+    queries.Breadth137.powerIteration(embeddings, iters)
 }

@@ -70,47 +70,102 @@ object Breadth137 {
       .orderBy(col("pos").asc)
   }
 
+  private[graft] val OutlierTopN = 10
+
+  /** The screen the direction exists FOR: the topN vectors most
+    * ORTHOGONAL to the dominant direction (smallest |cos| — residual
+    * share 1 − cos² is maximal), i.e. the rows PCA explains worst: the
+    * outlier/diversity candidates of the embedding tier. Cosines run
+    * on the same quantized coordinates as the iteration, rounded 6 dp
+    * (the cross-engine rank discipline), ties by vec_id. */
+  private[graft] def pcaOutliers(emb: DataFrame,
+                                 topN: Int = OutlierTopN): DataFrame = {
+    val v = powerIteration(emb)
+      .agg(array_sort(collect_list(struct(col("pos"), col("loading"))))
+        .as("__pl"))
+      .select(transform(col("__pl"), s => s.getField("loading")).as("__v"))
+    // Spark floor() yields LONG; the codegen cosine wants float/double
+    // elements (values identical — floor output is integer-exact)
+    val xq = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1.0e6) + lit(0.5))
+          .cast("double")).as("__xq"))
+    val scored = xq.crossJoin(broadcast(v))
+      .withColumn("cos_pc1",
+        round(Similarity.cosine(col("__xq"), col("__v")), 6))
+      .select(col("vec_id"), col("cos_pc1"))
+      .orderBy(abs(col("cos_pc1")).asc, col("vec_id").asc)
+      .limit(topN)
+    scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(abs(col("cos_pc1")).asc, col("vec_id").asc)).cast("long"))
+      .select(col("rank"), col("vec_id"), col("cos_pc1"))
+      .orderBy(col("rank").asc)
+  }
+
   val defs: Map[String, Q] = Map(
     "q_power_iter" -> ((s, dir) =>
-      powerIteration(Tables.embeddings(s, dir))))
+      powerIteration(Tables.embeddings(s, dir))),
+    "q_pca_outlier" -> ((s, dir) =>
+      pcaOutliers(Tables.embeddings(s, dir))))
+
+  /** The quantize + power-iteration CTE chain (no leading WITH),
+    * shared by both oracles so the direction cannot drift. */
+  private val PowerSql: String =
+    s"""ev AS (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> floor(x * 1000000.0 + 0.5)) AS xv
+       |  FROM embeddings),
+       |eu AS (
+       |  SELECT vec_id, unnest(range(1, ${Dim + 1})) AS pos,
+       |    unnest(xv) AS xq
+       |  FROM ev),
+       |r AS (
+       |  -- seed from a FROM-clause row (the q_kcenter DuckDB trap:
+       |  -- select-list subqueries in a recursive seed go NULL)
+       |  SELECT 0 AS it,
+       |    list_transform(range(1, ${Dim + 1}),
+       |      i -> CAST(1.0 AS DOUBLE)) AS vec
+       |  UNION ALL
+       |  SELECT it + 1,
+       |    (SELECT list(CAST(t.sq AS DOUBLE) /
+       |       (SELECT CAST(max(abs(t2.sq)) AS DOUBLE)
+       |        FROM (SELECT sum(CAST(floor(eu2.xq
+       |                * list_dot_product(ev2.xv, s.vec) + 0.5)
+       |                AS BIGINT)) AS sq
+       |              FROM eu eu2 JOIN ev ev2 USING (vec_id)
+       |              GROUP BY eu2.pos) t2)
+       |       ORDER BY t.pos)
+       |     FROM (SELECT eu.pos AS pos,
+       |             sum(CAST(floor(eu.xq
+       |               * list_dot_product(ev.xv, s.vec) + 0.5)
+       |               AS BIGINT)) AS sq
+       |           FROM eu JOIN ev USING (vec_id)
+       |           GROUP BY eu.pos) t)
+       |  FROM r s WHERE s.it < $PowerIters)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_power_iter" ->
-      s"""WITH RECURSIVE ev AS (
-         |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
-         |    x -> floor(x * 1000000.0 + 0.5)) AS xv
-         |  FROM embeddings),
-         |eu AS (
-         |  SELECT vec_id, unnest(range(1, ${Dim + 1})) AS pos,
-         |    unnest(xv) AS xq
-         |  FROM ev),
-         |r AS (
-         |  -- seed from a FROM-clause row (the q_kcenter DuckDB trap:
-         |  -- select-list subqueries in a recursive seed go NULL)
-         |  SELECT 0 AS it,
-         |    list_transform(range(1, ${Dim + 1}),
-         |      i -> CAST(1.0 AS DOUBLE)) AS vec
-         |  UNION ALL
-         |  SELECT it + 1,
-         |    (SELECT list(CAST(t.sq AS DOUBLE) /
-         |       (SELECT CAST(max(abs(t2.sq)) AS DOUBLE)
-         |        FROM (SELECT sum(CAST(floor(eu2.xq
-         |                * list_dot_product(ev2.xv, s.vec) + 0.5)
-         |                AS BIGINT)) AS sq
-         |              FROM eu eu2 JOIN ev ev2 USING (vec_id)
-         |              GROUP BY eu2.pos) t2)
-         |       ORDER BY t.pos)
-         |     FROM (SELECT eu.pos AS pos,
-         |             sum(CAST(floor(eu.xq
-         |               * list_dot_product(ev.xv, s.vec) + 0.5)
-         |               AS BIGINT)) AS sq
-         |           FROM eu JOIN ev USING (vec_id)
-         |           GROUP BY eu.pos) t)
-         |  FROM r s WHERE s.it < $PowerIters)
+      s"""WITH RECURSIVE $PowerSql
          |SELECT CAST(u.pos AS BIGINT) AS pos, u.loading
          |FROM (
          |  SELECT unnest(range(1, ${Dim + 1})) AS pos,
          |    unnest(vec) AS loading
          |  FROM r WHERE it = $PowerIters) u
-         |ORDER BY pos""".stripMargin)
+         |ORDER BY pos""".stripMargin,
+
+    "q_pca_outlier" ->
+      s"""WITH RECURSIVE $PowerSql,
+         |co AS (
+         |  SELECT ev.vec_id,
+         |    round(list_dot_product(ev.xv, d.vec)
+         |      / (sqrt(list_dot_product(ev.xv, ev.xv))
+         |        * sqrt(list_dot_product(d.vec, d.vec))), 6) AS cos_pc1
+         |  FROM ev, (SELECT vec FROM r WHERE it = $PowerIters) d)
+         |SELECT CAST(row_number() OVER (
+         |    ORDER BY abs(cos_pc1), vec_id) AS BIGINT) AS rank,
+         |  vec_id, cos_pc1
+         |FROM co
+         |ORDER BY abs(cos_pc1), vec_id
+         |LIMIT $OutlierTopN""".stripMargin)
 }

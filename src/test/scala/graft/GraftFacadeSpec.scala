@@ -339,4 +339,14 @@ class GraftFacadeSpec extends SparkSpec {
     assert(rows(Graft.simhashNearDups(docs)
       .orderBy(col("id_a").asc, col("id_b").asc)) == q("q_simhash_d3"))
   }
+
+  test("Graft round-11 facades (kcenter / curriculum / powerIteration) " +
+    "match their oracle-checked queries") {
+    val docs = Tables.documents(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
+    def q(name: String) = rows(SparkEntry.queries(name)(spark, sf0001))
+    assert(rows(Graft.kcenter(emb)) == q("q_kcenter"))
+    assert(rows(Graft.curriculum(docs)) == q("q_curriculum"))
+    assert(rows(Graft.powerIteration(emb)) == q("q_power_iter"))
+  }
 }
