@@ -431,4 +431,78 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("kcenter equals the driver-side greedy max-min reference on " +
+    "random small corpora (quantized-cosine ties included)") {
+    def vec(seed: Long, dim: Int): Array[Float] =
+      Array.tabulate(dim)(d => (math.sin(seed * 13.7 + d * 3.1) +
+        0.3 * math.cos(seed * 5.3 - d * 1.7)).toFloat)
+    def q6cos(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1.0e6 + 0.5).toLong
+    }
+    for (t <- 0 until 6) {
+      val n = 12 + t * 5
+      val rows = (0 until n).map(i =>
+        // duplicate every 5th vector to force cosine-1.0 ties
+        (i.toLong, vec(if (i % 5 == 4) i - 1 else i + t * 100L, 6), 0))
+      val byId = rows.map(r => r._1 -> r._2).toMap
+      val k = 5
+      // driver-side greedy reference
+      var sel = Vector(rows.map(_._1).min)
+      var expect = Vector[(Int, Long, Option[Long])]((1, sel.head, None))
+      for (pick <- 2 to k) {
+        val cands = rows.map(_._1).filterNot(sel.contains)
+        val scored = cands.map(c =>
+          (sel.map(sid => q6cos(byId(c), byId(sid))).max, c))
+        val best = scored.minBy { case (mc, id) => (mc, id) }
+        sel = sel :+ best._2
+        expect = expect :+ ((pick, best._2, Some(best._1)))
+      }
+      val got = graft.queries.Breadth136.kcenter(
+          rows.toDF("vec_id", "embedding", "label"), k)
+        .collect().map(r => (r.getInt(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toVector
+      assert(got === expect, s"t=$t")
+    }
+  }
+
+  test("powerIteration equals the driver-side exact recurrence " +
+    "bit-for-bit on random matrices (integer cross-row sums are " +
+    "order-free, so distribution cannot perturb it)") {
+    def vec(seed: Long, dim: Int): Array[Float] =
+      Array.tabulate(dim)(d =>
+        (math.sin(seed * 7.9 + d * 2.3) * (1 + (d % 3))).toFloat)
+    for (t <- 0 until 4) {
+      val n = 20 + t * 13
+      val dim = 64
+      val rows = (0 until n).map(i => (i.toLong, vec(i + t * 1000L, dim), 0))
+      val xq = rows.map(_._2.map(x =>
+        math.floor(x.toDouble * 1.0e6 + 0.5)))
+      var v = Array.fill(dim)(1.0)
+      for (_ <- 1 to 8) {
+        val sums = Array.fill(dim)(0L)
+        xq.foreach { row =>
+          var d = 0.0; var i = 0
+          while (i < dim) { d += row(i) * v(i); i += 1 }
+          i = 0
+          while (i < dim) {
+            sums(i) += math.floor(row(i) * d + 0.5).toLong; i += 1
+          }
+        }
+        val m = sums.map(math.abs).max.toDouble
+        v = sums.map(_.toDouble / m)
+      }
+      val got = graft.queries.Breadth137.powerIteration(
+          rows.toDF("vec_id", "embedding", "label"))
+        .collect().map(r => r.getDouble(1))
+      assert(got.toSeq === v.toSeq, s"t=$t")
+    }
+  }
 }
