@@ -520,6 +520,9 @@ object Dedup {
   def simhashComboStructs(simCol: Column, k: Int, d: Int): Column = {
     require(k >= d + 1 && k <= 64 && d >= 1,
       s"need maxHamming >= 1 and blocks in [d+1, 64], got k=$k d=$d")
+    require(choose(k, d, 4096L) <= 4096L,
+      s"C($k, $d) combination tables explode the per-row struct array " +
+        "(operating points from simhashOperatingPoint stay <= 256)")
     val base = 64 / k; val extra = 64 % k
     val bounds = (0 until k).scanLeft(0)((lo, j) =>
       lo + base + (if (j < extra) 1 else 0))

@@ -51,7 +51,11 @@ object Extensions {
   private[queries] def memoized(s: org.apache.spark.sql.SparkSession, key: String)
                       (build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     memoCache.synchronized {
-      if (memoCache.size > 8) {
+      // bound well ABOVE the steady-state key count (7 chains today):
+      // eviction clears the WHOLE cache, and a clear mid-bench would
+      // silently re-attribute a chain's build cost to whichever
+      // consumer query touches the memo next
+      if (memoCache.size > 16) {
         // release dropped frames' storage too; a frame whose session has
         // since stopped throws from unpersist — swallow, the blocks died
         // with the session
