@@ -2460,4 +2460,20 @@ object Graft {
     * matrix (distributed power iteration). */
   def powerIteration(embeddings: DataFrame, iters: Int = 8): DataFrame =
     queries.Breadth137.powerIteration(embeddings, iters)
+
+  /** Exact tie-handled ROC-AUC of `score` against boolean `pos`, one
+    * row per `grp` (Mann–Whitney integer half-rank form). */
+  def aucByGroup(df: DataFrame, grp: String, score: String,
+                 pos: String): DataFrame =
+    queries.Breadth138.aucByGroup(df, grp, score, pos)
+
+  /** Per-source average precision of the n_chars score against the
+    * is-English label (doc_id-tiebroken exact AP). */
+  def avgPrecision(docs: DataFrame): DataFrame =
+    queries.Breadth138.avgPrecision(docs)
+
+  /** Decile calibration table + per-bin Brier of the pseudo-probability
+    * (n_chars mod 101)/101 against the is-English label. */
+  def calibrationTable(docs: DataFrame): DataFrame =
+    queries.Breadth138.calibration(docs)
 }

@@ -110,6 +110,7 @@ object SparkEntry {
     (Breadth135.defs, Breadth135.oracle),
     (Breadth136.defs, Breadth136.oracle),
     (Breadth137.defs, Breadth137.oracle),
+    (Breadth138.defs, Breadth138.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
