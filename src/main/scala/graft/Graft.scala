@@ -2476,4 +2476,14 @@ object Graft {
     * (n_chars mod 101)/101 against the is-English label. */
   def calibrationTable(docs: DataFrame): DataFrame =
     queries.Breadth138.calibration(docs)
+
+  /** Kneser–Ney bigram LM document scores + the corpus-micro-mean
+    * perplexity gate (CCNet-style quality screen). */
+  def kneserNeyScores(docs: DataFrame): DataFrame =
+    queries.Breadth139.knScores(docs)
+
+  /** KN continuation-probability head: tokens ranked by distinct left
+    * contexts (the versatility KN backs off to). */
+  def knContinuation(docs: DataFrame): DataFrame =
+    queries.Breadth139.knContinuation(docs)
 }
