@@ -2486,4 +2486,14 @@ object Graft {
     * contexts (the versatility KN backs off to). */
   def knContinuation(docs: DataFrame): DataFrame =
     queries.Breadth139.knContinuation(docs)
+
+  /** Per-label polynomial-kernel MMD² drift vs the rest of the corpus
+    * (explicit feature map — one linear pass, no pair enumeration). */
+  def mmdDrift(embeddings: DataFrame): DataFrame =
+    queries.Breadth140.mmdDrift(embeddings)
+
+  /** Per-label drift attribution: the feature-map entry contributing
+    * most to that label's MMD², with its share. */
+  def mmdTopFeature(embeddings: DataFrame): DataFrame =
+    queries.Breadth140.mmdTopFeature(embeddings)
 }
