@@ -2496,4 +2496,18 @@ object Graft {
     * most to that label's MMD², with its share. */
   def mmdTopFeature(embeddings: DataFrame): DataFrame =
     queries.Breadth140.mmdTopFeature(embeddings)
+
+  /** Newman modularity of the label partition over the global
+    * (label-blind) mutual-kNN graph — exact integer-rational form. */
+  def modularity(embeddings: DataFrame): DataFrame = {
+    val edges = queries.Breadth141.globalMutualEdges(embeddings)
+    queries.Breadth141.modularity(embeddings, edges)
+  }
+
+  /** Per-label cohesion over the global mutual-kNN graph: internal
+    * edges, degree mass, and modularity contribution. */
+  def labelCohesion(embeddings: DataFrame): DataFrame = {
+    val edges = queries.Breadth141.globalMutualEdges(embeddings)
+    queries.Breadth141.labelCohesion(embeddings, edges)
+  }
 }

@@ -113,6 +113,7 @@ object SparkEntry {
     (Breadth138.defs, Breadth138.oracle),
     (Breadth139.defs, Breadth139.oracle),
     (Breadth140.defs, Breadth140.oracle),
+    (Breadth141.defs, Breadth141.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
