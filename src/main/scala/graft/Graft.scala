@@ -2510,4 +2510,13 @@ object Graft {
     val edges = queries.Breadth141.globalMutualEdges(embeddings)
     queries.Breadth141.labelCohesion(embeddings, edges)
   }
+
+  /** Nearest-centroid probe confusion matrix over the embeddings
+    * (exact integer centroids + argmax assignment). */
+  def centroidProbe(embeddings: DataFrame): DataFrame =
+    queries.Breadth142.probeConfusion(embeddings)
+
+  /** Nearest-centroid probe evaluation: accuracy + macro recall. */
+  def centroidProbeEval(embeddings: DataFrame): DataFrame =
+    queries.Breadth142.probeEval(embeddings)
 }

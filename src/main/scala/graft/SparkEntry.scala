@@ -114,6 +114,7 @@ object SparkEntry {
     (Breadth139.defs, Breadth139.oracle),
     (Breadth140.defs, Breadth140.oracle),
     (Breadth141.defs, Breadth141.oracle),
+    (Breadth142.defs, Breadth142.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
