@@ -2519,4 +2519,14 @@ object Graft {
   /** Nearest-centroid probe evaluation: accuracy + macro recall. */
   def centroidProbeEval(embeddings: DataFrame): DataFrame =
     queries.Breadth142.probeEval(embeddings)
+
+  /** Margin-based bitext mining: mutual cross-lingual best matches
+    * scored by the Artetxe–Schwenk ratio margin. */
+  def bitextMine(embeddings: DataFrame, docs: DataFrame): DataFrame =
+    queries.Breadth143.bitextMine(embeddings, docs)
+
+  /** The bitext retrieval stage: every forward best match ranked by
+    * ratio margin (top candidates table). */
+  def bitextMargin(embeddings: DataFrame, docs: DataFrame): DataFrame =
+    queries.Breadth143.bitextMargin(embeddings, docs)
 }

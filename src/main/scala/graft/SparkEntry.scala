@@ -115,6 +115,7 @@ object SparkEntry {
     (Breadth140.defs, Breadth140.oracle),
     (Breadth141.defs, Breadth141.oracle),
     (Breadth142.defs, Breadth142.oracle),
+    (Breadth143.defs, Breadth143.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
