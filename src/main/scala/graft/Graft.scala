@@ -2529,4 +2529,14 @@ object Graft {
     * ratio margin (top candidates table). */
   def bitextMargin(embeddings: DataFrame, docs: DataFrame): DataFrame =
     queries.Breadth143.bitextMargin(embeddings, docs)
+
+  /** Difference-in-differences over the event stream (2×2 parity ×
+    * calendar-midpoint design, exact cent-integer cell means). */
+  def did(events: DataFrame): DataFrame =
+    queries.Breadth144.did(events)
+
+  /** Cohen's kappa between gold lang and the marker-word language-ID
+    * heuristic (integer-rational chance correction). */
+  def cohenKappa(docs: DataFrame): DataFrame =
+    queries.Breadth144.cohenKappa(docs)
 }

@@ -116,6 +116,7 @@ object SparkEntry {
     (Breadth141.defs, Breadth141.oracle),
     (Breadth142.defs, Breadth142.oracle),
     (Breadth143.defs, Breadth143.oracle),
+    (Breadth144.defs, Breadth144.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
