@@ -2539,4 +2539,13 @@ object Graft {
     * heuristic (integer-rational chance correction). */
   def cohenKappa(docs: DataFrame): DataFrame =
     queries.Breadth144.cohenKappa(docs)
+
+  /** Split-conformal audit: calibration quantile q̂ + test coverage
+    * (md5-parity split, per-source floored-mean base predictor). */
+  def conformal(docs: DataFrame): DataFrame =
+    queries.Breadth145.conformal(docs)
+
+  /** Per-source conformal coverage under the global q̂. */
+  def conformalBySource(docs: DataFrame): DataFrame =
+    queries.Breadth145.conformalBySource(docs)
 }

@@ -117,6 +117,7 @@ object SparkEntry {
     (Breadth142.defs, Breadth142.oracle),
     (Breadth143.defs, Breadth143.oracle),
     (Breadth144.defs, Breadth144.oracle),
+    (Breadth145.defs, Breadth145.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
