@@ -2548,4 +2548,13 @@ object Graft {
   /** Per-source conformal coverage under the global q̂. */
   def conformalBySource(docs: DataFrame): DataFrame =
     queries.Breadth145.conformalBySource(docs)
+
+  /** AMS tug-of-war F₂ audit: exact second moment vs the median-of-5
+    * one-pass sketch. */
+  def amsF2(docs: DataFrame): DataFrame =
+    queries.Breadth146.amsF2(docs)
+
+  /** The five AMS estimator rows (sign sums + estimates). */
+  def amsSketches(docs: DataFrame): DataFrame =
+    queries.Breadth146.amsSketches(docs)
 }

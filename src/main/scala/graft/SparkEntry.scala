@@ -118,6 +118,7 @@ object SparkEntry {
     (Breadth143.defs, Breadth143.oracle),
     (Breadth144.defs, Breadth144.oracle),
     (Breadth145.defs, Breadth145.oracle),
+    (Breadth146.defs, Breadth146.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
