@@ -2557,4 +2557,18 @@ object Graft {
   /** The five AMS estimator rows (sign sums + estimates). */
   def amsSketches(docs: DataFrame): DataFrame =
     queries.Breadth146.amsSketches(docs)
+
+  /** Wald SPRT per event stream: decision, crossing index, LLR. */
+  def sprt(events: DataFrame): DataFrame =
+    queries.Breadth147.sprt(events)
+
+  /** Live SPRT screen (shared Breadth147.sprtStep on keyed state). */
+  def liveSprt(events: org.apache.spark.sql.Dataset[streaming.SprtEvent])
+      : org.apache.spark.sql.Dataset[streaming.SprtScored] =
+    streaming.Streams.streamingSprt(events)
+
+  /** Live mergeable AMS sketch per source (update stream). */
+  def liveAmsSketch(docs: org.apache.spark.sql.Dataset[streaming.AmsDoc])
+      : org.apache.spark.sql.Dataset[streaming.AmsSnap] =
+    streaming.Streams.streamingAmsSketch(docs)
 }

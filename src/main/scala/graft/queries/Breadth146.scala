@@ -34,6 +34,21 @@ object Breadth146 {
 
   private[graft] val AmsK = 5
 
+  /** JVM twin of Text.tokens (lower + trim + collapse whitespace +
+    * split) for the streaming processor. */
+  def tokensJvm(s: String): Seq[String] =
+    s.trim.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ").split(" ", -1).toSeq
+
+  /** JVM twin of [[amsSign]] — the same md5 bit parity, for the
+    * streaming processor and driver-side reference checks. */
+  def amsSignJvm(tok: String, j: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest((tok + "#" + j).getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.substring(16, 31)
+    if (BigInt(hex, 16) % 2 == 0) 1L else -1L
+  }
+
   /** ±1 sign of `tok` under estimator salt j (md5 bit parity). */
   private[graft] def amsSign(tok: Column, j: Int): Column =
     when(conv(substring(md5(concat(tok, lit("#" + j))), 17, 15), 16, 10)

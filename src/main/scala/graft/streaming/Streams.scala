@@ -261,6 +261,28 @@ case class PhScored(user_id: Long, day: java.time.LocalDate,
                     close_cents: Long, ph_m: Double, ph_stat: Double,
                     alarmed: Boolean)
 
+/** One Bernoulli observation for the live SPRT screen. */
+case class SprtEvent(stream: String, event_id: Long,
+                     ts: java.sql.Timestamp, x: Long)
+
+/** The live SPRT verdict after each observation (append stream) —
+  * the batch q_sprt decision columns plus the late-row counter. */
+case class SprtScored(stream: String, k: Long, x: Long, llr: Long,
+                      decision: String, n_late: Long)
+
+/** Keyed SPRT state: the shared Breadth147 accumulator fields + the
+  * bar twins' late-row guard horizon. */
+case class SprtState(k: Long, llr: Long, decided: Boolean, kd: Long,
+                     llrd: Long, maxTs: Long, nLate: Long)
+
+/** One document for the live AMS F₂ sketch. */
+case class AmsDoc(source: String, doc_id: Long, text: String)
+
+/** The per-source AMS sketch snapshot after each micro-batch (update
+  * stream): token count + the AmsK sign sums (mergeable by element-
+  * wise addition — the batch global sketch is their sum). */
+case class AmsSnap(source: String, n_tokens: Long, sums: Seq[Long])
+
 /** Keyed state of the live window funnel: current level, the views
   * not yet paired with a later click (µs), and the open (click,
   * deadline) frontier a future purchase could complete. Both lists
@@ -1289,6 +1311,30 @@ object Streams {
         OutputMode.Append())
   }
 
+  /** Streaming twin of the batch q_sprt decision: the SAME
+    * Breadth147.sprtStep folded on O(1) keyed state per stream
+    * (append mode — one verdict row per observation; cross-batch late
+    * rows drop and count, the funnel-twin convention). */
+  def streamingSprt(ds: Dataset[SprtEvent]): Dataset[SprtScored] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.stream)
+      .transformWithState(new SprtProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Live AMS F₂ sketch, keyed by source (update mode): one 5-sum
+    * integer sketch per source whose ELEMENT-WISE SUM across keys
+    * equals the batch global sketch (Breadth146.amsSketches) — the
+    * mergeability that makes the sketch the warehouse-scale path.
+    * Token order is irrelevant (integer sums commute), so no late-row
+    * guard is needed. */
+  def streamingAmsSketch(ds: Dataset[AmsDoc]): Dataset[AmsSnap] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.source)
+      .transformWithState(new AmsProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Streaming twin of the batch q_sequence_match regex: the pattern
     * `s[^e]*p` ("a signup converts with no error between") compiled to
     * an O(1) DFA per key — active-signup flag, absorbing matched flag,
@@ -2147,6 +2193,82 @@ class ClampProcessor
   protected def score(user: Long, b: BarRow,
                       a: graft.queries.Breadth123.ClampAcc): ClampScored =
     ClampScored(user, b.day, b.close_cents, a.bal)
+}
+
+/** Keyed processor behind [[Streams.streamingSprt]] — the batch
+  * `Breadth147.sprtStep` on O(1) keyed state. Rows fold in
+  * (ts, event_id) order within each batch; a row below an earlier
+  * batch's horizon drops and counts (the decision index is
+  * order-sensitive). */
+class SprtProcessor
+    extends StatefulProcessor[String, SprtEvent, SprtScored] {
+  @transient private var st: ValueState[SprtState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[SprtState]("sprt",
+      org.apache.spark.sql.Encoders.product[SprtState], TTLConfig.NONE)
+
+  override def handleInputRows(stream: String, rows: Iterator[SprtEvent],
+                               timerValues: TimerValues)
+      : Iterator[SprtScored] = {
+    var s = if (st.exists()) st.get()
+      else SprtState(0L, 0L, decided = false, -1L, 0L, Long.MinValue, 0L)
+    val out = Seq.newBuilder[SprtScored]
+    val lateFloor = s.maxTs
+    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      val t = e.ts.getTime
+      if (t < lateFloor) s = s.copy(nLate = s.nLate + 1)
+      else {
+        val prev =
+          if (s.k == 0) None
+          else Some(graft.queries.Breadth147.SprtAcc(
+            s.k, s.llr, s.decided, s.kd, s.llrd))
+        val acc = graft.queries.Breadth147.sprtStep(prev, e.x)
+        s = SprtState(acc.k, acc.llr, acc.decided, acc.kd, acc.llrd,
+          math.max(s.maxTs, t), s.nLate)
+        val decision =
+          if (!acc.decided) "continue"
+          else if (acc.llrd >= graft.queries.Breadth147.BoundQ) "accept_h1"
+          else "accept_h0"
+        out += SprtScored(stream, acc.k, e.x, acc.llr, decision, s.nLate)
+      }
+    }
+    st.update(s)
+    out.result().iterator
+  }
+}
+
+/** Keyed processor behind [[Streams.streamingAmsSketch]] — the
+  * mergeable 5-sum tug-of-war sketch on O(1) keyed state (JVM md5
+  * sign twin, spec-pinned equal to the SQL sign). */
+class AmsProcessor
+    extends StatefulProcessor[String, AmsDoc, AmsSnap] {
+  @transient private var st: ValueState[(Long, Seq[Long])] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[(Long, Seq[Long])]("ams",
+      org.apache.spark.sql.Encoders.product[(Long, Seq[Long])],
+      TTLConfig.NONE)
+
+  override def handleInputRows(source: String, rows: Iterator[AmsDoc],
+                               timerValues: TimerValues)
+      : Iterator[AmsSnap] = {
+    val k = graft.queries.Breadth146.AmsK
+    var (n, sums) = if (st.exists()) st.get() else (0L, Seq.fill(k)(0L))
+    val acc = sums.toArray
+    rows.foreach { d =>
+      graft.queries.Breadth146.tokensJvm(d.text).foreach { tok =>
+        n += 1
+        var j = 0
+        while (j < k) {
+          acc(j) += graft.queries.Breadth146.amsSignJvm(tok, j)
+          j += 1
+        }
+      }
+    }
+    st.update((n, acc.toSeq))
+    Iterator.single(AmsSnap(source, n, acc.toSeq))
+  }
 }
 
 /** Keyed processor behind [[Streams.streamingSequenceMatch]] — the
