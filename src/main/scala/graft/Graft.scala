@@ -2571,4 +2571,13 @@ object Graft {
   def liveAmsSketch(docs: org.apache.spark.sql.Dataset[streaming.AmsDoc])
       : org.apache.spark.sql.Dataset[streaming.AmsSnap] =
     streaming.Streams.streamingAmsSketch(docs)
+
+  /** Sequential pipeline-yield funnel: length → exact-dedup → KN
+    * perplexity gate, one survival row per stage. */
+  def pipelineYield(docs: DataFrame): DataFrame =
+    queries.Breadth148.pipelineYield(docs)
+
+  /** Independent-gate overlap counts (2³ combinations). */
+  def gateOverlap(docs: DataFrame): DataFrame =
+    queries.Breadth148.gateOverlap(docs)
 }

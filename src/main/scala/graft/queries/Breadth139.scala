@@ -136,37 +136,43 @@ object Breadth139 {
        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
        |  FROM b2 GROUP BY w1, w2)""".stripMargin
 
+  /** The full per-doc KN score + gate chain (no leading WITH): CTEs
+    * through `pd` (doc_id, n_bigrams, sum_lp_q) and `tot` (tn, ts) —
+    * shared with the pipeline-yield oracle (Breadth148). */
+  private[queries] val KnChainSql: String =
+    s"""$BigramSql,
+       |lt AS (
+       |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1dot,
+       |    CAST(count(*) AS BIGINT) AS n1w1
+       |  FROM bc GROUP BY w1),
+       |rt AS (
+       |  SELECT w2, CAST(count(*) AS BIGINT) AS n1w2
+       |  FROM bc GROUP BY w2),
+       |knscal AS (SELECT CAST(count(*) AS BIGINT) AS nall FROM bc),
+       |lp AS (
+       |  SELECT b.doc_id,
+       |    CAST(floor(1.0e6 * log2(
+       |      (CAST(bc.c12 AS DOUBLE) - 0.75) / CAST(lt.c1dot AS DOUBLE)
+       |      + (0.75 * CAST(lt.n1w1 AS DOUBLE) / CAST(lt.c1dot AS DOUBLE))
+       |        * (CAST(rt.n1w2 AS DOUBLE) / CAST(s.nall AS DOUBLE))))
+       |      AS BIGINT) AS lpq
+       |  FROM b2 b
+       |  JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+       |  JOIN lt ON b.w1 = lt.w1
+       |  JOIN rt ON b.w2 = rt.w2
+       |  CROSS JOIN knscal s),
+       |pd AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(lpq) AS BIGINT) AS sum_lp_q
+       |  FROM lp GROUP BY doc_id),
+       |tot AS (
+       |  SELECT CAST(sum(n_bigrams) AS BIGINT) AS tn,
+       |    CAST(sum(sum_lp_q) AS BIGINT) AS ts
+       |  FROM pd)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_kneser_ney" ->
-      s"""WITH $BigramSql,
-         |lt AS (
-         |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1dot,
-         |    CAST(count(*) AS BIGINT) AS n1w1
-         |  FROM bc GROUP BY w1),
-         |rt AS (
-         |  SELECT w2, CAST(count(*) AS BIGINT) AS n1w2
-         |  FROM bc GROUP BY w2),
-         |scal AS (SELECT CAST(count(*) AS BIGINT) AS nall FROM bc),
-         |lp AS (
-         |  SELECT b.doc_id,
-         |    CAST(floor(1.0e6 * log2(
-         |      (CAST(bc.c12 AS DOUBLE) - 0.75) / CAST(lt.c1dot AS DOUBLE)
-         |      + (0.75 * CAST(lt.n1w1 AS DOUBLE) / CAST(lt.c1dot AS DOUBLE))
-         |        * (CAST(rt.n1w2 AS DOUBLE) / CAST(s.nall AS DOUBLE))))
-         |      AS BIGINT) AS lpq
-         |  FROM b2 b
-         |  JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
-         |  JOIN lt ON b.w1 = lt.w1
-         |  JOIN rt ON b.w2 = rt.w2
-         |  CROSS JOIN scal s),
-         |pd AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |    CAST(sum(lpq) AS BIGINT) AS sum_lp_q
-         |  FROM lp GROUP BY doc_id),
-         |tot AS (
-         |  SELECT CAST(sum(n_bigrams) AS BIGINT) AS tn,
-         |    CAST(sum(sum_lp_q) AS BIGINT) AS ts
-         |  FROM pd)
+      s"""WITH $KnChainSql
          |SELECT doc_id, n_bigrams, sum_lp_q,
          |  CAST(sum_lp_q AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1.0e6
          |    AS avg_log2p,
