@@ -118,14 +118,16 @@ object Breadth141 {
   }
 
   val defs: Map[String, Q] = Map(
-    "q_modularity" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      modularity(emb, globalMutualEdges(emb))
-    }),
-    "q_label_cohesion" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      labelCohesion(emb, globalMutualEdges(emb))
-    }))
+    // Both consumers read the memoized shared edge frame
+    // (Extensions.globalMutualKnnEdges — benched as
+    // chain_global_mutual), so each query's bench line is its marginal
+    // aggregate cost, not a private IVF rebuild.
+    "q_modularity" -> ((s, dir) =>
+      modularity(Tables.embeddings(s, dir),
+        Extensions.globalMutualKnnEdges(s, dir))),
+    "q_label_cohesion" -> ((s, dir) =>
+      labelCohesion(Tables.embeddings(s, dir),
+        Extensions.globalMutualKnnEdges(s, dir))))
 
   /** Global all-pairs mutual-kNN edge CTE chain (no leading WITH) —
     * the oracle twin of the IVF-pruned engine build (exact by

@@ -150,7 +150,10 @@ object Extensions {
     "chain_pq_topk" -> (() => Breadth121.pqShortlist(s, dir)),
     // kNN-graph component labels (wave-50 q_graph_components) — RUNS
     // propagation generations, hence the eager memo.
-    "chain_knn_components" -> (() => knnComponents(s, dir)))
+    "chain_knn_components" -> (() => knnComponents(s, dir)),
+    // Global (label-blind) mutual-kNN edges shared by the wave-142
+    // modularity pair (q_modularity, q_label_cohesion).
+    "chain_global_mutual" -> (() => globalMutualKnnEdges(s, dir)))
 
   /** SECOND, memo-bypassing materialization of each chain — the bench's
     * min-of-2 (round-10 verdict: a single cold timing per chain line
@@ -204,7 +207,9 @@ object Extensions {
       "chain_pq_topk" -> (() => runAndDrop(Breadth121.pqShortlistPlan(emb2))),
       "chain_knn_components" -> (() => runAndDrop(
         Dedup.clusterMembers(knnGraphEdges(s, dir), "vec_id",
-          maxIters = Breadth49.CompIters))))
+          maxIters = Breadth49.CompIters))),
+      "chain_global_mutual" -> (() => runAndDrop(
+        Breadth141.globalMutualEdges(emb2))))
   }
 
   /** Connected-component labels of the kNN graph via the dedup label
@@ -248,6 +253,21 @@ object Extensions {
         val edges = Breadth43.knnDirected(Tables.embeddings(s, dir))
           .localCheckpoint(eager = false)
         memoized(s, s"knndir|$dir")(edges)
+    }
+
+  /** GLOBAL (label-blind) mutual-kNN undirected edges — the wave-142
+    * modularity pair's shared graph (two consumers, one IVF build).
+    * Same checkpoint-before-persist discipline as knnDirectedEdges:
+    * the label-blind IVF build plan is just as deep. */
+  private[queries] def globalMutualKnnEdges(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    memoCache.synchronized { memoCache.get((s, s"gmutual|$dir")) } match {
+      case Some(df) => df
+      case None =>
+        val edges = Breadth141.globalMutualEdges(Tables.embeddings(s, dir))
+          .localCheckpoint(eager = false)
+        memoized(s, s"gmutual|$dir")(edges)
     }
 
   private[queries] def knnGraphEdges(s: org.apache.spark.sql.SparkSession,
