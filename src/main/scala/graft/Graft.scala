@@ -2580,4 +2580,13 @@ object Graft {
   /** Independent-gate overlap counts (2³ combinations). */
   def gateOverlap(docs: DataFrame): DataFrame =
     queries.Breadth148.gateOverlap(docs)
+
+  /** Neyman-optimal stratified sampling allocation over sources
+    * (integer largest-remainder rounding; Σalloc = budget). */
+  def neymanAllocation(docs: DataFrame, budget: Long = 100L): DataFrame =
+    queries.Breadth149.neyman(docs, budget)
+
+  /** Proportional-vs-Neyman design-variance audit. */
+  def neymanEfficiency(docs: DataFrame, budget: Long = 100L): DataFrame =
+    queries.Breadth149.neymanEfficiency(docs, budget)
 }

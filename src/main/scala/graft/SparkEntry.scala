@@ -121,6 +121,7 @@ object SparkEntry {
     (Breadth146.defs, Breadth146.oracle),
     (Breadth147.defs, Breadth147.oracle),
     (Breadth148.defs, Breadth148.oracle),
+    (Breadth149.defs, Breadth149.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
