@@ -2589,4 +2589,9 @@ object Graft {
   /** Proportional-vs-Neyman design-variance audit. */
   def neymanEfficiency(docs: DataFrame, budget: Long = 100L): DataFrame =
     queries.Breadth149.neymanEfficiency(docs, budget)
+
+  /** AMS inner-product join-size estimate (orders ⋈ lineitem shape):
+    * exact size vs the median-of-5 sketch product. */
+  def joinSizeEstimate(left: DataFrame, right: DataFrame): DataFrame =
+    queries.Breadth150.joinSizeEst(left, right)
 }

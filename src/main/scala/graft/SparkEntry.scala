@@ -122,6 +122,7 @@ object SparkEntry {
     (Breadth147.defs, Breadth147.oracle),
     (Breadth148.defs, Breadth148.oracle),
     (Breadth149.defs, Breadth149.oracle),
+    (Breadth150.defs, Breadth150.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
