@@ -2594,4 +2594,12 @@ object Graft {
     * exact size vs the median-of-5 sketch product. */
   def joinSizeEstimate(left: DataFrame, right: DataFrame): DataFrame =
     queries.Breadth150.joinSizeEst(left, right)
+
+  /** k-anonymity audit over the (source, length-decile) QI. */
+  def kAnonymity(docs: DataFrame): DataFrame =
+    queries.Breadth151.kAnonymity(docs)
+
+  /** l-diversity audit (sensitive attribute: lang). */
+  def lDiversity(docs: DataFrame): DataFrame =
+    queries.Breadth151.lDiversity(docs)
 }

@@ -123,6 +123,7 @@ object SparkEntry {
     (Breadth148.defs, Breadth148.oracle),
     (Breadth149.defs, Breadth149.oracle),
     (Breadth150.defs, Breadth150.oracle),
+    (Breadth151.defs, Breadth151.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
