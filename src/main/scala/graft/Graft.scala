@@ -2602,4 +2602,12 @@ object Graft {
   /** l-diversity audit (sensitive attribute: lang). */
   def lDiversity(docs: DataFrame): DataFrame =
     queries.Breadth151.lDiversity(docs)
+
+  /** The one-row dataset card (datasheet aggregates). */
+  def datasetCard(docs: DataFrame): DataFrame =
+    queries.Breadth152.datasetCard(docs)
+
+  /** Per-language dataset cards. */
+  def datasetCardByLang(docs: DataFrame): DataFrame =
+    queries.Breadth152.datasetCardByLang(docs)
 }

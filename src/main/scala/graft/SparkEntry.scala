@@ -124,6 +124,7 @@ object SparkEntry {
     (Breadth149.defs, Breadth149.oracle),
     (Breadth150.defs, Breadth150.oracle),
     (Breadth151.defs, Breadth151.oracle),
+    (Breadth152.defs, Breadth152.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
