@@ -2610,4 +2610,12 @@ object Graft {
   /** Per-language dataset cards. */
   def datasetCardByLang(docs: DataFrame): DataFrame =
     queries.Breadth152.datasetCardByLang(docs)
+
+  /** Temperature-α=0.5 source mixing shares + oversample factors. */
+  def temperatureMix(docs: DataFrame): DataFrame =
+    queries.Breadth153.temperatureMix(docs)
+
+  /** Deterministic keyed per-epoch visit order (training manifest). */
+  def epochRanks(docs: DataFrame, epochs: Int = 3): DataFrame =
+    queries.Breadth153.epochRanks(docs, epochs)
 }

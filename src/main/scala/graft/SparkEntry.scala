@@ -125,6 +125,7 @@ object SparkEntry {
     (Breadth150.defs, Breadth150.oracle),
     (Breadth151.defs, Breadth151.oracle),
     (Breadth152.defs, Breadth152.oracle),
+    (Breadth153.defs, Breadth153.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
