@@ -2618,4 +2618,13 @@ object Graft {
   /** Deterministic keyed per-epoch visit order (training manifest). */
   def epochRanks(docs: DataFrame, epochs: Int = 3): DataFrame =
     queries.Breadth153.epochRanks(docs, epochs)
+
+  /** From-scratch 64-register HyperLogLog estimate vs exact distinct
+    * (md5 registers, replayable arithmetic). */
+  def hllEstimate(docs: DataFrame): DataFrame =
+    queries.Breadth154.hllEstimate(docs)
+
+  /** The filled HLL register table (mergeable by max). */
+  def hllRegisters(docs: DataFrame): DataFrame =
+    queries.Breadth154.hllRegisters(docs)
 }
