@@ -2627,4 +2627,14 @@ object Graft {
   /** The filled HLL register table (mergeable by max). */
   def hllRegisters(docs: DataFrame): DataFrame =
     queries.Breadth154.hllRegisters(docs)
+
+  /** Percolation curve of the global cosine graph (dedup-threshold
+    * tuning table). */
+  def percolation(embeddings: DataFrame): DataFrame =
+    queries.Breadth155.percolation(embeddings)
+
+  /** Similarity-graph hubs at the house threshold (cluster-center
+    * safety audit). */
+  def degreeHubs(embeddings: DataFrame): DataFrame =
+    queries.Breadth155.degreeHubs(embeddings)
 }

@@ -127,6 +127,7 @@ object SparkEntry {
     (Breadth152.defs, Breadth152.oracle),
     (Breadth153.defs, Breadth153.oracle),
     (Breadth154.defs, Breadth154.oracle),
+    (Breadth155.defs, Breadth155.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
