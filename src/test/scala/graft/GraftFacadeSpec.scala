@@ -349,4 +349,67 @@ class GraftFacadeSpec extends SparkSpec {
     assert(rows(Graft.curriculum(docs)) == q("q_curriculum"))
     assert(rows(Graft.powerIteration(emb)) == q("q_power_iter"))
   }
+
+  test("Graft round-11 second-sweep facades (eval / LM / drift / " +
+    "graph / probe / bitext) match their oracle-checked queries") {
+    val docs = Tables.documents(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
+    def q(name: String) = rows(SparkEntry.queries(name)(spark, sf0001))
+    assert(rows(Graft.aucByGroup(
+      docs.select(col("source"), col("n_chars").as("__score"),
+        (col("lang") === "en").as("__pos")),
+      "source", "__score", "__pos").orderBy(col("source").asc))
+      == q("q_auc"))
+    assert(rows(Graft.avgPrecision(docs)) == q("q_avg_precision"))
+    assert(rows(Graft.calibrationTable(docs)) == q("q_calibration"))
+    assert(rows(Graft.kneserNeyScores(docs).orderBy(col("doc_id").asc))
+      == q("q_kneser_ney"))
+    assert(rows(Graft.knContinuation(docs)) == q("q_kn_continuation"))
+    assert(rows(Graft.mmdDrift(emb)) == q("q_mmd_drift"))
+    assert(rows(Graft.mmdTopFeature(emb)) == q("q_mmd_top_feature"))
+    assert(rows(Graft.modularity(emb)) == q("q_modularity"))
+    assert(rows(Graft.labelCohesion(emb)) == q("q_label_cohesion"))
+    assert(rows(Graft.centroidProbe(emb)) == q("q_centroid_probe"))
+    assert(rows(Graft.centroidProbeEval(emb)) == q("q_probe_eval"))
+    assert(rows(Graft.bitextMine(emb, docs)) == q("q_bitext_mine"))
+    assert(rows(Graft.bitextMargin(emb, docs)) == q("q_bitext_margin"))
+  }
+
+  test("Graft round-11 second-sweep facades (causal / conformal / " +
+    "sketch / sequential / governance) match their queries") {
+    val e = Tables.events(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+    def q(name: String) = rows(SparkEntry.queries(name)(spark, sf0001))
+    assert(rows(Graft.did(e)) == q("q_did"))
+    assert(rows(Graft.cohenKappa(docs)) == q("q_cohen_kappa"))
+    assert(rows(Graft.conformal(docs)) == q("q_conformal"))
+    assert(rows(Graft.conformalBySource(docs)) == q("q_conformal_sources"))
+    assert(rows(Graft.amsF2(docs)) == q("q_ams_f2"))
+    assert(rows(Graft.amsSketches(docs)) == q("q_ams_sketches"))
+    assert(rows(Graft.sprt(e)) == q("q_sprt"))
+    assert(rows(Graft.kAnonymity(docs)) == q("q_k_anonymity"))
+    assert(rows(Graft.lDiversity(docs)) == q("q_l_diversity"))
+    assert(rows(Graft.joinSizeEstimate(Tables.orders(spark, sf0001),
+      Tables.lineitem(spark, sf0001))) == q("q_join_size_est"))
+  }
+
+  test("Graft round-11 second-sweep facades (yield / sampling / card " +
+    "/ schedule / HLL / percolation) match their queries") {
+    val docs = Tables.documents(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
+    def q(name: String) = rows(SparkEntry.queries(name)(spark, sf0001))
+    assert(rows(Graft.pipelineYield(docs)) == q("q_pipeline_yield"))
+    assert(rows(Graft.gateOverlap(docs)) == q("q_gate_overlap"))
+    assert(rows(Graft.neymanAllocation(docs)) == q("q_neyman"))
+    assert(rows(Graft.neymanEfficiency(docs)) == q("q_neyman_efficiency"))
+    assert(rows(Graft.datasetCard(docs)) == q("q_dataset_card"))
+    assert(rows(Graft.datasetCardByLang(docs)) == q("q_dataset_card_lang"))
+    assert(rows(Graft.temperatureMix(docs)) == q("q_temperature_mix"))
+    assert(rows(Graft.epochRanks(docs).filter(col("pos") <= 5)
+      .orderBy(col("epoch").asc, col("pos").asc)) == q("q_epoch_order"))
+    assert(rows(Graft.hllEstimate(docs)) == q("q_hll_estimate"))
+    assert(rows(Graft.hllRegisters(docs)) == q("q_hll_registers"))
+    assert(rows(Graft.percolation(emb)) == q("q_percolation"))
+    assert(rows(Graft.degreeHubs(emb)) == q("q_degree_hubs"))
+  }
 }
