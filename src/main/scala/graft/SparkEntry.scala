@@ -129,6 +129,7 @@ object SparkEntry {
     (Breadth154.defs, Breadth154.oracle),
     (Breadth155.defs, Breadth155.oracle),
     (Breadth156.defs, Breadth156.oracle),
+    (Breadth157.defs, Breadth157.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
