@@ -130,6 +130,7 @@ object SparkEntry {
     (Breadth155.defs, Breadth155.oracle),
     (Breadth156.defs, Breadth156.oracle),
     (Breadth157.defs, Breadth157.oracle),
+    (Breadth158.defs, Breadth158.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
