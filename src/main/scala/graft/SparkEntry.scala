@@ -131,6 +131,7 @@ object SparkEntry {
     (Breadth156.defs, Breadth156.oracle),
     (Breadth157.defs, Breadth157.oracle),
     (Breadth158.defs, Breadth158.oracle),
+    (Breadth159.defs, Breadth159.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
