@@ -98,8 +98,8 @@ object Breadth148 {
       gateOverlap(Tables.documents(s, dir))))
 
   /** Gate-flag CTE chain (no leading WITH) — reuses Breadth139's KN
-    * chain for the keep flag. */
-  private val FlagSql: String =
+    * chain for the keep flag. Shared with wave 161's paired tests. */
+  private[graft] val FlagSql: String =
     s"""${Breadth139.KnChainSql},
        |kp AS (
        |  SELECT doc_id, sum_lp_q * tn >= n_bigrams * ts AS keep
