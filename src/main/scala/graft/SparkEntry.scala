@@ -133,6 +133,7 @@ object SparkEntry {
     (Breadth158.defs, Breadth158.oracle),
     (Breadth159.defs, Breadth159.oracle),
     (Breadth160.defs, Breadth160.oracle),
+    (Breadth161.defs, Breadth161.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
