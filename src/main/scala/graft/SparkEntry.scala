@@ -134,6 +134,7 @@ object SparkEntry {
     (Breadth159.defs, Breadth159.oracle),
     (Breadth160.defs, Breadth160.oracle),
     (Breadth161.defs, Breadth161.oracle),
+    (Breadth162.defs, Breadth162.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
