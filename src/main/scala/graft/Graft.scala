@@ -2637,4 +2637,87 @@ object Graft {
     * safety audit). */
   def degreeHubs(embeddings: DataFrame): DataFrame =
     queries.Breadth155.degreeHubs(embeddings)
+
+  /** Exact kNN-Shapley data valuation: top-10 most valuable training
+    * vectors per probe. */
+  def knnShapley(embeddings: DataFrame): DataFrame =
+    queries.Breadth156.knnShapley(embeddings)
+
+  /** Aggregate kNN-Shapley valuation per training label. */
+  def shapleyByLabel(embeddings: DataFrame): DataFrame =
+    queries.Breadth156.shapleyByLabel(embeddings)
+
+  /** t-closeness release verdict (max class TVD vs the global lang
+    * distribution). */
+  def tCloseness(docs: DataFrame): DataFrame =
+    queries.Breadth157.tCloseness(docs)
+
+  /** The top-10 t-closeness audit worklist. */
+  def tWorstClasses(docs: DataFrame): DataFrame =
+    queries.Breadth157.tWorstClasses(docs)
+
+  /** Weight-of-evidence bins + information value of the quantity
+    * bucket against the returned outcome. */
+  def woeIv(lineitem: DataFrame): DataFrame =
+    queries.Breadth158.woeIv(lineitem)
+
+  /** m-estimate smoothed target encoding of the supplier key. */
+  def targetEncode(lineitem: DataFrame): DataFrame =
+    queries.Breadth158.targetEncode(lineitem)
+
+  /** Gains/lift table over exact score-rank deciles. */
+  def liftDeciles(docs: DataFrame): DataFrame =
+    queries.Breadth159.liftDeciles(docs)
+
+  /** Murphy decomposition of the Brier score (reliability /
+    * resolution / uncertainty / residual). */
+  def brierDecomp(docs: DataFrame): DataFrame =
+    queries.Breadth159.brierDecomp(docs)
+
+  /** McNemar's paired test between the length and perplexity gates. */
+  def mcnemar(docs: DataFrame): DataFrame =
+    queries.Breadth160.mcnemar(docs)
+
+  /** Cochran's Q over the three independent quality gates. */
+  def cochranQ(docs: DataFrame): DataFrame =
+    queries.Breadth160.cochranQ(docs)
+
+  /** Tie-aware ordinal association (gamma, Somers' D, tau-b) between
+    * priority and the price quintile. */
+  def ordinalAssoc(orders: DataFrame): DataFrame =
+    queries.Breadth161.ordinalAssoc(orders)
+
+  /** Theil's uncertainty coefficients between source and lang. */
+  def theilU(docs: DataFrame): DataFrame =
+    queries.Breadth161.theilU(docs)
+
+  /** Per-source quantile-normalization audit. */
+  def quantileNorm(docs: DataFrame): DataFrame =
+    queries.Breadth162.quantileNorm(docs)
+
+  /** The quantile-normalization mapping (bounded doc_id < 100 slice). */
+  def quantileNormMap(docs: DataFrame): DataFrame =
+    queries.Breadth162.quantileNormMap(docs)
+
+  /** Horvitz–Thompson total-quantity estimate under the two-stratum
+    * md5 design. */
+  def horvitzThompson(lineitem: DataFrame): DataFrame =
+    queries.Breadth163.horvitzThompson(lineitem)
+
+  /** Delete-one-supplier jackknife table for the revenue/quantity
+    * ratio. */
+  def jackknife(lineitem: DataFrame): DataFrame =
+    queries.Breadth163.jackknife(lineitem)
+
+  /** One-row jackknife SE summary. */
+  def jackknifeSe(lineitem: DataFrame): DataFrame =
+    queries.Breadth163.jackknifeSe(lineitem)
+
+  /** Friedman χ² + Kendall's W over month-blocked priority revenue. */
+  def friedman(orders: DataFrame): DataFrame =
+    queries.Breadth164.friedman(orders)
+
+  /** The per-priority Friedman rank profile. */
+  def friedmanRanks(orders: DataFrame): DataFrame =
+    queries.Breadth164.friedmanRanks(orders)
 }

@@ -412,4 +412,39 @@ class GraftFacadeSpec extends SparkSpec {
     assert(rows(Graft.percolation(emb)) == q("q_percolation"))
     assert(rows(Graft.degreeHubs(emb)) == q("q_degree_hubs"))
   }
+
+  test("Graft third-sweep facades (valuation / privacy / encoding / " +
+    "eval / paired tests) match their queries") {
+    val docs = Tables.documents(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
+    val li = Tables.lineitem(spark, sf0001)
+    def q(name: String) = rows(SparkEntry.queries(name)(spark, sf0001))
+    assert(rows(Graft.knnShapley(emb)) == q("q_knn_shapley"))
+    assert(rows(Graft.shapleyByLabel(emb)) == q("q_shapley_by_label"))
+    assert(rows(Graft.tCloseness(docs)) == q("q_t_closeness"))
+    assert(rows(Graft.tWorstClasses(docs)) == q("q_t_worst_classes"))
+    assert(rows(Graft.woeIv(li)) == q("q_woe_iv"))
+    assert(rows(Graft.targetEncode(li)) == q("q_target_encode"))
+    assert(rows(Graft.liftDeciles(docs)) == q("q_lift_deciles"))
+    assert(rows(Graft.brierDecomp(docs)) == q("q_brier_decomp"))
+    assert(rows(Graft.mcnemar(docs)) == q("q_mcnemar"))
+    assert(rows(Graft.cochranQ(docs)) == q("q_cochran_q"))
+  }
+
+  test("Graft third-sweep facades (association / normalization / " +
+    "sampling / blocked ranks) match their queries") {
+    val docs = Tables.documents(spark, sf0001)
+    val li = Tables.lineitem(spark, sf0001)
+    val o = Tables.orders(spark, sf0001)
+    def q(name: String) = rows(SparkEntry.queries(name)(spark, sf0001))
+    assert(rows(Graft.ordinalAssoc(o)) == q("q_ordinal_assoc"))
+    assert(rows(Graft.theilU(docs)) == q("q_theil_u"))
+    assert(rows(Graft.quantileNorm(docs)) == q("q_quantile_norm"))
+    assert(rows(Graft.quantileNormMap(docs)) == q("q_quantile_norm_map"))
+    assert(rows(Graft.horvitzThompson(li)) == q("q_horvitz_thompson"))
+    assert(rows(Graft.jackknife(li)) == q("q_jackknife"))
+    assert(rows(Graft.jackknifeSe(li)) == q("q_jackknife_se"))
+    assert(rows(Graft.friedman(o)) == q("q_friedman"))
+    assert(rows(Graft.friedmanRanks(o)) == q("q_friedman_ranks"))
+  }
 }
