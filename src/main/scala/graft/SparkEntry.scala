@@ -137,6 +137,7 @@ object SparkEntry {
     (Breadth162.defs, Breadth162.oracle),
     (Breadth163.defs, Breadth163.oracle),
     (Breadth164.defs, Breadth164.oracle),
+    (Breadth165.defs, Breadth165.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
