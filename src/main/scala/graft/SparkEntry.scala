@@ -138,6 +138,7 @@ object SparkEntry {
     (Breadth163.defs, Breadth163.oracle),
     (Breadth164.defs, Breadth164.oracle),
     (Breadth165.defs, Breadth165.oracle),
+    (Breadth166.defs, Breadth166.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
