@@ -139,6 +139,7 @@ object SparkEntry {
     (Breadth164.defs, Breadth164.oracle),
     (Breadth165.defs, Breadth165.oracle),
     (Breadth166.defs, Breadth166.oracle),
+    (Breadth167.defs, Breadth167.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
