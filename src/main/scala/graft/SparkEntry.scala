@@ -141,6 +141,7 @@ object SparkEntry {
     (Breadth166.defs, Breadth166.oracle),
     (Breadth167.defs, Breadth167.oracle),
     (Breadth168.defs, Breadth168.oracle),
+    (Breadth169.defs, Breadth169.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
