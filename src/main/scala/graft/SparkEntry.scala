@@ -143,6 +143,7 @@ object SparkEntry {
     (Breadth168.defs, Breadth168.oracle),
     (Breadth169.defs, Breadth169.oracle),
     (Breadth170.defs, Breadth170.oracle),
+    (Breadth171.defs, Breadth171.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
