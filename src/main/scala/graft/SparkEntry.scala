@@ -145,6 +145,7 @@ object SparkEntry {
     (Breadth170.defs, Breadth170.oracle),
     (Breadth171.defs, Breadth171.oracle),
     (Breadth172.defs, Breadth172.oracle),
+    (Breadth173.defs, Breadth173.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
