@@ -147,6 +147,7 @@ object SparkEntry {
     (Breadth172.defs, Breadth172.oracle),
     (Breadth173.defs, Breadth173.oracle),
     (Breadth174.defs, Breadth174.oracle),
+    (Breadth175.defs, Breadth175.oracle),
     (Extensions.defs, Extensions.oracle),
     (Extensions2.defs, Extensions2.oracle),
     (Extensions3.defs, Extensions3.oracle),
