@@ -2720,4 +2720,107 @@ object Graft {
   /** The per-priority Friedman rank profile. */
   def friedmanRanks(orders: DataFrame): DataFrame =
     queries.Breadth164.friedmanRanks(orders)
+
+  /** Per-probe first-relevant-hit ranks and reciprocal ranks. */
+  def firstHit(embeddings: DataFrame): DataFrame =
+    queries.Breadth165.firstHitTable(embeddings)
+
+  /** MRR + hit@1/5/10 retrieval roll-up. */
+  def mrr(embeddings: DataFrame): DataFrame =
+    queries.Breadth165.mrr(embeddings)
+
+  /** Chao1 / Good–Turing vocabulary-richness estimators. */
+  def vocabRichness(docs: DataFrame): DataFrame =
+    queries.Breadth166.vocabRichness(docs)
+
+  /** Chapman capture-recapture vocabulary estimate. */
+  def captureRecapture(docs: DataFrame): DataFrame =
+    queries.Breadth166.captureRecapture(docs)
+
+  /** Rendezvous-hashing 8-shard assignment histogram. */
+  def rendezvous(docs: DataFrame): DataFrame =
+    queries.Breadth167.rendezvous(docs)
+
+  /** The 8→9 resize movement audit (HRW vs mod-N). */
+  def rendezvousResize(docs: DataFrame): DataFrame =
+    queries.Breadth167.rendezvousResize(docs)
+
+  /** Per-source Jensen–Shannon divergence vs the rest of the corpus. */
+  def jsDivergence(docs: DataFrame): DataFrame =
+    queries.Breadth168.jsDivergence(docs)
+
+  /** Median-of-means vs the plain mean for line revenue. */
+  def medianOfMeans(lineitem: DataFrame): DataFrame =
+    queries.Breadth168.medianOfMeans(lineitem)
+
+  /** Closeness/harmonic centrality from the seed panel. */
+  def closeness(mutualEdges: DataFrame): DataFrame =
+    queries.Breadth169.closeness(mutualEdges)
+
+  /** The pooled hop expansion curve. */
+  def reachCurve(mutualEdges: DataFrame): DataFrame =
+    queries.Breadth169.reachCurve(mutualEdges)
+
+  /** Per-source stylometric z-profiles (top-5 tokens). */
+  def styloProfile(docs: DataFrame): DataFrame =
+    queries.Breadth170.styloProfile(docs)
+
+  /** Burrows' Delta source-pair distances, most similar first. */
+  def burrowsDelta(docs: DataFrame): DataFrame =
+    queries.Breadth170.burrowsDelta(docs)
+
+  /** Isotonic (minimax/PAVA) calibration of the pseudo-probability. */
+  def isotonicCalibration(docs: DataFrame): DataFrame =
+    queries.Breadth171.isotonicCalibration(docs)
+
+  /** ECE before/after isotonic fitting. */
+  def calibrationError(docs: DataFrame): DataFrame =
+    queries.Breadth171.calibrationError(docs)
+
+  /** Per-source Hill diversity numbers ⁰D/¹D/²D. */
+  def hillNumbers(docs: DataFrame): DataFrame =
+    queries.Breadth172.hillNumbers(docs)
+
+  /** Effective number of sources. */
+  def sourceEffective(docs: DataFrame): DataFrame =
+    queries.Breadth172.sourceEffective(docs)
+
+  /** Two-sample Cramér–von Mises (en vs non-en lengths). */
+  def cvm(docs: DataFrame): DataFrame = queries.Breadth173.cvm(docs)
+
+  /** Mood's median test (en vs non-en lengths). */
+  def moodMedian(docs: DataFrame): DataFrame =
+    queries.Breadth173.moodMedian(docs)
+
+  /** Rich-club curve of an undirected edge set. */
+  def richClub(mutualEdges: DataFrame): DataFrame =
+    queries.Breadth174.richClub(mutualEdges)
+
+  /** Local clustering-coefficient histogram. */
+  def localClustering(mutualEdges: DataFrame): DataFrame =
+    queries.Breadth174.localClustering(mutualEdges)
+
+  /** Synthetic-control daily effects for the treated cohort. */
+  def synthControl(events: DataFrame): DataFrame =
+    queries.Breadth175.synthControl(events)
+
+  /** Placebo distribution over all pretend-treated cohorts. */
+  def placebo(events: DataFrame): DataFrame =
+    queries.Breadth175.placebo(events)
+
+  /** Laplace-noised DP histogram release. */
+  def dpHistogram(docs: DataFrame): DataFrame =
+    queries.Breadth176.dpHistogram(docs)
+
+  /** DP release utility accountant. */
+  def dpUtility(docs: DataFrame): DataFrame =
+    queries.Breadth176.dpUtility(docs)
+
+  /** Stratified propensity design table. */
+  def propensityTable(events: DataFrame): DataFrame =
+    queries.Breadth177.propensityTable(events)
+
+  /** Naive vs inverse-propensity-weighted ATT. */
+  def ipwAtt(events: DataFrame): DataFrame =
+    queries.Breadth177.ipwAtt(events)
 }

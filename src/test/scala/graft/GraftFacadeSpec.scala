@@ -447,4 +447,47 @@ class GraftFacadeSpec extends SparkSpec {
     assert(rows(Graft.friedman(o)) == q("q_friedman"))
     assert(rows(Graft.friedmanRanks(o)) == q("q_friedman_ranks"))
   }
+
+  test("Graft fourth-sweep facades (retrieval / vocab / sharding / " +
+    "divergence / graph) match their queries") {
+    val docs = Tables.documents(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
+    val li = Tables.lineitem(spark, sf0001)
+    val edges = queries.Breadth141.globalMutualEdges(emb)
+    def q(name: String) = rows(SparkEntry.queries(name)(spark, sf0001))
+    assert(rows(Graft.firstHit(emb)) == q("q_first_hit"))
+    assert(rows(Graft.mrr(emb)) == q("q_mrr"))
+    assert(rows(Graft.vocabRichness(docs)) == q("q_vocab_richness"))
+    assert(rows(Graft.captureRecapture(docs)) == q("q_capture_recapture"))
+    assert(rows(Graft.rendezvous(docs)) == q("q_rendezvous"))
+    assert(rows(Graft.rendezvousResize(docs)) == q("q_rendezvous_resize"))
+    assert(rows(Graft.jsDivergence(docs)) == q("q_js_divergence"))
+    assert(rows(Graft.medianOfMeans(li)) == q("q_median_of_means"))
+    assert(rows(Graft.closeness(edges)) == q("q_closeness"))
+    assert(rows(Graft.reachCurve(edges)) == q("q_reach_curve"))
+    assert(rows(Graft.richClub(edges)) == q("q_rich_club"))
+    assert(rows(Graft.localClustering(edges)) == q("q_local_clustering"))
+  }
+
+  test("Graft fourth-sweep facades (stylometry / calibration / " +
+    "diversity / two-sample / causal / DP) match their queries") {
+    val docs = Tables.documents(spark, sf0001)
+    val e = Tables.events(spark, sf0001)
+    def q(name: String) = rows(SparkEntry.queries(name)(spark, sf0001))
+    assert(rows(Graft.styloProfile(docs)) == q("q_stylo_profile"))
+    assert(rows(Graft.burrowsDelta(docs)) == q("q_burrows_delta"))
+    assert(rows(Graft.isotonicCalibration(docs)) ==
+      q("q_isotonic_calibration"))
+    assert(rows(Graft.calibrationError(docs)) == q("q_calibration_error"))
+    assert(rows(Graft.hillNumbers(docs)) == q("q_hill_numbers"))
+    assert(rows(Graft.sourceEffective(docs)) == q("q_source_effective"))
+    assert(rows(Graft.cvm(docs)) == q("q_cvm"))
+    assert(rows(Graft.moodMedian(docs)) == q("q_mood_median"))
+    assert(rows(Graft.synthControl(e)) == q("q_synth_control"))
+    assert(rows(Graft.placebo(e)) == q("q_placebo"))
+    assert(rows(Graft.dpHistogram(docs)) == q("q_dp_histogram"))
+    assert(rows(Graft.dpUtility(docs)) == q("q_dp_utility"))
+    assert(rows(Graft.propensityTable(e)) == q("q_propensity_table"))
+    assert(rows(Graft.ipwAtt(e)) == q("q_ipw_att"))
+  }
 }
