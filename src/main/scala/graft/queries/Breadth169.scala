@@ -42,9 +42,13 @@ object Breadth169 {
   /** BFS visited table (seed, node, hop) from the NSeeds smallest
     * nodes (internal). */
   private[graft] def bfs(edges: DataFrame): DataFrame = {
+    // localCheckpoint (not just persist): the BFS references adj every
+    // generation, and an un-truncated deep input plan (the direct IVF
+    // build path) re-renders into each action's explain string — the
+    // multi-GB-string driver OOM documented in the verify skill
     val adj = edges.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(edges.select(col("id_b").as("u"), col("id_a").as("v")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val seeds = adj.select(col("u").as("node")).distinct()
       .orderBy(col("node").asc).limit(NSeeds)
     var visited = seeds

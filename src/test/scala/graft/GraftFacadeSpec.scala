@@ -453,7 +453,8 @@ class GraftFacadeSpec extends SparkSpec {
     val docs = Tables.documents(spark, sf0001)
     val emb = Tables.embeddings(spark, sf0001)
     val li = Tables.lineitem(spark, sf0001)
-    val edges = queries.Breadth141.globalMutualEdges(emb)
+    // truncate the deep IVF build plan before the iterative consumers
+    val edges = queries.Breadth141.globalMutualEdges(emb).localCheckpoint()
     def q(name: String) = rows(SparkEntry.queries(name)(spark, sf0001))
     assert(rows(Graft.firstHit(emb)) == q("q_first_hit"))
     assert(rows(Graft.mrr(emb)) == q("q_mrr"))
