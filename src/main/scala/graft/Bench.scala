@@ -34,36 +34,11 @@ object Bench {
         -1.0
       }
     }
-    // SPARK_GRAFT_BENCH_RUNS: warm repeats after the discarded cold run
-    // (default 3 → median-of-3). 0 = report the cold run itself — the
-    // scale-step harness times each query once (an sf10 query can cost
-    // minutes; medians there buy noise reduction nobody reads).
-    val warmRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    def timedWarm(name: String)(body: => Unit): (String, Double) = {
-      val cold = once(name)(body)
-      if (cold < 0 || warmRuns == 0) name -> cold
-      else {
-        val runs = (1 to warmRuns).map(_ => once(name)(body))
-        name -> (if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(runs.size / 2))
-      }
-    }
-    // The shared memoized dedup/ANN intermediates get their OWN bench
-    // lines, timed BEFORE any consumer query: the MinHash→verify→cluster
-    // chain's materialization cost is a pipeline cost, and charging it to
-    // whichever q_* touches the memo first would mis-attribute 10×
-    // a consumer's marginal cost to an arbitrary query (round-6 verdict:
-    // q_dup_survivorship at 9.3 s was the chain, not the anti-join).
-    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b,chain_x restricts the run — the
-    // sf10 scale-step harness benches the headline subset without paying
-    // 211 queries at 100× data (unfiltered runs are unchanged).
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    def selected(name: String): Boolean = only.forall(_.contains(name))
-    // Cluster-wide task metrics, snapshot-delta'd around each chain run:
+    // Cluster-wide task metrics, snapshot-delta'd around each timed run:
     // wall time alone cannot distinguish driver-machine contention from a
-    // real chain regression (round-10: chain_day_vols 0.97→32.4 s across
-    // rounds with untouched code). task_s >> wall gap ⇒ the work itself
-    // grew; wall >> task_s ⇒ the box was oversubscribed.
+    // real regression (round-10: chain_day_vols 0.97→32.4 s across rounds
+    // with untouched code; round-11: the same ambiguity for the graph
+    // tier, which only chain lines could adjudicate).
     val taskMs = new java.util.concurrent.atomic.AtomicLong
     val shufMb = new java.util.concurrent.atomic.AtomicLong // bytes, read+write
     spark.sparkContext.addSparkListener(
@@ -82,6 +57,71 @@ object Bench {
       org.apache.spark.graft.SparkInternals.flushListenerBus(spark.sparkContext)
       (taskMs.get(), shufMb.get())
     }
+    // SPARK_GRAFT_BENCH_RUNS: warm repeats after the discarded cold run
+    // (default 3 → median-of-3). 0 = report the cold run itself — the
+    // scale-step harness times each query once (an sf10 query can cost
+    // minutes; medians there buy noise reduction nobody reads).
+    val warmRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    def r3(x: Double) = math.rint(x * 1000) / 1000
+    // EVERY query line carries task/shuffle attribution (round-11
+    // verdict: a cluster of graph queries moved 3.5–9× driver-to-driver
+    // on unchanged code and only chain lines had the metrics to say box
+    // vs work). task_s ≈ wall·threads ⇒ the work itself is that big;
+    // wall ≫ task_s/threads ⇒ the box was oversubscribed. Cold and warm
+    // are attributed separately — warm runs reread the cold run's
+    // per-line caches, so their task_s is the marginal cost.
+    val queryMeta = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def timedWarm(name: String)(body: => Unit): (String, Double) = {
+      val (tc0, sc0) = snapshot()
+      val cold = once(name)(body)
+      val (tc1, sc1) = snapshot()
+      def emit(taskS: Double, shufMbV: Double): Unit =
+        queryMeta(name) =
+          s"""{"cold":${r3(cold)},"task_cold_s":${r3((tc1 - tc0) / 1e3)},""" +
+            s""""shuf_cold_mb":${r3((sc1 - sc0) / 1e6)},""" +
+            s""""task_s":${r3(taskS)},"shuf_mb":${r3(shufMbV)}}"""
+      if (cold < 0 || warmRuns == 0) { emit(-1.0, -1.0); name -> cold }
+      else {
+        val runs = (1 to warmRuns).map { _ =>
+          val (t0, s0) = snapshot()
+          val w = once(name)(body)
+          val (t1, s1) = snapshot()
+          (w, (t1 - t0) / 1e3, (s1 - s0) / 1e6)
+        }
+        def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+        emit(med(runs.map(_._2)), med(runs.map(_._3)))
+        name -> (if (runs.exists(_._1 < 0)) -1.0 else med(runs.map(_._1)))
+      }
+    }
+    // Storage sweep BETWEEN lines (never inside a timed section): each
+    // query body may persist/localCheckpoint intermediates it never
+    // unpersists, and cold+3-warm × 582 lines of dead blocks is enough
+    // pressure to evict whatever the next line needed (the round-11
+    // regression cluster). Chains are parquet-backed (Extensions
+    // .memoStore), so dropping EVERY cached block is safe — consumers
+    // still read the store. clearCache() drops CacheManager entries
+    // (plan-level persists) AND their blocks; the getPersistentRDDs pass
+    // reaps RDD-level blocks clearCache cannot see (localCheckpoint
+    // generations from the iterative graph queries).
+    def sweepStorage(): Unit = {
+      try spark.catalog.clearCache()
+      catch { case scala.util.control.NonFatal(_) => }
+      spark.sparkContext.getPersistentRDDs.values.foreach(r =>
+        try r.unpersist(blocking = false)
+        catch { case scala.util.control.NonFatal(_) => })
+    }
+    // The shared memoized dedup/ANN intermediates get their OWN bench
+    // lines, timed BEFORE any consumer query: the MinHash→verify→cluster
+    // chain's materialization cost is a pipeline cost, and charging it to
+    // whichever q_* touches the memo first would mis-attribute 10×
+    // a consumer's marginal cost to an arbitrary query (round-6 verdict:
+    // q_dup_survivorship at 9.3 s was the chain, not the anti-join).
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b,chain_x restricts the run — the
+    // sf10 scale-step harness benches the headline subset without paying
+    // 211 queries at 100× data (unfiltered runs are unchanged).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
     // Chain lines: min-of-2 — the first (timed cold) materialization IS
     // the memo every consumer reads; the second rebuilds the same plan
     // OUTSIDE the memo (Extensions.chainResamples) and is discarded. A
@@ -106,7 +146,6 @@ object Bench {
           val (t, sh) = snapshot()
           (w, t, sh)
         }
-      def r3(x: Double) = math.rint(x * 1000) / 1000
       chainMeta(name) =
         s"""{"wall1":${r3(w1)},"wall2":${r3(w2)},""" +
           s""""task1_s":${r3((t1 - t0) / 1e3)},"task2_s":${r3((t2 - t1) / 1e3)},""" +
@@ -116,10 +155,18 @@ object Bench {
     }
     val chain = graft.queries.Extensions.sharedIntermediates(spark, sfDir)
       .filter { case (name, _) => selected(name) }
-      .map { case (name, thunk) => timedChain(name, thunk) }
+      .map { case (name, thunk) =>
+        val line = timedChain(name, thunk)
+        sweepStorage() // chain results live in the parquet store, not cache
+        line
+      }
     val results = chain ++ SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => selected(name) }
-      .map { case (name, fn) => timedWarm(name) { fn(spark, sfDir).count(): Unit } }
+      .map { case (name, fn) =>
+        val line = timedWarm(name) { fn(spark, sfDir).count(): Unit }
+        sweepStorage() // this line's persists must not tax the next line
+        line
+      }
     // failures first (a -1.0 sentinel is the most informative line of
     // all), then slowest-first: the driver captures a bounded tail of
     // stdout, so the informative prefix must survive truncation
@@ -130,8 +177,14 @@ object Bench {
     val failures = results.map(_._2).count(_ < 0)
     val chains = chainMeta
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // per-query attribution, same slowest-first order as `queries` so a
+    // bounded-tail reader sees the lines that matter
+    val metaOrder = results.sortBy { case (_, v) =>
+      if (v < 0) Double.MinValue else -v }.map(_._1)
+    val qmeta = metaOrder.flatMap(k => queryMeta.get(k).map(v => s"\"" + k + "\":" + v))
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"warm":true,"queries":$qs,"chains":$chains,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"warm":true,"queries":$qs,"chains":$chains,"qmeta":$qmeta,"sf":"$sfDir"}"""
     // Emit both ways: bare line on real stdout (build.sbt sets
     // run/outputStrategy := StdoutOutput so sbt does not "[info]"-prefix
     // it), and a file a consumer can read without scraping sbt logs.

@@ -2808,7 +2808,14 @@ object Graft {
   def placebo(events: DataFrame): DataFrame =
     queries.Breadth175.placebo(events)
 
-  /** Laplace-noised DP histogram release. */
+  /** Laplace-noised histogram in the DP release SHAPE — NOT a real
+    * privacy mechanism as shipped. The noise is a deterministic,
+    * publicly replayable md5 inverse-CDF transform (an oracle-testable
+    * stand-in for Lap(1/ε) draws), and the output includes the exact
+    * true count column `n` alongside `noisy_count`. A production
+    * release must (1) swap the md5 draw for a CSPRNG, (2) drop the `n`
+    * and `noise` columns, and (3) account ε across repeated releases —
+    * see the Breadth176 module doc. */
   def dpHistogram(docs: DataFrame): DataFrame =
     queries.Breadth176.dpHistogram(docs)
 

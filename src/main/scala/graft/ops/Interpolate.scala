@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * gap-filling for charting/resampling (the natural generalization of the
   * as-of lookup: as-of takes the left neighbor, interpolation blends both).
   *
-  * Same single-sort plan as `Latest.asOfJoin`: union probes into the fact
-  * stream, one window partitioned by key ordered by time; the left
-  * neighbor is a running `last(ignoreNulls)` over fact-only columns, the
-  * right neighbor a `first(ignoreNulls)` over the following frame. One
-  * shuffle, each partition streamed twice (two frame directions) — never
-  * a per-probe scan.
+  * Same single-shuffle plan as `Latest.asOfJoin`: union probes into the
+  * fact stream, window partitioned by key ordered by time; the left
+  * neighbor is a running `last(ignoreNulls)`, and the right neighbor the
+  * same running-last over the REVERSED order with a strictly-before
+  * frame. Both directions are incrementally-growing frames Spark
+  * evaluates in O(n) per partition — the naive `first(...) OVER (ROWS
+  * BETWEEN 1 AND UNBOUNDED FOLLOWING)` is Spark's tail-rescan frame,
+  * O(n²) per partition (the q_knn_shapley WindowExec trap). One shuffle,
+  * two sorts of the same partitioning — never a per-probe scan.
   */
 object Interpolate {
 
@@ -37,7 +40,14 @@ object Interpolate {
     val factV = when(col("__is_probe") === 0, col("__v"))
     val factT = when(col("__is_probe") === 0, unix_micros(col("__t").cast("timestamp")))
     val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+    // next non-null neighbor = running last over the EXACT reverse order,
+    // frame ending strictly before the current row. (1, unboundedFollowing)
+    // on the ascending order is semantically identical but re-aggregates
+    // the whole tail per row in Spark's UnboundedFollowing frame — O(n²).
+    val wDesc = Window.partitionBy(col(key))
+      .orderBy(col("__t").desc, col("__is_probe").desc,
+        col("__tb").desc_nulls_first)
+    val wNext = wDesc.rowsBetween(Window.unboundedPreceding, -1)
     val probeUs = unix_micros(col("__t").cast("timestamp"))
     val interp =
       when(col("__pv").isNull, col("__nv"))
@@ -48,8 +58,8 @@ object Interpolate {
     evt.unionByName(prb)
       .withColumn("__pv", last(factV, ignoreNulls = true).over(wPrev))
       .withColumn("__pt", last(factT, ignoreNulls = true).over(wPrev))
-      .withColumn("__nv", first(factV, ignoreNulls = true).over(wNext))
-      .withColumn("__nt", first(factT, ignoreNulls = true).over(wNext))
+      .withColumn("__nv", last(factV, ignoreNulls = true).over(wNext))
+      .withColumn("__nt", last(factT, ignoreNulls = true).over(wNext))
       .filter(col("__is_probe") === 1)
       .select(col(key), col("__t").as(probeTsCol),
         round(interp, 4).as(s"interp_$valueCol"))

@@ -119,7 +119,7 @@ object Breadth121 {
 
   /** The raw (un-memoized) ADC-shortlist plan — the bench's min-of-2
     * chain resample. */
-  private[queries] def pqShortlistPlan(emb: DataFrame): DataFrame =
+  private[graft] def pqShortlistPlan(emb: DataFrame): DataFrame =
     pqAdc(emb, PqShortlist)
 
   /** Mean recall@5 of (a) the raw ADC top-5 and (b) the production

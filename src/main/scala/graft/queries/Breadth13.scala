@@ -24,21 +24,27 @@ object Breadth13 {
 
   private def cents(c: Column): Column = Breadth11.cents(c)
 
-  /** Shared materialized-intermediate cache for the (key, day) bar/vol
+  /** Shared materialized-intermediate store for the (key, day) bar/vol
     * grids, keyed on (session, canonicalized input plan, arg fingerprint)
     * — the CacheManager lookup discipline, so ~36 indicator queries across
     * 14 files that each derive day bars from the SAME events scan share
-    * ONE persisted |keys·days|-sized frame instead of re-running the
+    * ONE |keys·days|-sized frame instead of re-running the
     * window+aggregate per query (round-8 verdict: the single biggest
     * recoverable chunk of the bench total, and the reason bar-family
     * timings were noisy). Plan equality is semantic (`sameResult`), so any
     * caller passing an equivalent scan hits the memo with zero call-site
     * changes; a DIFFERENT input frame (tests, other tables) gets its own
-    * entry. Same staleness contract as Extensions.memoCache: one session
-    * per data generation. Bounded: past 16 entries the whole cache drops
-    * (entries are only caches — recompute is correct, just slower).
-    * Streaming frames bypass (persist is a batch-only notion; the
-    * streaming twins carry their own transformWithState state). */
+    * entry. Entries are parquet-backed through Extensions
+    * .materializeToStore (round-12): a persisted grid was hostage to
+    * executor storage pressure — a full-surface bench run's dead blocks
+    * could evict it and turn every later indicator query back into a
+    * grid rebuild — while a written-through grid survives any cache
+    * sweep. Same staleness contract as Extensions.memoStore: one session
+    * per data generation. Bounded: past 64 entries the whole map drops
+    * (entries are only memos — recompute is correct, just slower).
+    * Streaming frames bypass (a materialized grid is a batch-only
+    * notion; the streaming twins carry their own transformWithState
+    * state). */
   private val planMemo = scala.collection.mutable.ArrayBuffer.empty[
     (org.apache.spark.sql.SparkSession,
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
@@ -48,24 +54,23 @@ object Breadth13 {
     if (df.isStreaming) return build
     val s = df.sparkSession
     val plan = df.queryExecution.analyzed
-    // building `build` only constructs a lazy plan and persist() marks
-    // lazily (no job), so holding the lock is cheap — the Extensions
-    // .memoCache contract
-    planMemo.synchronized {
+    def lookup(): Option[DataFrame] = planMemo.synchronized {
       planMemo.find(e => (e._1 eq s) && e._3 == argsKey &&
-          e._2.sameResult(plan)) match {
-        case Some(e) => e._4
-        case None =>
-          if (planMemo.size > 16) {
-            planMemo.foreach(e =>
-              try e._4.unpersist(blocking = false)
-              catch { case scala.util.control.NonFatal(_) => })
-            planMemo.clear()
-          }
-          val built = build.persist(
-            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          planMemo += ((s, plan, argsKey, built))
-          built
+        e._2.sameResult(plan)).map(_._4)
+    }
+    lookup().getOrElse {
+      // materialization RUNS the grid job — never under the lock (other
+      // callers' lookups would serialize behind it); a same-key race
+      // double-writes and the second insert defers to the first
+      val mat = Extensions.materializeToStore(s, build)
+      planMemo.synchronized {
+        lookup() match {
+          case Some(df0) => df0
+          case None =>
+            if (planMemo.size > 64) planMemo.clear()
+            planMemo += ((s, plan, argsKey, mat))
+            mat
+        }
       }
     }
   }

@@ -41,18 +41,28 @@ object Breadth170 {
   private[graft] val TopPairs = 10
 
   /** (source, token) scaled frequencies for the top-M tokens
-    * (internal). */
+    * (internal). ONE corpus-wide tokenize+explode pass: the
+    * (source, tok) count table is aggregated first and persisted, and
+    * the top-M list, per-source totals, and dense cells are all derived
+    * from it (round-11 verdict: the previous shape consumed the raw
+    * token explode from three independent aggregates, paying three full
+    * tokenize passes per run — the slowest line of the whole bench). The
+    * derived numbers are identical: summing per-(source, tok) counts
+    * per tok (or per source) is the same integer as counting the raw
+    * explode. */
   private[graft] def freqGrid(docs: DataFrame, m: Int): DataFrame = {
-    val toks = docs.select(col("source"),
-      explode(Text.tokens(col("text"))).as("tok"))
-    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("__tc"))
+    val cells = docs.select(col("source"),
+        explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = cells.groupBy(col("tok")).agg(sum(col("__n")).as("__tc"))
       .orderBy(col("__tc").desc, col("tok").asc).limit(m)
       .select(col("tok").as("__ttok"))
-    val srcTot = toks.groupBy(col("source"))
-      .agg(count(lit(1)).as("__ns"))
+    val srcTot = cells.groupBy(col("source"))
+      .agg(sum(col("__n")).as("__ns"))
       .select(col("source").as("__src2"), col("__ns"))
-    val cell = toks.join(broadcast(top), col("tok") === col("__ttok"))
-      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("__c"))
+    val cell = cells.join(broadcast(top), col("tok") === col("__ttok"))
+      .select(col("source"), col("tok"), col("__n").as("__c"))
     // the grid must be DENSE: absent (source, token) cells carry f = 0
     val grid = srcTot.crossJoin(broadcast(top))
       .join(cell,

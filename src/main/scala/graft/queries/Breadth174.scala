@@ -28,8 +28,10 @@ import org.apache.spark.sql.functions._
   * Scale shape: the triangle join is edges⋈edges on a shared endpoint
   * then a closing-edge semi-join — work ∝ Σ deg² (k-bounded here,
   * k·n at worst on a kNN graph), the standard distributed triangle
-  * shape; rich-club is two broadcast-joined aggregates per threshold
-  * over the SAME degree table (one pass, four conditional sums).
+  * shape; rich-club is two node-id equi-joined aggregates per threshold
+  * over the SAME degree table (one pass, four conditional sums; the
+  * join strategy is left to AQE — a forced broadcast of the |V|-sized
+  * degree table would not survive corpus-scale node counts).
   */
 object Breadth174 {
 
@@ -61,8 +63,12 @@ object Breadth174 {
     val deg = degrees(edges)
     val ea = deg.select(col("node").as("id_a"), col("deg").as("__da"))
     val eb = deg.select(col("node").as("id_b"), col("deg").as("__db"))
-    val tagged = edges.join(broadcast(ea), Seq("id_a"))
-      .join(broadcast(eb), Seq("id_b"))
+    // degree tagging is a plain shuffle join on the node id: the degree
+    // table is |V|-sized, and a FORCED broadcast of it contradicts the
+    // 100 TB shape (corpus-scale node counts blow the broadcast limit /
+    // driver heap). At gate SF, AQE still picks a broadcast on its own
+    // size estimate — the right mechanism to make that call.
+    val tagged = edges.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
     val rows = (1 to MaxK).map { k =>
       val nk = deg.filter(col("deg") > k)
         .agg(count(lit(1)).as("n_nodes"))

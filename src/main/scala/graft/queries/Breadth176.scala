@@ -47,9 +47,15 @@ object Breadth176 {
       .withColumn("__u", u)
       .withColumn("__sign",
         when(col("__u") >= 0.5, lit(1.0)).otherwise(lit(-1.0)))
+      // greatest(·, 2⁻⁶⁰) guards the inverse-CDF's log(0): a cell whose
+      // 60-bit draw lands exactly on 0 would otherwise release an
+      // infinite noisy_count (probability 2⁻⁶⁰ per cell — never hit on
+      // test data, so the clamp is hash-neutral; mirrored in DpSql)
       .withColumn("noise",
         lit(-InvEps) * col("__sign") *
-          round(log(lit(1.0) - lit(2.0) * abs(col("__u") - lit(0.5))), 6))
+          round(log(greatest(
+            lit(1.0) - lit(2.0) * abs(col("__u") - lit(0.5)),
+            lit(1.0 / Pow60.toDouble))), 6))
       .withColumn("noisy_count", col("n").cast("double") + col("noise"))
       .select(col("source"), col("lang"), col("n"), col("noise"),
         col("noisy_count"))
@@ -92,7 +98,8 @@ object Breadth176 {
        |nz AS (
        |  SELECT source, lang, n,
        |    -$InvEps * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
-       |      * round(ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS noise
+       |      * round(ln(greatest(1.0 - 2.0 * abs(u - 0.5),
+       |          1.0 / ${Pow60}.0)), 6) AS noise
        |  FROM uu)""".stripMargin
 
   val oracle: Map[String, String] = Map(

@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
   *    supplier–part bipartite graph — for supplier pairs sharing ≥2
   *    parts: shared-part count and part-set Jaccard, top 20. Pairs
   *    are generated per part (Σ per-part-degree², never
-  *    supplier-quadratic) — the LSH-band candidate discipline.
+  *    supplier-quadratic) with hub parts above BpMaxPartDeg suppliers
+  *    excluded — the LSH-band candidate discipline plus its degree cap,
+  *    so one hot part can never emit a quadratic pair volume.
   *  - **q_degree_hist**: the degree DISTRIBUTION of both sides of
   *    that bipartite graph — (side, degree) → node count, the
   *    aggregate shape complement of per-node q_graph_degree.
@@ -36,6 +38,7 @@ object Breadth84 {
   private[graft] val MkIters = 20
   private[graft] val BpMinShared = 2
   private[graft] val BpTopN = 20
+  private[graft] val BpMaxPartDeg = 256
 
   private[graft] val mkFold =
     udf { (states: Seq[String], prevs: Seq[String], nexts: Seq[String],
@@ -88,15 +91,32 @@ object Breadth84 {
   }
 
   /** Supplier-side projection of the supplier–part graph: top pairs by
-    * shared parts. */
+    * shared parts. Pair generation is per part (Σ_p deg(p)² pairs), and
+    * parts hotter than `maxPartDeg` suppliers are EXCLUDED from it — the
+    * hub-removal / stop-word discipline of co-occurrence mining (a part
+    * stocked by 10⁵ suppliers says nothing about any pair, but emits
+    * 5·10⁹ rows). With the cap, pair volume is bounded by
+    * |parts| · maxPartDeg² / 2 — linear in parts, never quadratic in a
+    * hot key's degree; dropped-signal bound: each excluded part removes
+    * at most deg(p)²/2 pairs, every one carrying < 1/maxPartDeg of that
+    * part's idf-like weight. The synthetic TPC-H-ish data saturates near
+    * deg ≈ 52 at sf0.1 (≈ 60 at sf1), so 256 is hash-neutral at every
+    * test scale while still killing the 100 TB hot-key blowup. Supplier
+    * degrees (the Jaccard denominator) stay UNcapped — the cap only
+    * gates which parts may nominate pairs. */
   private[graft] def bipartiteProj(lineitem: DataFrame,
                                    minShared: Int = BpMinShared,
-                                   topN: Int = BpTopN): DataFrame = {
+                                   topN: Int = BpTopN,
+                                   maxPartDeg: Int = BpMaxPartDeg): DataFrame = {
     val e = lineitem.select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
       .distinct()
     val deg = e.groupBy(col("s")).agg(count(lit(1)).as("deg"))
-    val pairs = e.select(col("p"), col("s").as("id_a"))
-      .join(e.select(col("p"), col("s").as("id_b")), Seq("p"))
+    val coolParts = e.groupBy(col("p")).agg(count(lit(1)).as("__pd"))
+      .filter(col("__pd") <= maxPartDeg)
+      .select(col("p"))
+    val ec = e.join(coolParts, Seq("p"), "left_semi")
+    val pairs = ec.select(col("p"), col("s").as("id_a"))
+      .join(ec.select(col("p"), col("s").as("id_b")), Seq("p"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
@@ -173,9 +193,12 @@ object Breadth84 {
       s"""WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
          |  FROM lineitem),
          |deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+         |cool AS (SELECT p FROM e GROUP BY p
+         |  HAVING count(*) <= $BpMaxPartDeg),
+         |ec AS (SELECT * FROM e WHERE p IN (SELECT p FROM cool)),
          |pairs AS (
          |  SELECT a.s AS id_a, b.s AS id_b, CAST(count(*) AS BIGINT) AS shared
-         |  FROM e a JOIN e b ON a.p = b.p AND a.s < b.s
+         |  FROM ec a JOIN ec b ON a.p = b.p AND a.s < b.s
          |  GROUP BY 1, 2 HAVING count(*) >= $BpMinShared)
          |SELECT id_a, id_b, shared,
          |  CAST(shared AS DOUBLE)

@@ -21,97 +21,115 @@ object Extensions {
   private val JaccThreshold = 0.8
   // Blocking for the pairwise ops (shared with Extensions2's
   // q_semantic_dedup so the two cannot drift).
-  private[queries] val CosThreshold = 0.35
+  private[graft] val CosThreshold = 0.35
+
+  // Shared materialized-intermediate STORE, keyed on the session OBJECT
+  // (reference equality — identityHashCode alone can collide after GC
+  // and hand back a frame bound to a dead session) + dir. Until round 11
+  // this was persist()-backed; a full 582-line bench run accumulates
+  // enough per-query cached/checkpointed blocks that storage pressure
+  // squeezed the chain caches, silently re-attributing chain rebuild
+  // cost to whichever consumer query touched the memo next (the round-11
+  // graph-tier 3.5–9× mystery). Each chain is now materialized ONCE to
+  // local parquet — the single-box analog of the warehouse's
+  // materialized pairs/cluster/bar tables at 100 TB — so the harness can
+  // drop EVERY cached block between bench lines and a consumer still
+  // reads a cheap columnar scan. Spill/eviction cannot turn a consumer
+  // back into a chain rebuild, and the memo doubles as lineage
+  // truncation (a parquet scan is the shallowest possible plan — the
+  // localCheckpoint the deep IVF edge builds used to need is subsumed).
+  // STALENESS CONTRACT: entries key on (session, dir) only — if the
+  // parquet files under `dir` are REGENERATED within the same session, a
+  // stored frame serves results computed from the old files. A harness
+  // that rewrites data mid-session must start a fresh session for the
+  // new data (the normal driver pattern: one session per verify/bench
+  // run); spark.catalog.clearCache() is irrelevant to these (by design).
+  private val memoStore = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+  private val memoSeq = new java.util.concurrent.atomic.AtomicLong
+  // scratch root in the JVM temp dir (next to Spark's own shuffle/spill
+  // scratch), deleted on JVM exit
+  private lazy val memoRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-memo-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+            catch { case scala.util.control.NonFatal(_) => })
+      } catch { case scala.util.control.NonFatal(_) => }))
+    p
+  }
+
+  /** Materialize a frame to a fresh parquet path in the store and hand
+    * back its reader — the memo's write-through primitive, also used by
+    * Breadth13's plan-keyed bar-grid memo. Runs a Spark job (the write);
+    * callers must not hold a lock other threads' memo reads need. */
+  private[queries] def materializeToStore(
+      s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val path = memoRoot.resolve(s"m${memoSeq.incrementAndGet()}").toString
+    df.write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
+  /** Parquet-backed memo. Same-key racers may both materialize (the
+    * first insert wins, the loser's file is dead weight until JVM exit)
+    * — putIfAbsent instead of computeIfAbsent because chains NEST
+    * (dupClusters builds through verifiedPairs), and a recursive
+    * computeIfAbsent on one ConcurrentHashMap is undefined behavior. */
+  private[queries] def memoized(s: org.apache.spark.sql.SparkSession, key: String)
+                      (build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val k = (s, key)
+    val hit = memoStore.get(k)
+    if (hit != null) hit
+    else {
+      val mat = materializeToStore(s, build)
+      val prev = memoStore.putIfAbsent(k, mat)
+      if (prev != null) prev else mat
+    }
+  }
+
+  /** Row-per-doc MinHash signature table, memoized per (session, sf
+    * dir): signatures are deterministic per document, so the warehouse
+    * materializes them once per corpus snapshot and every dedup /
+    * estimation pass reads the table instead of re-hashing every
+    * shingle. Consumers: verifiedPairs (band+verify) and q_minhash_est
+    * (sketch-error audit) — previously each paid its own corpus-wide
+    * shingle→md5 pass, the single priciest constant in the bench. */
+  private[queries] def minhashSigs(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): org.apache.spark.sql.DataFrame =
+    memoized(s, s"minhashsigs|$dir") {
+      Dedup.minhashSignatures(Tables.documents(s, dir), "doc_id", "text",
+        ShingleLen, NumHashes)
+    }
 
   /** Verified MinHash near-dup pairs, memoized per (session, sf dir):
     * three queries (q_dedup_minhash, q_dedup_clusters, q_dedup_apply)
     * consume the SAME intermediate. At warehouse scale this is the
     * materialized pairs table every dedup job reads; here it is a
-    * persisted frame so a harness running the queries back to back pays
-    * the shingle→signature→band→verify pipeline once, not three times. */
-  // Shared materialized-intermediate cache, keyed on the session OBJECT
-  // (reference equality — identityHashCode alone can collide after GC
-  // and hand back a frame bound to a dead session) + dir. Bounded: a
-  // session churner clears the whole cache rather than pinning stopped
-  // sessions forever (entries are only caches — recompute is correct,
-  // just slower). All access under one lock so eviction can never race
-  // an in-flight insert and strand a persisted-but-unmapped frame; the
-  // guarded fn only BUILDS a plan (persist marks lazily, no job), so
-  // holding the lock is cheap.
-  // STALENESS CONTRACT: entries key on (session, dir) only — if the
-  // parquet files under `dir` are REGENERATED within the same session, a
-  // cached frame serves results computed from the old files (or throws
-  // FileNotFound from the cached scan — the plan's file listing is
-  // snapshotted at build time, not just its storage). A harness that
-  // rewrites data mid-session must start a fresh session for the new
-  // data (the normal driver pattern: one session per verify/bench run);
-  // spark.catalog.clearCache() alone is NOT enough to refresh these.
-  private val memoCache = scala.collection.mutable.HashMap.empty[
-    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
-  private[queries] def memoized(s: org.apache.spark.sql.SparkSession, key: String)
-                      (build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    memoCache.synchronized {
-      // bound well ABOVE the steady-state key count (7 chains today):
-      // eviction clears the WHOLE cache, and a clear mid-bench would
-      // silently re-attribute a chain's build cost to whichever
-      // consumer query touches the memo next
-      if (memoCache.size > 16) {
-        // release dropped frames' storage too; a frame whose session has
-        // since stopped throws from unpersist — swallow, the blocks died
-        // with the session
-        memoCache.values.foreach(f =>
-          try f.unpersist(blocking = false)
-          catch { case scala.util.control.NonFatal(_) => })
-        memoCache.clear()
-      }
-      memoCache.getOrElseUpdate((s, key),
-        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    }
-
+    * store-backed frame built FROM the stored signature table, so a
+    * harness running the queries back to back pays signatures once,
+    * band+verify once. */
   private[queries] def verifiedPairs(s: org.apache.spark.sql.SparkSession,
                                      dir: String): org.apache.spark.sql.DataFrame =
     memoized(s, s"minhash|$dir") {
-      Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+      Dedup.minhashNearDupsFromSigs(minhashSigs(s, dir),
+        Tables.documents(s, dir), "doc_id", "text",
         ShingleLen, NumHashes, Bands, JaccThreshold)
     }
-
-  // EAGER memoized intermediates. memoCache's contract is that thunks
-  // only BUILD lazy plans, so one coarse lock is cheap — but
-  // clusterMembers RUNS Spark jobs (one action per propagation
-  // generation), which must never execute under that shared lock (it
-  // would serialize every other memoized accessor behind minutes of
-  // propagation at scale). ConcurrentHashMap.computeIfAbsent blocks
-  // same-key callers only; other keys and the lazy memoCache proceed.
-  // The built frame arrives ALREADY cached by its producer (the final
-  // propagation generation), so it is stored as-is — re-persisting a
-  // wrapper would double-cache the rows and orphan the inner persist at
-  // eviction. Eviction here is best-effort (a projection over a cached
-  // generation ignores unpersist; entries are (id, cluster_id)-sized
-  // and bounded at 8, and spark.catalog.clearCache()/session stop
-  // reclaim everything).
-  private val eagerMemo = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
-  private def memoizedEager(s: org.apache.spark.sql.SparkSession, key: String)
-                           (build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    if (eagerMemo.size > 8) {
-      val it = eagerMemo.values.iterator()
-      while (it.hasNext) {
-        try it.next().unpersist(blocking = false)
-        catch { case scala.util.control.NonFatal(_) => }
-      }
-      eagerMemo.clear()
-    }
-    eagerMemo.computeIfAbsent((s, key), _ => build)
-  }
 
   /** Duplicate-cluster assignment over the verified pairs, memoized: at
     * warehouse scale the cluster table is materialized right after the
     * pairs table (every keep-one consumer reads it), and here a
-    * bench/verify harness re-running q_dedup_clusters reads the cached
-    * assignment instead of re-running the propagation loop. */
+    * bench/verify harness re-running q_dedup_clusters reads the stored
+    * assignment instead of re-running the propagation loop. The
+    * propagation's own per-generation checkpoints become garbage the
+    * moment the final generation is written through — the harness's
+    * storage sweep after the chain line reclaims them. */
   private[queries] def dupClusters(s: org.apache.spark.sql.SparkSession,
                                    dir: String): org.apache.spark.sql.DataFrame =
-    memoizedEager(s, s"clusters|$dir") {
+    memoized(s, s"clusters|$dir") {
       Dedup.clusterMembers(verifiedPairs(s, dir), "doc_id")
     }
 
@@ -126,6 +144,10 @@ object Extensions {
     * section of its own line. */
   def sharedIntermediates(s: org.apache.spark.sql.SparkSession, dir: String)
       : Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+    // signature table FIRST: chain_minhash_pairs' number is then the
+    // band-join + exact-verify marginal cost (the signature hash pass
+    // has its own line, like any other upstream chain)
+    "chain_minhash_sigs" -> (() => minhashSigs(s, dir)),
     "chain_minhash_pairs" -> (() => verifiedPairs(s, dir)),
     "chain_dup_clusters" -> (() => dupClusters(s, dir)),
     "chain_embed_pairs" -> (() => embedNearDupPairs(s, dir)),
@@ -187,9 +209,12 @@ object Extensions {
     def emb2 = uncached(Tables.embeddings(s, dir), "vec_id")
     def ev2 = uncached(Tables.events(s, dir), "event_id")
     Map[String, () => Unit](
+      "chain_minhash_sigs" -> (() => runAndDrop(
+        Dedup.minhashSignatures(docs2, "doc_id", "text",
+          ShingleLen, NumHashes))),
       "chain_minhash_pairs" -> (() => runAndDrop(
-        Dedup.minhashNearDups(docs2, "doc_id", "text",
-          ShingleLen, NumHashes, Bands, JaccThreshold))),
+        Dedup.minhashNearDupsFromSigs(minhashSigs(s, dir), docs2,
+          "doc_id", "text", ShingleLen, NumHashes, Bands, JaccThreshold))),
       "chain_dup_clusters" -> (() => runAndDrop(
         Dedup.clusterMembers(verifiedPairs(s, dir), "doc_id"))),
       "chain_embed_pairs" -> (() => runAndDrop(
@@ -213,11 +238,12 @@ object Extensions {
   }
 
   /** Connected-component labels of the kNN graph via the dedup label
-    * propagation, eagerly memoized like dupClusters (the build runs a
-    * Spark job per generation — never under the lazy memo lock). */
+    * propagation, memoized like dupClusters (the build runs a Spark job
+    * per generation — the store's write-through keeps that off every
+    * consumer's plan). */
   private[queries] def knnComponents(s: org.apache.spark.sql.SparkSession,
                                      dir: String): org.apache.spark.sql.DataFrame =
-    memoizedEager(s, s"knncomp|$dir") {
+    memoized(s, s"knncomp|$dir") {
       Dedup.clusterMembers(knnGraphEdges(s, dir), "vec_id",
         maxIters = Breadth49.CompIters)
     }
@@ -233,50 +259,30 @@ object Extensions {
     * scale step was a duplicate of chain_knn_edges). */
   private[queries] def knnDirectedEdges(s: org.apache.spark.sql.SparkSession,
                                         dir: String): org.apache.spark.sql.DataFrame =
-    memoCache.synchronized { memoCache.get((s, s"knndir|$dir")) } match {
-      case Some(df) => df
-      // knnDirected runs one sizing count job (the IVF cell grid), so
-      // the plan is BUILT before taking the memo lock — the memoized
-      // contract is that nothing under the lock runs a Spark job. Two
-      // racing builders are benign: getOrElseUpdate keeps the first,
-      // the loser's plan was never materialized.
-      case None =>
-        // lazy localCheckpoint BEFORE the memo persist: the IVF build's
-        // plan is deep, and ~10 graph queries each reference the edge
-        // frame several times — without truncation every consumer
-        // action re-renders the whole build plan per reference into its
-        // SQL-event explain string (driver-heap-sized at worst; see
-        // Dedup.clusterMembers). The memo's persist then caches reads
-        // OF the checkpoint — double-stored, but the frame is edge-
-        // list-sized. The plan pins read Breadth43.knnEdges DIRECTLY,
-        // so the full build plan stays pin-visible.
-        val edges = Breadth43.knnDirected(Tables.embeddings(s, dir))
-          .localCheckpoint(eager = false)
-        memoized(s, s"knndir|$dir")(edges)
+    // the IVF build's plan is deep, and ~10 graph queries each reference
+    // the edge frame several times — the store's parquet roundtrip
+    // truncates every consumer's lineage to a scan (the localCheckpoint
+    // this accessor used to need). The plan pins read Breadth43.knnEdges
+    // DIRECTLY, so the full build plan stays pin-visible.
+    memoized(s, s"knndir|$dir") {
+      Breadth43.knnDirected(Tables.embeddings(s, dir))
     }
 
   /** GLOBAL (label-blind) mutual-kNN undirected edges — the wave-142
     * modularity pair's shared graph (two consumers, one IVF build).
-    * Same checkpoint-before-persist discipline as knnDirectedEdges:
-    * the label-blind IVF build plan is just as deep. */
+    * Same write-through discipline as knnDirectedEdges: the label-blind
+    * IVF build plan is just as deep. */
   private[queries] def globalMutualKnnEdges(
       s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    memoCache.synchronized { memoCache.get((s, s"gmutual|$dir")) } match {
-      case Some(df) => df
-      case None =>
-        val edges = Breadth141.globalMutualEdges(Tables.embeddings(s, dir))
-          .localCheckpoint(eager = false)
-        memoized(s, s"gmutual|$dir")(edges)
+    memoized(s, s"gmutual|$dir") {
+      Breadth141.globalMutualEdges(Tables.embeddings(s, dir))
     }
 
   private[queries] def knnGraphEdges(s: org.apache.spark.sql.SparkSession,
                                      dir: String): org.apache.spark.sql.DataFrame =
-    memoCache.synchronized { memoCache.get((s, s"knngraph|$dir")) } match {
-      case Some(df) => df
-      case None =>
-        val edges = Breadth43.undirect(knnDirectedEdges(s, dir))
-        memoized(s, s"knngraph|$dir")(edges)
+    memoized(s, s"knngraph|$dir") {
+      Breadth43.undirect(knnDirectedEdges(s, dir))
     }
 
   /** Brute-force cosine top-5 ground truth for the 10 probe vectors,
@@ -380,8 +386,7 @@ object Extensions {
     // shows. All arithmetic is identical-operand (integer match count /
     // constant; difference of the two doubles) — bit-exact unrounded.
     "q_minhash_est" -> ((s, dir) => {
-      val sigs = Dedup.minhashSignatures(
-        Tables.documents(s, dir), "doc_id", "text", ShingleLen, NumHashes)
+      val sigs = minhashSigs(s, dir)
       val sa = sigs.select(col("doc_id").as("id_a") +:
         (0 until NumHashes).map(i => col(s"h$i").as(s"a$i")): _*)
       val sb = sigs.select(col("doc_id").as("id_b") +:

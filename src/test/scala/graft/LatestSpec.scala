@@ -55,6 +55,22 @@ class LatestSpec extends SparkSpec {
     assert(out(20L) == 30.0) // exact hit → exact value
   }
 
+  test("interpolation never plans Spark's tail-rescan window frame: the " +
+    "next-neighbor lookup is the reversed-order running last, O(n) per " +
+    "partition (a bounded-lower + UNBOUNDED FOLLOWING frame re-aggregates " +
+    "the whole tail per row — O(n²), the q_knn_shapley trap)") {
+    val facts = Seq((1L, 1L, 10L, 10.0), (2L, 1L, 20L, 30.0))
+      .toDF("event_id", "user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")).cast("timestamp_ntz"))
+    val probes = Seq((1L, 15L)).toDF("user_id", "psec")
+      .withColumn("probe_ts", timestamp_seconds(col("psec")).cast("timestamp_ntz"))
+    val p = graft.ops.Interpolate.linearAtProbes(
+        facts, probes, "user_id", "ts", "value", "probe_ts", "event_id")
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!p.contains("unbounded following"),
+      s"tail-rescan frame leaked into the interpolation window:\n${p.take(800)}")
+  }
+
   test("as-of join: inclusive at probe ts, null before first fact") {
     val probes = Seq((1L, 20L), (1L, 15L), (1L, 5L), (2L, 100L))
       .toDF("user_id", "psec")

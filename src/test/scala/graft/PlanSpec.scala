@@ -155,7 +155,12 @@ class PlanSpec extends SparkSpec {
 
   test("q_embed_neardup candidates come from the (label, table, bucket) " +
     "LSH join, not an all-pairs label join") {
-    val df = SparkEntry.queries("q_embed_neardup")(spark, sf0001)
+    // pin the RAW pair builder — the query reads the memoized parquet
+    // store (a bare scan), so the LSH lineage lives in the builder the
+    // bench's chain_embed_pairs line times
+    val df = graft.sim.Similarity.cosineNearDupPairs(
+      Tables.embeddings(spark, sf0001), "label",
+      graft.queries.Extensions.CosThreshold)
     df.count()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("bucket"), s"LSH bucket key missing:\n${p.take(800)}")
@@ -614,17 +619,18 @@ class PlanSpec extends SparkSpec {
     "cost every indicator query amortizes (bench lines chain_day_bars / " +
     "chain_day_vols)") {
     val ev = Tables.events(spark, sf0001)
-    // a memoized frame's own plan collapses to an InMemoryTableScan once
-    // cached — descend INTO the cached relations so the walk pins the
-    // chain's real lineage
-    val bars = graft.queries.Breadth13.dayBarsCents(
+    // pin the RAW grid builders: the memoized accessors now return a
+    // parquet scan of the materialized store (zero exchanges by
+    // construction), so the chain's real lineage lives in the *Plan
+    // variants — the same plans the bench's chain lines time
+    val bars = graft.queries.Breadth13.dayBarsCentsPlan(
       ev, "user_id", "ts", "value", "event_id")
     val barsEx = exchanges(bars, includeCached = true)
     assert(barsEx.count(_.outputPartitioning.toString.contains("user_id")) <= 2,
       "bar grid: window + aggregate should share the (key, day) partitioning")
     assert(!barsEx.exists(_.outputPartitioning ==
       org.apache.spark.sql.catalyst.plans.physical.SinglePartition))
-    val vols = graft.queries.Breadth27.dayVols(ev, "user_id", "ts", "k")
+    val vols = graft.queries.Breadth27.dayVolsPlan(ev, "user_id", "ts", "k")
     val volsEx = exchanges(vols, includeCached = true)
     assert(volsEx.count(_.outputPartitioning.toString.contains("user_id")) <= 1,
       "day-vol grid: one (key, day) aggregate exchange")
@@ -814,8 +820,12 @@ class PlanSpec extends SparkSpec {
     assertNoSinglePartitionShuffle(
       SparkEntry.queries("q_perm_test")(spark, sf0001), "q_perm_test")
     // PQ ADC scores against BROADCAST probe-dot / codebook tables — the
-    // corpus side never lands in a shuffled-hash build
-    val pq = plan(SparkEntry.queries("q_pq_adc")(spark, sf0001))
+    // corpus side never lands in a shuffled-hash build. Pin the RAW
+    // shortlist builder: the query itself reads the memoized parquet
+    // store (a bare scan by construction), so the chain's real plan
+    // lives in pqShortlistPlan — the same plan the bench chain line times
+    val pq = plan(graft.queries.Breadth121.pqShortlistPlan(
+      Tables.embeddings(spark, sf0001)))
     assert(pq.contains("BroadcastHashJoin"), "q_pq_adc broadcast lookup")
   }
 }

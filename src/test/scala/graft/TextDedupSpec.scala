@@ -9,6 +9,27 @@ class TextDedupSpec extends SparkSpec {
 
   private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
+  test("the parquet-backed chain store is immune to a full storage sweep: " +
+    "after clearCache + unpersisting every RDD, a chain consumer still " +
+    "plans a store scan — no signature/band/verify rebuild (round-11: " +
+    "persist-backed chains were evicted mid-bench and re-attributed the " +
+    "whole pipeline to arbitrary consumer queries)") {
+    val sf0001 = "/root/testdata/sf0.001"
+    val n1 = SparkEntry.queries("q_dedup_minhash")(spark, sf0001).count()
+    // the bench/verify harness's between-lines sweep
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(r =>
+      try r.unpersist(blocking = false)
+      catch { case scala.util.control.NonFatal(_) => })
+    val df = SparkEntry.queries("q_dedup_minhash")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Generate"), // explode = the shingle pipeline
+      s"consumer re-plans the shingle pipeline after a sweep:\n${p.take(800)}")
+    assert(p.toLowerCase.contains("parquet"),
+      s"consumer should scan the materialized store:\n${p.take(800)}")
+    assert(df.count() == n1) // and it still executes after the sweep
+  }
+
   test("norm collapses whitespace and case; fingerprint is stable on it") {
     val d = docs((1L, "  Hello   World "), (2L, "hello world"), (3L, "hello  worlds"))
       .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))

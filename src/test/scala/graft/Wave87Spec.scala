@@ -75,6 +75,31 @@ class Wave87Spec extends SparkSpec {
     assert(got === Seq((2L, 3L, 2L, 2.0 / 3.0), (1L, 2L, 2L, 0.5)))
   }
 
+  test("bipartiteProj: a hub part above maxPartDeg nominates NO pairs " +
+    "(the hot-key cap), while supplier degrees keep counting it in the " +
+    "Jaccard denominator") {
+    // p200 is a hub: suppliers {1,2,3,4} — with maxPartDeg = 3 it is
+    // excluded from pair generation, so (1,2)'s shared count stays 2
+    // (p101, p102) and s4 pairs with nobody; but deg(s1) RISES to 4
+    // because the hub still counts toward each supplier's part set.
+    val hub = bpLineitem.unionAll(Seq(
+      (1L, 200L), (2L, 200L), (3L, 200L), (4L, 200L))
+      .toDF("l_suppkey", "l_partkey"))
+    val got = Breadth84.bipartiteProj(hub, minShared = 2, topN = 20,
+        maxPartDeg = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // degs with hub: s1=4 s2=4 s3=3; (2,3): 2/(4+3-2)=0.4, (1,2): 2/6
+    assert(got === Seq((2L, 3L, 2L, 0.4), (1L, 2L, 2L, 2.0 / 6.0)))
+    // uncapped control: the hub adds 1 to every pair's shared count and
+    // promotes (1,3) and the s4 pairs into the >=2 output
+    val un = Breadth84.bipartiteProj(hub, minShared = 2, topN = 20,
+        maxPartDeg = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(un.map(t => (t._1, t._2)).contains((1L, 3L)))
+    assert(un.find(t => (t._1, t._2) == (1L, 2L)).get._3 == 3L)
+  }
+
   test("degreeHist: both sides of the bipartite graph histogram their " +
     "distinct-edge degrees") {
     val got = Breadth84.degreeHist(bpLineitem)
