@@ -2830,4 +2830,30 @@ object Graft {
   /** Naive vs inverse-propensity-weighted ATT. */
   def ipwAtt(events: DataFrame): DataFrame =
     queries.Breadth177.ipwAtt(events)
+
+  /** Good–Turing frequency-of-frequencies table over 3-token shingle
+    * document frequencies: r, N_r, N_{r+1}, r* = (r+1)·N_{r+1}/N_r. */
+  def goodTuring(docs: DataFrame): DataFrame =
+    queries.Breadth178.goodTuring(queries.Breadth178.shingleDf(docs))
+
+  /** Good–Turing unseen-mass gauge: P₀ = N₁/N and the hapax share of
+    * the shingle vocabulary. */
+  def unseenMass(docs: DataFrame): DataFrame =
+    queries.Breadth178.unseenMass(queries.Breadth178.shingleDf(docs))
+
+  /** Rank-biased overlap (p = 3/4, depth 5) between two per-probe
+    * rank lists carrying (probe_id, rank, neighbor_id). */
+  def rbo(exact: DataFrame, approx: DataFrame): DataFrame =
+    queries.Breadth178.rbo(exact, approx)
+
+  /** LSH S-curve (r = 3, b = 4) against the observed probe-pair
+    * Jaccard histogram: expected near-dup capture per similarity
+    * bucket. */
+  def lshPower(docs: DataFrame): DataFrame =
+    queries.Breadth178.lshPower(docs)
+
+  /** Frequent sequential patterns (subsequence support, apriori
+    * level-wise) over each user's first-8-event journey. */
+  def seqPatterns(events: DataFrame): DataFrame =
+    queries.Breadth178.seqPatterns(events)
 }

@@ -491,4 +491,22 @@ class GraftFacadeSpec extends SparkSpec {
     assert(rows(Graft.propensityTable(e)) == q("q_propensity_table"))
     assert(rows(Graft.ipwAtt(e)) == q("q_ipw_att"))
   }
+
+  test("Graft fifth-sweep facades (Good–Turing / RBO / LSH power / " +
+    "sequential patterns) match their queries") {
+    val docs = Tables.documents(spark, sf0001)
+    val e = Tables.events(spark, sf0001)
+    def q(name: String) = rows(SparkEntry.queries(name)(spark, sf0001))
+    assert(rows(Graft.goodTuring(docs)) == q("q_good_turing"))
+    assert(rows(Graft.unseenMass(docs)) == q("q_unseen_mass"))
+    assert(rows(Graft.lshPower(docs)) == q("q_lsh_power"))
+    assert(rows(Graft.seqPatterns(e)) == q("q_seq_patterns"))
+    // the RBO facade takes any two rank lists; pin it on the same pair
+    // the query reads (exact brute top-5 vs PQ ADC top-5)
+    val ex = SparkEntry.queries("q_embed_topk")(spark, sf0001)
+      .select("probe_id", "rank", "neighbor_id")
+    val ap = SparkEntry.queries("q_pq_adc")(spark, sf0001)
+      .select("probe_id", "rank", "neighbor_id")
+    assert(rows(Graft.rbo(ex, ap)) == q("q_rbo_pq"))
+  }
 }
