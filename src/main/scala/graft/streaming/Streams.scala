@@ -31,6 +31,18 @@ case class ZBuf(vals: Seq[Double])
 case class ZScored(user_id: Long, event_id: Long, value: Double,
                    mean_prev: Double, z: Option[Double])
 
+/** Per-key state of the streaming early-journey screen: the first ≤8
+  * event-type tokens in (ts, event_id) order, each already wrapped in
+  * its own '|' delimiters (the exact string the batch seqPatterns
+  * prefix build produces) — bounded at 8, O(1) per key thereafter. */
+case class JourneyBuf(toks: Seq[String])
+
+/** Per-key journey snapshot emitted whenever the prefix GROWS (update
+  * stream): once n_events reaches 8 the journey is frozen and further
+  * events emit nothing. The final snapshot per key is exactly the batch
+  * `Breadth178.seqPatterns` prefix row. */
+case class JourneySnap(user_id: Long, n_events: Int, seq: String)
+
 /** Per-key state of the streaming drawdown tracker: prefix peak, worst
   * drawdown so far, tick count — O(1) per key (the running-max window of
   * the batch form collapsed to scalar state). */
@@ -803,6 +815,39 @@ object Streams {
     ds.groupByKey(_.user_id)
       .transformWithState(new RollingZscoreProcessor, TimeMode.None(),
         OutputMode.Append())
+  }
+
+  /** Streaming twin of the q_seq_patterns prefix build
+    * (`queries.Breadth178.seqPatterns`): per-key state is the first ≤8
+    * event-type tokens; each growth emits the current journey string,
+    * so the LAST update per key is exactly the batch prefix row. The
+    * production shape: mine frequent patterns OFFLINE (the batch
+    * query), screen live journeys against them ONLINE
+    * ([[journeyMatches]]). Same in-order caveat as every trailing
+    * screen, same RocksDB-provider requirement as
+    * [[keyedStateLatest]]. */
+  def streamingJourney(ds: Dataset[EventRow]): Dataset[JourneySnap] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new JourneyProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Stream-static screen of journey snapshots against a mined pattern
+    * table (`Breadth178.seqPatterns` output: pattern, len, support):
+    * emits one row per (journey, matched pattern). The pattern side is
+    * metadata-sized (≤ |T|³ rows) and broadcast — per-batch cost is
+    * |batch| × |patterns| bounded-string LIKE checks, no state. The
+    * LIKE template is rebuilt from the mined `pattern` column with the
+    * same per-token delimiters the batch miner uses. */
+  def journeyMatches(journeys: DataFrame, patterns: DataFrame): DataFrame = {
+    val pat = patterns.select(col("pattern"), col("len"), col("support"),
+      concat(lit("%|"),
+        regexp_replace(col("pattern"), lit(">"), lit("|%|")),
+        lit("|%")).as("__pat"))
+    journeys.join(broadcast(pat), expr("seq LIKE __pat"))
+      .select(col("user_id"), col("n_events"), col("pattern"), col("len"),
+        col("support"))
   }
 
   /** HALF_UP decimal rounding bit-matched to Spark's `round(col, 4)`
@@ -3021,6 +3066,21 @@ class SupertrendProcessor
 /** Keyed processor behind [[Streams.streamingZscore]]: ONE ≤6-deep value
   * buffer per key — O(frame) state, the batch q_rolling_zscore window
   * held verbatim. */
+/** Keyed processor behind [[Streams.streamingJourney]]: bounded first-8
+  * prefix per key, one snapshot per growth, frozen at 8. */
+class JourneyProcessor
+    extends ScoredFoldProcessor[JourneyBuf, JourneySnap]("journey",
+      org.apache.spark.sql.Encoders.product[JourneyBuf]) {
+  protected def empty: JourneyBuf = JourneyBuf(Seq.empty)
+  protected def step(b: JourneyBuf, e: EventRow): (JourneyBuf, Option[JourneySnap]) =
+    if (b.toks.length >= 8) (b, None)
+    else {
+      val next = b.toks :+ ("|" + e.event_type + "|")
+      (JourneyBuf(next),
+        Some(JourneySnap(e.user_id, next.length, next.mkString)))
+    }
+}
+
 class RollingZscoreProcessor
     extends ScoredFoldProcessor[ZBuf, ZScored]("zbuf",
       org.apache.spark.sql.Encoders.product[ZBuf]) {

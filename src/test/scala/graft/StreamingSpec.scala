@@ -294,6 +294,80 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingJourney (transformWithState) freezes the first-8 prefix " +
+    "per key and its final snapshot equals the batch seqPatterns prefix; " +
+    "journeyMatches screens snapshots against the mined pattern table " +
+    "exactly like an independent subsequence check") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def er(id: Long, minute: Int, user: Long, typ: String) =
+        EventRow(id, java.time.LocalDateTime.parse(f"2024-01-01T10:$minute%02d:00"),
+          user, typ, 1.0, "{}")
+      val journeys = Map(
+        1L -> Seq("a", "b", "c"), 2L -> Seq("a", "c", "b"),
+        3L -> Seq("b", "a", "c"),
+        4L -> Seq.fill(10)("a")) // 10 events -> frozen at 8
+      val rows = journeys.toSeq.flatMap { case (u, ts) =>
+        ts.zipWithIndex.map { case (t, i) => er(u * 100 + i, i, u, t) }
+      }
+      // split mid-journey so prefixes grow ACROSS micro-batches
+      val batches = Seq(rows.filter(_.event_id % 100 < 2),
+        rows.filter(e => e.event_id % 100 >= 2 && e.event_id % 100 < 5),
+        rows.filter(_.event_id % 100 >= 5))
+      val mem = MemoryStream[EventRow]
+      val q = Streams.streamingJourney(mem.toDS())
+        .writeStream.format("memory").queryName("journey_out")
+        .outputMode("update").start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      val snaps = spark.table("journey_out")
+      // final snapshot per key = the row with the largest n_events
+      val fin = snaps.groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("seq"))).as("s"))
+        .select(col("user_id"), col("s.n_events"), col("s.seq"))
+      val got = fin.collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+      val want = journeys.view.mapValues { ts =>
+        val p = ts.take(8); (p.length, p.map("|" + _ + "|").mkString)
+      }.toMap
+      assert(got == want, s"journey snapshots diverged: $got vs $want")
+      // screen the final snapshots against the batch-mined patterns and
+      // check every match against an INDEPENDENT subsequence definition
+      val batchEvents = rows.map(e => (e.event_id,
+          Timestamp.valueOf(f"2024-01-01 10:${e.event_id % 100}%02d:00"),
+          e.user_id, e.event_type, e.value, e.props))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      val mined = graft.queries.Breadth178.seqPatterns(batchEvents)
+      val matches = Streams.journeyMatches(fin, mined)
+        .select("user_id", "pattern").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      def contains(seq: Seq[String], pat: Seq[String]): Boolean = pat match {
+        case h +: t =>
+          val i = seq.indexOf(h); i >= 0 && contains(seq.drop(i + 1), t)
+        case _ => true
+      }
+      val expected = (for {
+        (u, ts) <- journeys.toSeq
+        p <- mined.select("pattern").collect().map(_.getString(0))
+        if contains(ts.take(8), p.split('>').toSeq)
+      } yield (u, p)).toSet
+      assert(matches == expected,
+        s"pattern screen diverged: $matches vs $expected")
+      // the frozen-at-8 user matched only the pure-'a' patterns
+      assert(matches.filter(_._1 == 4L).map(_._2) == Set("a", "a>a", "a>a>a"))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streamingZscore (transformWithState) == batch q_rolling_zscore fold " +
     "on in-order delivery, including the zero-variance null") {
     implicit val sqlCtx = spark.sqlContext
