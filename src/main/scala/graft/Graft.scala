@@ -2856,4 +2856,18 @@ object Graft {
     * level-wise) over each user's first-8-event journey. */
   def seqPatterns(events: DataFrame): DataFrame =
     queries.Breadth178.seqPatterns(events)
+
+  /** Streaming twin of [[seqPatterns]]' prefix build: per-key bounded
+    * first-8 journey state via `transformWithState` (update stream,
+    * frozen at 8). Spec-pinned equal to the batch prefix across
+    * micro-batch splits — see streaming.Streams.streamingJourney. */
+  def liveJourney(events: org.apache.spark.sql.Dataset[streaming.EventRow])
+      : org.apache.spark.sql.Dataset[streaming.JourneySnap] =
+    streaming.Streams.streamingJourney(events)
+
+  /** Stream-static screen of live journey snapshots against an
+    * offline-mined pattern table ([[seqPatterns]] output) — one row
+    * per (journey, matched pattern), stateless broadcast LIKE join. */
+  def liveJourneyMatches(journeys: DataFrame, patterns: DataFrame): DataFrame =
+    streaming.Streams.journeyMatches(journeys, patterns)
 }
