@@ -103,13 +103,7 @@ object Bench {
     // (plan-level persists) AND their blocks; the getPersistentRDDs pass
     // reaps RDD-level blocks clearCache cannot see (localCheckpoint
     // generations from the iterative graph queries).
-    def sweepStorage(): Unit = {
-      try spark.catalog.clearCache()
-      catch { case scala.util.control.NonFatal(_) => }
-      spark.sparkContext.getPersistentRDDs.values.foreach(r =>
-        try r.unpersist(blocking = false)
-        catch { case scala.util.control.NonFatal(_) => })
-    }
+    def sweepStorage(): Unit = Harness.sweepStorage(spark)
     // The shared memoized dedup/ANN intermediates get their OWN bench
     // lines, timed BEFORE any consumer query: the MinHash→verify→cluster
     // chain's materialization cost is a pipeline cost, and charging it to
@@ -139,6 +133,14 @@ object Bench {
       val (w2, t2, s2) =
         if (w1 < 0 || warmRuns == 0) (-1.0, t1, s1)
         else {
+          // sweep BETWEEN the two timings (outside both timed sections):
+          // run #1's leftover persists/checkpoints otherwise tax run #2
+          // with block-eviction and GC pressure run #1 never paid —
+          // measured (round 12) as the resample's task-s landing 1.7–2.3×
+          // ABOVE the first build's on identical plans. Run #2 rebuilds
+          // everything itself from parquet-backed upstreams, so nothing
+          // it references is cached (the Harness.sweepStorage invariant).
+          sweepStorage()
           val w = resamples.get(name) match {
             case Some(r) => once(s"$name#2") { r() }
             case None => -1.0

@@ -51,11 +51,7 @@ object Verify {
       // dead after the dump, and 571 queries of dead blocks in one
       // session is real pressure; shared chains are parquet-backed
       // (Extensions.memoStore) so dropping every cached block is safe
-      try spark.catalog.clearCache()
-      catch { case scala.util.control.NonFatal(_) => }
-      spark.sparkContext.getPersistentRDDs.values.foreach(r =>
-        try r.unpersist(blocking = false)
-        catch { case scala.util.control.NonFatal(_) => })
+      Harness.sweepStorage(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -96,15 +96,31 @@ object Breadth101 {
                                        rounds: Int = CoreRounds): DataFrame = {
     // materialize the (expensive) mutual edge set ONCE, then
     // checkpoint every round: each peel reads cur twice (deg + the two
-    // semi-joins), so an uncheckpointed chain re-evaluates the whole
-    // upstream per round — measured 62 s → seconds at sf0.1
+    // anti-joins), so an uncheckpointed chain re-evaluates the whole
+    // upstream per round — measured 62 s → seconds at sf0.1.
     var cur = mutualFromDirected(directed).localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val keep = deg(cur).filter(col("deg") >= k).select(col("node"))
-      cur = cur
-        .join(keep.select(col("node").as("id_a")), Seq("id_a"), "left_semi")
-        .join(keep.select(col("node").as("id_b")), Seq("id_b"), "left_semi")
+    // FIXPOINT EXIT (output-identical to always running all `rounds`):
+    // a round that removes no edge leaves the degree table unchanged,
+    // so every later round is a no-op — both engines' results agree
+    // whether the oracle unrolls all 8 rounds or the peel stops at the
+    // fixpoint. The edge count is a cheap job over the just-checkpointed
+    // blocks; the DROP side (deg < k) is joined anti, not the keep side
+    // semi — the drop set shrinks to empty as the peel converges, so
+    // AQE plans the late rounds as broadcast anti-joins instead of
+    // shuffling the whole surviving edge set against a keep table that
+    // is almost the entire graph.
+    var curCnt = cur.count()
+    var r = 0
+    while (r < rounds && curCnt > 0) {
+      val drop = deg(cur).filter(col("deg") < k).select(col("node"))
+      val next = cur
+        .join(drop.select(col("node").as("id_a")), Seq("id_a"), "left_anti")
+        .join(drop.select(col("node").as("id_b")), Seq("id_b"), "left_anti")
         .localCheckpoint(true)
+      val nextCnt = next.count()
+      if (nextCnt == curCnt) r = rounds else r += 1
+      cur = next
+      curCnt = nextCnt
     }
     deg(cur)
       .select(col("node").as("vec_id"), col("deg").as("core_degree"))

@@ -46,8 +46,15 @@ object Breadth43 {
   /** Undirected canonical edge set of the within-label kNN graph: each
     * vector contributes its top-k same-label neighbours by (cos DESC,
     * id ASC); the union of directed kNN edges, deduped as (min, max). */
-  private[graft] def knnEdges(emb: DataFrame, k: Int = KnnK): DataFrame =
-    undirect(knnDirected(emb, k))
+  private[graft] def knnEdges(emb: DataFrame, k: Int = KnnK,
+                              truncate: Boolean = true): DataFrame =
+    undirect(knnDirected(emb, k, truncate))
+
+  /** Untruncated twin for the plan pins (PlanSpec asserts the edge
+    * chain's join shapes, which the production path's localCheckpoint
+    * boundaries would hide behind a LogicalRDD). */
+  private[graft] def knnEdgesPlan(emb: DataFrame, k: Int = KnnK): DataFrame =
+    knnEdges(emb, k, truncate = false)
 
   /** Directed → undirected canonical edges (shared so the memoized
     * directed frame and the direct API project identically). */
@@ -66,11 +73,13 @@ object Breadth43 {
     * single hot block turns quadratic at 100 TB). The one count job
     * here sizes the cell grid; the oracle keeps the all-pairs
     * definition, so the twin pair cannot drift apart silently. */
-  private[graft] def knnDirected(emb: DataFrame, k: Int = KnnK): DataFrame = {
+  private[graft] def knnDirected(emb: DataFrame, k: Int = KnnK,
+                                 truncate: Boolean = true): DataFrame = {
     val r = emb.agg(count(lit(1)).as("n"),
       count_distinct(col("label")).as("b")).head()
     graft.sim.Ivf.exactKnnDirected(emb, k,
-      graft.sim.Ivf.adaptiveCells(r.getLong(0), r.getLong(1)))
+      graft.sim.Ivf.adaptiveCells(r.getLong(0), r.getLong(1)),
+      truncate = truncate)
   }
 
   /** The all-pairs within-block build — the ORACLE TWIN of

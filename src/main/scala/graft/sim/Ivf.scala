@@ -127,37 +127,67 @@ object Ivf {
     * vectors ride ids-only until the exact re-rank (the
     * cosineNearDupPairs discipline). At warehouse scale `asg` is the
     * materialized cell-assignment table (cell = a partition column) and
-    * the two inner persists below are its physical twin. */
+    * the inner plan boundaries below are its physical twin. */
   def exactKnnDirected(emb: DataFrame, k: Int, kCells: Int,
                        nProbe: Int = 2, lloydIters: Int = 2,
                        blockCol: String = "label", idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame = {
+                       vecCol: String = "embedding",
+                       truncate: Boolean = true): DataFrame = {
+    val sp = emb.sparkSession
+    import sp.implicits._
     def theta(c: Column): Column =
       acos(greatest(lit(-1.0), least(lit(1.0), c)))
+    // Plan-boundary discipline: the build is a DAG of ~10 sub-plans that
+    // each reference `asg`/`probeCells`/`top1` several times. With plain
+    // persist() the PHYSICAL work is cached but every stage still
+    // serializes (and every task deserializes) the full nested logical
+    // tree — Lloyd iterations inside broadcast subqueries inside window
+    // sorts — measured at sf0.1 as ~70 task-seconds of pure
+    // executorDeserializeTime plus a comparable Janino compile-blocked
+    // share, dwarfing the actual data work. An eager localCheckpoint
+    // restarts each consumer's plan at a LogicalRDD (the shallowest
+    // possible serialized task). `truncate = false` keeps the persist()
+    // form with the full lazy tree for the plan pins (the *Plan-builder
+    // convention: PlanSpec asserts join shapes on the untruncated plan).
+    def boundary(df: DataFrame): DataFrame =
+      if (truncate) df.localCheckpoint(eager = true)
+      else df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Lloyd, seeded from the kCells smallest ids (centroid_id = seed id:
     // no global window, so the chain stays free of single-partition
     // exchanges; empty cells simply drop out of later iterations).
-    var centroids = emb.orderBy(col(idCol).asc).limit(kCells)
-      .select(col(idCol).as("centroid_id"),
-        transform(col(vecCol), x => x.cast("double")).as("centroid"))
+    // The centroid table LIVES ON THE DRIVER between iterations — it is
+    // bounded metadata (kCells ≤ 4096 rows × dim doubles, the clamp in
+    // adaptiveCells; MLlib's KMeans holds exactly the same table on the
+    // driver), never corpus-proportional. Collecting it makes every
+    // iteration (and everything downstream) start from a LocalTableScan
+    // instead of re-embedding the whole prior-iteration lineage in a
+    // nested broadcast-subquery cascade.
+    var cent: Array[(Long, Seq[Double])] = emb.orderBy(col(idCol).asc)
+      .limit(kCells)
+      .select(col(idCol).cast("long"),
+        transform(col(vecCol), x => x.cast("double")))
+      .as[(Long, Seq[Double])].collect()
+    def centDF: DataFrame = cent.toSeq.toDF("centroid_id", "centroid")
     val wA = Window.partitionBy(col(idCol))
       .orderBy(col("__cc").desc, col("centroid_id").asc)
     (0 until lloydIters).foreach { _ =>
       val asgI = bcastProduct(emb.select(col(idCol), col(vecCol)),
-          col(idCol), centroids, col("centroid_id"))
+          col(idCol), centDF, col("centroid_id"))
         .withColumn("__cc", Similarity.cosine(col(vecCol), col("centroid")))
         .withColumn("__rn", row_number().over(wA))
         .filter(col("__rn") === 1)
-      centroids = asgI
+      cent = asgI
         .select(col("centroid_id"),
           posexplode(col(vecCol)).as(Seq("pos", "v")))
         .groupBy(col("centroid_id"), col("pos"))
         .agg(avg(col("v").cast("double")).as("m"))
         .groupBy(col("centroid_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("centroid_id"),
-          transform(col("pm"), s => s.getField("m")).as("centroid"))
+        .select(col("centroid_id").cast("long"),
+          transform(col("pm"), s => s.getField("m")))
+        .as[(Long, Seq[Double])].collect()
     }
+    val centroids = centDF
     // Cell assignment with the block kept; __theta = angle to own
     // centroid (feeds the per-(block, cell) radius). Read 4× below.
     val asg = bcastProduct(
@@ -168,27 +198,27 @@ object Ivf {
       .filter(col("__rn") === 1)
       .select(col(blockCol), col(idCol), col(vecCol), col("centroid_id"),
         theta(col("__cc")).as("__theta"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val asgB = boundary(asg)
     // The broadcast routing table: |blocks|·kCells rows of radius +
     // centroid vector.
-    val cellStats = asg.groupBy(col(blockCol), col("centroid_id"))
+    val cellStats = asgB.groupBy(col(blockCol), col("centroid_id"))
       .agg(max(col("__theta")).as("__radius"))
       .join(centroids, "centroid_id")
     // Probe → cell scoring; vectors dropped before the rank shuffle.
     val wC = Window.partitionBy(col("__src"))
       .orderBy(col("__d").asc, col("centroid_id").asc)
-    val probeCells = asg
+    val probeCells = asgB
       .select(col(blockCol), col(idCol).as("__src"), col(vecCol).as("__pv"))
       .join(broadcast(cellStats), Seq(blockCol))
       .withColumn("__d", theta(Similarity.cosine(col("__pv"), col("centroid"))))
       .select(col(blockCol), col("__src"), col("centroid_id"), col("__d"),
         col("__radius"))
       .withColumn("__cr", row_number().over(wC))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val idx = asg.select(col(blockCol), col("centroid_id"),
+    val probeCellsB = boundary(probeCells)
+    val idx = asgB.select(col(blockCol), col("centroid_id"),
       col(idCol).as("__dst"))
-    val va = asg.select(col(idCol).as("__src"), col(vecCol).as("__va"))
-    val vb = asg.select(col(idCol).as("__dst"), col(vecCol).as("__vb"))
+    val va = asgB.select(col(idCol).as("__src"), col(vecCol).as("__va"))
+    val vb = asgB.select(col(idCol).as("__dst"), col(vecCol).as("__vb"))
     // ids-only candidate pairs → vectors join on exactly once → the
     // SAME rounded cosine expression as the all-pairs twin (bit parity).
     def score(cells: DataFrame): DataFrame =
@@ -200,12 +230,11 @@ object Ivf {
         .select(col("__src"), col("__dst"), col("__cos"))
     val wK = Window.partitionBy(col("__src"))
       .orderBy(col("__cos").desc, col("__dst").asc)
-    val top1 = score(probeCells.filter(col("__cr") <= nProbe)
+    val top1 = boundary(score(probeCellsB.filter(col("__cr") <= nProbe)
         .select(col(blockCol), col("centroid_id"), col("__src")))
       .withColumn("__rn", row_number().over(wK))
       .filter(col("__rn") <= k)
-      .select(col("__src"), col("__dst"), col("__cos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("__src"), col("__dst"), col("__cos")))
     // k-th best rounded cosine per probe; a probe with < k pass-1
     // candidates may prune nothing (sentinel −2 keeps every far cell).
     val kth = top1.groupBy(col("__src"))
@@ -214,7 +243,7 @@ object Ivf {
         when(col("__nc") >= k, col("__kc")).otherwise(lit(-2.0)).as("__kth"))
     // LEFT join: a probe with zero pass-1 candidates has no kth row at
     // all — it must still search every far cell, not vanish.
-    val far = probeCells.filter(col("__cr") > nProbe)
+    val far = probeCellsB.filter(col("__cr") > nProbe)
       .join(kth, Seq("__src"), "left_outer")
       .filter(coalesce(col("__kth"), lit(-2.0)) === lit(-2.0) ||
         cos(greatest(lit(0.0), col("__d") - col("__radius"))) >=

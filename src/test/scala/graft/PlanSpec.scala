@@ -644,7 +644,7 @@ class PlanSpec extends SparkSpec {
 
   test("wave-44/50 kNN-graph analytics: the edge chain is a within-label " +
     "equi-join and every graph query stays distributed with no cartesian") {
-    val edges = graft.queries.Breadth43.knnEdges(
+    val edges = graft.queries.Breadth43.knnEdgesPlan(
       Tables.embeddings(spark, sf0001))
     val ep = plan(edges)
     assert(!ep.contains("CartesianProduct"), ep.take(600))
