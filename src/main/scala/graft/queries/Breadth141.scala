@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * real" audit of an embedding clustering. Unlike the within-label
   * graph tier (Breadth43/101, whose edges never cross labels by
   * construction), the graph here is label-BLIND: every vector ranks
-  * its top-k neighbours over the whole corpus (exact, via the
-  * metric-pruned IVF path with one global block), edges kept only
+  * its top-k neighbours over the whole corpus (the sub-quadratic
+  * projection-window approximate build, graft.sim.ProjGraph — the
+  * exact IVF path remains as globalMutualEdgesExact and as
+  * q_mutual_recall's reference), edges kept only
   * where both endpoints rank each other (mutual), and the label
   * partition is then scored by Newman modularity
   *   Q = Σ_c [ e_c/m − (d_c/2m)² ].
@@ -25,9 +27,10 @@ import org.apache.spark.sql.functions._
   * convention), so the directed edge set is bit-deterministic and the
   * oracle's all-pairs definition reproduces it exactly.
   *
-  * Scale shape: the graph build is the IVF exact-kNN (Θ(n^1.5/√cells)
-  * with triangle-inequality cell pruning — the Breadth43 scale path,
-  * recall 1.0 by construction); the mutual filter is one left-semi
+  * Scale shape: the graph build is the linear projection-window
+  * construction (Θ(n·(P·W + k²)·dim), see graft.sim.ProjGraph — the
+  * 18.7×-at-10× exact IVF build left the default path in round 13);
+  * the mutual filter is one left-semi
   * self-join on (src,dst) — shuffle on the edge key, never on pairs;
   * modularity itself is two hash aggregates over the edge list plus a
   * broadcast of the |labels|-row degree table. No quadratic path.
@@ -45,9 +48,25 @@ object Breadth141 {
       graft.sim.Ivf.adaptiveCells(n, 1L), blockCol = "__blk")
   }
 
-  /** Mutual undirected edges of the global kNN graph. */
+  /** Mutual undirected edges of the global kNN graph — the DEFAULT
+    * build every global-graph consumer reads. Since round 13 this is
+    * the sub-quadratic projection-window approximation
+    * (graft.sim.ProjGraph): the exact IVF build's Θ(n^1.5) envelope
+    * measured 18.7× at 10× data — in-envelope but not scale-safe. The
+    * consumer oracles mirror the approximate construction EXACTLY
+    * (projMutualCtes below), so correctness never rides on recall;
+    * recall itself is audited by q_mutual_recall against brute-force
+    * ground truth, with [[globalMutualEdgesExact]] kept as the exact
+    * reference. */
   private[graft] def globalMutualEdges(emb: DataFrame,
                                        k: Int = GlobalKnnK): DataFrame =
+    graft.sim.ProjGraph.approxMutualEdges(emb, k)
+
+  /** The exact IVF-pruned mutual edges (recall 1.0 by construction) —
+    * the recall audit's reference build, no longer the consumer
+    * default. */
+  private[graft] def globalMutualEdgesExact(emb: DataFrame,
+                                            k: Int = GlobalKnnK): DataFrame =
     Breadth101.mutualFromDirected(globalKnnDirected(emb, k))
 
   /** Per-label cohesion table over an undirected (id_a, id_b) edge
@@ -127,33 +146,132 @@ object Breadth141 {
         Extensions.globalMutualKnnEdges(s, dir))),
     "q_label_cohesion" -> ((s, dir) =>
       labelCohesion(Tables.embeddings(s, dir),
-        Extensions.globalMutualKnnEdges(s, dir))))
+        Extensions.globalMutualKnnEdges(s, dir))),
+    // Recall audit of the approximate graph build: per probe, how many
+    // of the brute-force exact top-k the projection-window directed
+    // top-k actually found. UNLIKE the q_embed_ann_* reports (whose
+    // oracle cannot reproduce the index and states the recall bound as
+    // literal true), the oracle here mirrors the approximate
+    // construction itself, so n_hit is DIFFERENTIALLY CHECKED — the
+    // gate verifies the measured recall, not a tuned floor (measured:
+    // probes 40/40 hits at sf0.01, 25/40 at sf0.1 — the corpus is
+    // random noise, the worst ANN regime; see ProjGraph).
+    "q_mutual_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val ann = Extensions.globalApproxDirected(s, dir)
+        .filter(col("src") < RecallProbes)
+        .select(col("src").as("probe_id"), col("dst").as("neighbor_id"),
+          lit(1L).as("__hit"))
+      val brute = graft.sim.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < RecallProbes), emb, GlobalKnnK)
+      brute.join(ann, Seq("probe_id", "neighbor_id"), "left_outer")
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_true"),
+          count(col("__hit")).as("n_hit"),
+          max(when(col("rank") === 1, col("neighbor_id")))
+            .as("best_neighbor_id"),
+          max(when(col("rank") === 1, col("cos"))).as("best_cos"))
+        .orderBy(col("probe_id").asc)
+    }))
 
-  /** Global all-pairs mutual-kNN edge CTE chain (no leading WITH) —
-    * the oracle twin of the IVF-pruned engine build (exact by
-    * construction; the engine path is recall-1.0-pinned against the
-    * all-pairs form in KnnExactIvfSpec's global-block case). */
-  private val EdgeSql: String =
-    s"""ev AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+  private[graft] val RecallProbes = 10
+
+  /** The projection-window approximate mutual-kNN edge CTE chain (no
+    * leading WITH, ends at `mut`) — the oracle twin of
+    * graft.sim.ProjGraph.approxMutualEdges, mirrored STEP FOR STEP
+    * (quantization scale, weight mixer, window width, expansion round,
+    * 6-dp cosine re-rank, tie rules), so the differential gate checks
+    * the whole construction rather than trusting its recall. Shared by
+    * every global-graph consumer oracle (Breadth169/174 compose their
+    * tails onto `mut`). All weight-mixer intermediates stay below 2⁶²,
+    * inside DuckDB's overflow-checked BIGINT. Multi-use CTEs are
+    * MATERIALIZED — without it DuckDB re-inlines the whole chain at
+    * every reference (q_reach_curve's oracle measured 76 s -> 0.2 s);
+    * safe here because no recursive term contains a correlated subquery
+    * over a materialized CTE (the documented DuckDB trap). */
+  private[queries] val projMutualCtes: String =
+    s"""eq AS (
+       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> CAST(floor(x * 16777216.0 + 0.5) AS BIGINT)) AS q
        |  FROM embeddings),
-       |pairs AS (
-       |  SELECT a.vec_id AS src, b.vec_id AS dst,
-       |    round(list_dot_product(a.v, b.v)
-       |      / (sqrt(list_dot_product(a.v, a.v))
-       |        * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-       |  FROM ev a JOIN ev b ON a.vec_id <> b.vec_id),
-       |topk AS (
+       |pterm AS (
+       |  SELECT vec_id, p, qi, i
+       |  FROM (SELECT vec_id, unnest(q) AS qi,
+       |          unnest(range(1, len(q) + 1)) AS i
+       |        FROM eq)
+       |  CROSS JOIN (SELECT unnest(range(0, ${graft.sim.ProjGraph.NumProj})) AS p)),
+       |ph AS (
+       |  SELECT vec_id, p, qi,
+       |    ((i * 1103515245 + (p + 1) * 12345) % 2147483648) AS h1
+       |  FROM pterm),
+       |ph2 AS (
+       |  SELECT vec_id, p, qi,
+       |    ((xor(h1, h1 // 65536) * 1103515245 + 12345) % 2147483648) AS h3
+       |  FROM ph),
+       |proj AS (
+       |  SELECT vec_id, p,
+       |    SUM(CASE WHEN xor(h3, h3 // 65536) % 2 = 1
+       |      THEN qi ELSE -qi END) AS score
+       |  FROM ph2 GROUP BY vec_id, p),
+       |prnk AS MATERIALIZED (
+       |  SELECT vec_id, p, row_number() OVER (PARTITION BY p
+       |    ORDER BY score, vec_id) AS rn
+       |  FROM proj),
+       |candp AS MATERIALIZED (
+       |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+       |    greatest(a.vec_id, b.vec_id) AS id_b
+       |  FROM prnk a JOIN prnk b
+       |    ON a.p = b.p AND b.rn > a.rn AND b.rn <= a.rn + ${graft.sim.ProjGraph.WindowW}),
+       |evp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |        FROM embeddings),
+       |seedsc AS MATERIALIZED (
+       |  SELECT c.id_a, c.id_b,
+       |    round(list_dot_product(va.v, vb.v)
+       |      / (sqrt(list_dot_product(va.v, va.v))
+       |        * sqrt(list_dot_product(vb.v, vb.v))), 6) AS cos
+       |  FROM candp c
+       |  JOIN evp va ON c.id_a = va.vec_id
+       |  JOIN evp vb ON c.id_b = vb.vec_id),
+       |seedtop AS (
        |  SELECT src, dst FROM (
-       |    SELECT src, dst,
-       |      row_number() OVER (PARTITION BY src
-       |        ORDER BY cos DESC, dst) AS rn
-       |    FROM pairs)
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS rn
+       |    FROM (SELECT id_a AS src, id_b AS dst, cos FROM seedsc
+       |          UNION ALL SELECT id_b, id_a, cos FROM seedsc))
        |  WHERE rn <= $GlobalKnnK),
-       |mut AS (
+       |hop2 AS (
+       |  SELECT DISTINCT least(a.src, b.dst) AS id_a,
+       |    greatest(a.src, b.dst) AS id_b
+       |  FROM seedtop a JOIN seedtop b ON a.dst = b.src
+       |  WHERE a.src <> b.dst),
+       |hop2new AS (
+       |  SELECT id_a, id_b FROM hop2 h
+       |  WHERE NOT EXISTS (SELECT 1 FROM seedsc s
+       |    WHERE s.id_a = h.id_a AND s.id_b = h.id_b)),
+       |allsc AS MATERIALIZED (
+       |  SELECT id_a, id_b, cos FROM seedsc
+       |  UNION ALL
+       |  SELECT h.id_a, h.id_b,
+       |    round(list_dot_product(va.v, vb.v)
+       |      / (sqrt(list_dot_product(va.v, va.v))
+       |        * sqrt(list_dot_product(vb.v, vb.v))), 6) AS cos
+       |  FROM hop2new h
+       |  JOIN evp va ON h.id_a = va.vec_id
+       |  JOIN evp vb ON h.id_b = vb.vec_id),
+       |topk AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src
+       |      ORDER BY cos DESC, dst) AS rn
+       |    FROM (SELECT id_a AS src, id_b AS dst, cos FROM allsc
+       |          UNION ALL SELECT id_b, id_a, cos FROM allsc))
+       |  WHERE rn <= $GlobalKnnK),
+       |mut AS MATERIALIZED (
        |  SELECT t.src AS id_a, t.dst AS id_b
        |  FROM topk t JOIN topk r ON t.src = r.dst AND t.dst = r.src
-       |  WHERE t.src < t.dst),
+       |  WHERE t.src < t.dst)""".stripMargin
+
+  private val EdgeSql: String =
+    s"""$projMutualCtes,
        |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label
        |        FROM embeddings),
        |ends AS (
@@ -201,5 +319,18 @@ object Breadth141 {
          |LEFT JOIN ein ON nn.label = ein.label
          |LEFT JOIN dt ON nn.label = dt.label
          |CROSS JOIN mm
-         |ORDER BY nn.label""".stripMargin)
+         |ORDER BY nn.label""".stripMargin,
+
+    "q_mutual_recall" ->
+      s"""WITH $projMutualCtes,
+         |${Extensions.bruteRankedSql.stripPrefix("WITH ")},
+         |tr AS (SELECT * FROM ranked WHERE rank <= $GlobalKnnK)
+         |SELECT tr.probe_id, CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(count(t.dst) AS BIGINT) AS n_hit,
+         |  max(CASE WHEN tr.rank = 1 THEN tr.neighbor_id END)
+         |    AS best_neighbor_id,
+         |  max(CASE WHEN tr.rank = 1 THEN tr.cos END) AS best_cos
+         |FROM tr LEFT JOIN topk t
+         |  ON t.src = tr.probe_id AND t.dst = tr.neighbor_id
+         |GROUP BY tr.probe_id ORDER BY tr.probe_id""".stripMargin)
 }

@@ -114,28 +114,11 @@ object Breadth174 {
     "q_local_clustering" -> ((s, dir) =>
       localClustering(Extensions.globalMutualKnnEdges(s, dir))))
 
-  /** Mutual-kNN + degree/triangle CTE chain (no leading WITH). */
+  /** Mutual-kNN + degree/triangle CTE chain (no leading WITH). The
+    * graph is the SHARED projection-window construction
+    * (Breadth141.projMutualCtes). */
   private val GraphSql: String =
-    s"""ev AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |  FROM embeddings),
-       |pairs AS (
-       |  SELECT a.vec_id AS src, b.vec_id AS dst,
-       |    round(list_dot_product(a.v, b.v)
-       |      / (sqrt(list_dot_product(a.v, a.v))
-       |        * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-       |  FROM ev a JOIN ev b ON a.vec_id <> b.vec_id),
-       |topk AS (
-       |  SELECT src, dst FROM (
-       |    SELECT src, dst,
-       |      row_number() OVER (PARTITION BY src
-       |        ORDER BY cos DESC, dst) AS rn
-       |    FROM pairs)
-       |  WHERE rn <= ${Breadth141.GlobalKnnK}),
-       |mut AS (
-       |  SELECT t.src AS id_a, t.dst AS id_b
-       |  FROM topk t JOIN topk r ON t.src = r.dst AND t.dst = r.src
-       |  WHERE t.src < t.dst),
+    s"""${Breadth141.projMutualCtes},
        |dg AS (
        |  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
        |    SELECT id_a AS node FROM mut

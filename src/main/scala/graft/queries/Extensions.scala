@@ -268,15 +268,28 @@ object Extensions {
       Breadth43.knnDirected(Tables.embeddings(s, dir))
     }
 
-  /** GLOBAL (label-blind) mutual-kNN undirected edges — the wave-142
-    * modularity pair's shared graph (two consumers, one IVF build).
-    * Same write-through discipline as knnDirectedEdges: the label-blind
-    * IVF build plan is just as deep. */
+  /** GLOBAL (label-blind) approximate DIRECTED top-k (the round-13
+    * projection-window build, graft.sim.ProjGraph — the exact IVF
+    * build's 18.7×-at-10× envelope left the default path) — memoized
+    * so the mutual edge set below AND q_mutual_recall's probe filter
+    * read ONE build. */
+  private[queries] def globalApproxDirected(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    memoized(s, s"gdir|$dir") {
+      graft.sim.ProjGraph.approxDirectedTopK(
+        Tables.embeddings(s, dir), Breadth141.GlobalKnnK)
+    }
+
+  /** GLOBAL (label-blind) mutual-kNN undirected edges — the shared
+    * graph of the modularity/closeness/rich-club consumer tier. Mutual
+    * filter over the memoized directed build above; same write-through
+    * discipline as knnDirectedEdges. */
   private[queries] def globalMutualKnnEdges(
       s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     memoized(s, s"gmutual|$dir") {
-      Breadth141.globalMutualEdges(Tables.embeddings(s, dir))
+      Breadth101.mutualFromDirected(globalApproxDirected(s, dir))
     }
 
   private[queries] def knnGraphEdges(s: org.apache.spark.sql.SparkSession,

@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.GlobalRank
+import graft.queries.{Breadth43, Breadth141}
+import graft.sim.ProjGraph
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pins for the projection-window approximate kNN graph (the round-13
+  * default global-graph build) and its distributed global-rank
+  * primitive. The DuckDB differential checks the construction itself
+  * (Breadth141.projMutualCtes mirrors it); these pins cover the
+  * properties the differential cannot see — the distributed rank's
+  * equality with the single-partition definition, degenerate-coverage
+  * equality with the exact build, determinism, and measured recall
+  * against the exact IVF reference. */
+class ProjGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  private def edgeSet(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("GlobalRank equals the single-partition row_number definition " +
+    "(unique keys, arbitrary input partitioning)") {
+    val df = (1L to 500L).map(i => (i, (i * 7919L) % 101L))
+      .toDF("id", "v").repartition(7)
+    val got = GlobalRank.withGlobalRank(df, "grk", col("v"), col("id"))
+      .select(col("id"), col("grk"))
+    val want = df.withColumn("grk",
+      row_number().over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select(col("id"), col("grk"))
+    assert(edgeSet(got) == edgeSet(want))
+  }
+
+  test("degenerate coverage: with n <= W the window candidates span all " +
+    "pairs, so the approximate directed top-k EQUALS the exact build") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") < ProjGraph.WindowW)
+    val approx = edgeSet(ProjGraph.approxDirectedTopK(emb, 4))
+    val exact = edgeSet(Breadth141.globalKnnDirected(emb, 4))
+    assert(approx == exact)
+  }
+
+  test("deterministic: two independent builds produce the same mutual " +
+    "edge set, canonical a<b, mutuality holds") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val e1 = edgeSet(ProjGraph.approxMutualEdges(emb, 4))
+    val e2 = edgeSet(ProjGraph.approxMutualEdges(emb, 4))
+    assert(e1 == e2)
+    assert(e1.forall { case (a, b) => a < b })
+    val directed = edgeSet(ProjGraph.approxDirectedTopK(emb, 4))
+    e1.foreach { case (a, b) =>
+      assert(directed.contains((a, b)) && directed.contains((b, a)),
+        s"mutual edge ($a,$b) must be ranked by both endpoints")
+    }
+  }
+
+  test("measured recall vs the exact IVF reference at sf0.01: avg " +
+    "directed top-4 recall >= 0.8 on the random-noise corpus") {
+    val emb = Tables.embeddings(spark, sf001)
+    val exact = edgeSet(Breadth141.globalKnnDirected(emb, 4))
+    val approx = edgeSet(ProjGraph.approxDirectedTopK(emb, 4))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall regressed: $recall (measured 0.956)")
+  }
+}
