@@ -2497,6 +2497,26 @@ object Graft {
   def mmdTopFeature(embeddings: DataFrame): DataFrame =
     queries.Breadth140.mmdTopFeature(embeddings)
 
+  /** Distributed dense global rank (1..n) of `df` in `sortCols` order —
+    * the scale-safe twin of `row_number() OVER (ORDER BY ...)`: range
+    * partition + per-partition offsets, no single-partition window.
+    * Sort keys must be unique (end them with a tiebreaker id). */
+  def globalRank(df: DataFrame, out: String,
+                 sortCols: org.apache.spark.sql.Column*): DataFrame =
+    ops.GlobalRank.withGlobalRank(df, out, sortCols: _*)
+
+  /** The global (label-blind) approximate mutual-kNN edge set — the
+    * sub-quadratic projection-window build every global-graph consumer
+    * reads (sim.ProjGraph; the exact IVF build remains as
+    * [[mutualEdgesExact]] and as q_mutual_recall's reference). */
+  def mutualEdges(embeddings: DataFrame, k: Int = 4): DataFrame =
+    sim.ProjGraph.approxMutualEdges(embeddings, k)
+
+  /** The exact IVF-pruned global mutual-kNN edges (recall 1.0 by
+    * construction, Θ(n^1.5) — the recall audit's reference build). */
+  def mutualEdgesExact(embeddings: DataFrame, k: Int = 4): DataFrame =
+    queries.Breadth141.globalMutualEdgesExact(embeddings, k)
+
   /** Newman modularity of the label partition over the global
     * (label-blind) mutual-kNN graph — exact integer-rational form. */
   def modularity(embeddings: DataFrame): DataFrame = {

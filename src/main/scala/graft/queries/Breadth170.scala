@@ -51,10 +51,12 @@ object Breadth170 {
     * per tok (or per source) is the same integer as counting the raw
     * explode. */
   private[graft] def freqGrid(docs: DataFrame, m: Int): DataFrame = {
-    val cells = docs.select(col("source"),
+    // store-backed, not persist: four derived reads below, and the
+    // public facade would otherwise leak one cached frame per call
+    val cells = Extensions.materializeToStore(docs.sparkSession,
+      docs.select(col("source"),
         explode(Text.tokens(col("text"))).as("tok"))
-      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("__n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("__n")))
     val top = cells.groupBy(col("tok")).agg(sum(col("__n")).as("__tc"))
       .orderBy(col("__tc").desc, col("tok").asc).limit(m)
       .select(col("tok").as("__ttok"))

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.dedup.Dedup
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -157,6 +157,33 @@ object Breadth178 {
     * so candidate volume at scale is |frequent_k|·|T| — never a blind
     * |T|^L blowup; the per-user prefix is 8 tokens by construction, so
     * the match scan is users × candidates over bounded strings. */
+  /** Injective escape of an event-type token into the pattern-safe
+    * alphabet: '~'->'~t' first (so the escape itself is safe), then the
+    * LIKE metacharacters '%'->'~p', '_'->'~u' and the sequence
+    * delimiters '|'->'~b', '>'->'~g'. Identity on tokens free of those
+    * five characters (every token in the corpus), so pattern displays
+    * are unchanged in the normal case — while a pathological type can
+    * no longer corrupt LIKE matching or token boundaries, a bug class
+    * the differential could not catch because the oracle shares the
+    * construction. Patterns and journey strings live entirely in the
+    * ENCODED domain (the '>'-separated `pattern` column too), so the
+    * streaming screen rebuilds LIKE templates from mined patterns
+    * without re-encoding. Shared: Column form here, plain-Scala twin
+    * [[encodeTokScala]] for the streaming JourneyProcessor, SQL twin
+    * [[encodeTokSql]] for the oracle. */
+  private[graft] def encodeTok(c: Column): Column =
+    replace(replace(replace(replace(replace(
+      c, lit("~"), lit("~t")), lit("%"), lit("~p")), lit("_"), lit("~u")),
+      lit("|"), lit("~b")), lit(">"), lit("~g"))
+
+  private[graft] def encodeTokScala(s: String): String =
+    s.replace("~", "~t").replace("%", "~p").replace("_", "~u")
+      .replace("|", "~b").replace(">", "~g")
+
+  private[graft] def encodeTokSql(c: String): String =
+    s"replace(replace(replace(replace(replace($c, '~', '~t'), " +
+      s"'%', '~p'), '_', '~u'), '|', '~b'), '>', '~g')"
+
   private[graft] def seqPatterns(events: DataFrame): DataFrame = {
     val PrefixLen = 8
     val w = Window.partitionBy(col("user_id"))
@@ -164,16 +191,20 @@ object Breadth178 {
     // '|type|' per event, concatenated: every token carries its own
     // delimiters so adjacent tokens keep a pipe for the NEXT wildcard
     // to anchor on ('%|a|%|b|%' must match the a,b-adjacent sequence)
-    val seqs = events
+    val seqsPlan = events
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= PrefixLen)
       .groupBy(col("user_id"))
       .agg(concat_ws("", sort_array(collect_list(
-        struct(col("__rn"), concat(lit("|"), col("event_type"), lit("|"))
+        struct(col("__rn"),
+          concat(lit("|"), encodeTok(col("event_type")), lit("|"))
           .as("__tok")))).getField("__tok")).as("seq"))
-      // three level passes + the user count read this frame — persist so
-      // the prefix build runs once (the harness sweep reclaims it)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // three level passes + the user count read this frame — write it
+    // through the parquet memo store (NOT persist: the public
+    // Graft.seqPatterns facade would leak one cached frame per call in
+    // a long-lived session, and a store-backed frame survives the
+    // harness storage sweep by construction)
+    val seqs = Extensions.materializeToStore(events.sparkSession, seqsPlan)
     val nUsers = seqs.select(count(lit(1)).as("__nu"))
     def frequent(cands: DataFrame): DataFrame =
       seqs.crossJoin(broadcast(cands))
@@ -183,7 +214,7 @@ object Breadth178 {
         .crossJoin(broadcast(nUsers))
         .filter(col("support") * 10 >= col("__nu"))
         .select(col("pat"), col("pattern"), col("len"), col("support"))
-    val types = events.select(col("event_type").as("t")).distinct()
+    val types = events.select(encodeTok(col("event_type")).as("t")).distinct()
     val c1 = types.select(
       concat(lit("%|"), col("t"), lit("|%")).as("pat"),
       col("t").as("pattern"), lit(1).as("len"))
@@ -322,17 +353,17 @@ object Breadth178 {
          |ORDER BY g.k""".stripMargin,
 
     "q_seq_patterns" ->
-      """WITH ordered AS (
-        |  SELECT user_id, event_type,
+      s"""WITH ordered AS (
+        |  SELECT user_id, ${encodeTokSql("event_type")} AS __etok,
         |    row_number() OVER (PARTITION BY user_id
         |      ORDER BY ts, event_id) AS rn
         |  FROM events),
         |seqs AS (
         |  SELECT user_id,
-        |    string_agg('|' || event_type || '|', '' ORDER BY rn) AS seq
+        |    string_agg('|' || __etok || '|', '' ORDER BY rn) AS seq
         |  FROM ordered WHERE rn <= 8 GROUP BY user_id),
         |nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM seqs),
-        |t AS (SELECT DISTINCT event_type AS a FROM events),
+        |t AS (SELECT DISTINCT ${encodeTokSql("event_type")} AS a FROM events),
         |p1 AS (
         |  SELECT a AS pattern, 1 AS len, '%|' || a || '|%' AS pat FROM t),
         |p2 AS (

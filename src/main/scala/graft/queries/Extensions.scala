@@ -67,26 +67,52 @@ object Extensions {
     * callers must not hold a lock other threads' memo reads need. */
   private[queries] def materializeToStore(
       s: org.apache.spark.sql.SparkSession,
-      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val path = memoRoot.resolve(s"m${memoSeq.incrementAndGet()}").toString
-    df.write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    materializeToStorePath(s, df)._1
+
+  private def materializeToStorePath(
+      s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, java.nio.file.Path) = {
+    val path = memoRoot.resolve(s"m${memoSeq.incrementAndGet()}")
+    df.write.mode("overwrite").parquet(path.toString)
+    (s.read.parquet(path.toString), path)
+  }
+
+  /** Drop memo entries whose session has stopped: in a JVM that churns
+    * sessions the map would otherwise pin every dead SparkSession (and
+    * its frames) forever. Entries are memos — evicting is always
+    * correct, recompute just costs a rebuild. Parquet dirs stay until
+    * JVM exit (the shutdown hook); only the map reference is the leak
+    * that matters. */
+  private def evictStoppedSessions(): Unit = {
+    val it = memoStore.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k._1.sparkContext.isStopped) it.remove()
+    }
   }
 
   /** Parquet-backed memo. Same-key racers may both materialize (the
-    * first insert wins, the loser's file is dead weight until JVM exit)
-    * — putIfAbsent instead of computeIfAbsent because chains NEST
-    * (dupClusters builds through verifiedPairs), and a recursive
-    * computeIfAbsent on one ConcurrentHashMap is undefined behavior. */
+    * first insert wins; the LOSER's parquet dir is deleted right away
+    * instead of waiting for JVM exit) — putIfAbsent instead of
+    * computeIfAbsent because chains NEST (dupClusters builds through
+    * verifiedPairs), and a recursive computeIfAbsent on one
+    * ConcurrentHashMap is undefined behavior. */
   private[queries] def memoized(s: org.apache.spark.sql.SparkSession, key: String)
                       (build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    evictStoppedSessions()
     val k = (s, key)
     val hit = memoStore.get(k)
     if (hit != null) hit
     else {
-      val mat = materializeToStore(s, build)
+      val (mat, path) = materializeToStorePath(s, build)
       val prev = memoStore.putIfAbsent(k, mat)
-      if (prev != null) prev else mat
+      if (prev != null) {
+        try graft.Fs.deleteRecursively(path.toFile)
+        catch { case scala.util.control.NonFatal(_) => }
+        prev
+      } else mat
     }
   }
 

@@ -34,20 +34,52 @@ object Stores {
     else own
   }
 
+  /** Store roots kept per source table: the three driver SF dirs plus a
+    * synthetic scale dir can all be live in one round, so keep-latest-1
+    * would thrash; a 5th fingerprint only ever means regenerated
+    * testdata, whose old roots are exactly the garbage to reap. */
+  private val KeepRootsPerTable = 4
+
+  /** Reap stranded store roots for `srcTable`: keep the
+    * [[KeepRootsPerTable]] most-recently-touched `graft_store_<table>_*`
+    * roots, delete the rest, and delete any legacy un-tabled
+    * `graft_store_<16 hex>` root (the pre-round-13 naming — those can
+    * no longer be matched to a source, so they could only strand).
+    * Safe under the same single-writer assumption as the builds: no
+    * OTHER live JVM may hold a registered LOCATION into a reaped root
+    * (the driver runs one harness JVM at a time; the lock covers
+    * threads within this one). */
+  private[graft] def reapStaleRoots(srcTable: String): Unit = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val legacy = "graft_store_[0-9a-f]{16}".r
+    Option(tmp.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (legacy.pattern.matcher(f.getName).matches())
+        graft.Fs.deleteRecursively(f)
+    }
+    val mine = Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(s"graft_store_${srcTable}_"))
+      .sortBy(-_.lastModified())
+    mine.drop(KeepRootsPerTable).foreach(graft.Fs.deleteRecursively)
+  }
+
+  private def storeRoot(src: java.io.File, srcTable: String): java.io.File =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      f"graft_store_${srcTable}_${fingerprint(src)}%016x")
+
   /** Build (once) a derived store for `dir` and return its path.
     * Idempotent per (testdata fingerprint): a per-store `_OK` marker
     * commits a finished build — a torn previous attempt (no marker) is
     * wiped and rebuilt, never appended into (append-mode double-write is
     * exactly the duplication hazard the marker exists to prevent).
     * Serialized on a JVM-wide lock; the driver runs verify/bench
-    * single-threaded per JVM, and cross-JVM runs are separated in time. */
+    * single-threaded per JVM, and cross-JVM runs are separated in time.
+    * Every build touches its root's mtime and reaps stale siblings
+    * (regenerated testdata otherwise strands whole store trees). */
   private def materialized(dir: String, name: String,
                            srcTable: String = "events")
                           (build: String => Unit): String = lock.synchronized {
     val src = new java.io.File(dir, s"$srcTable.parquet")
-    val root = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      f"graft_store_${fingerprint(src)}%016x")
+    val root = storeRoot(src, srcTable)
     val out = new java.io.File(root, name)
     val ok = new java.io.File(root, s"_OK_$name")
     if (!ok.exists()) {
@@ -55,7 +87,9 @@ object Stores {
       root.mkdirs()
       build(out.getPath)
       ok.createNewFile(): Unit
+      reapStaleRoots(srcTable)
     }
+    root.setLastModified(System.currentTimeMillis()): Unit
     out.getPath
   }
 
@@ -81,7 +115,7 @@ object Stores {
       val tbl = s"g_${srcTable}_b$fp"
       if (!s.catalog.tableExists(tbl)) {
         val df = Tables.load(s, dir, srcTable)
-        val root = new java.io.File(sys.props("java.io.tmpdir"), s"graft_store_$fp")
+        val root = storeRoot(src, srcTable)
         val out = new java.io.File(root, s"${srcTable}_bucketed")
         val ok = new java.io.File(root, s"_OK_${srcTable}_bucketed")
         if (ok.exists()) {
@@ -94,7 +128,9 @@ object Stores {
           df.write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
             .option("path", out.getPath).mode("overwrite").saveAsTable(tbl)
           ok.createNewFile(): Unit
+          reapStaleRoots(srcTable)
         }
+        root.setLastModified(System.currentTimeMillis()): Unit
       }
       tbl
     }

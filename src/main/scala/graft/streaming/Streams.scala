@@ -839,7 +839,10 @@ object Streams {
     * metadata-sized (≤ |T|³ rows) and broadcast — per-batch cost is
     * |batch| × |patterns| bounded-string LIKE checks, no state. The
     * LIKE template is rebuilt from the mined `pattern` column with the
-    * same per-token delimiters the batch miner uses. */
+    * same per-token delimiters the batch miner uses; `pattern` is in
+    * the ENCODED token domain (Breadth178.encodeTok), so the rebuild
+    * needs no re-encoding and LIKE metacharacters in raw event types
+    * cannot corrupt the screen. */
   def journeyMatches(journeys: DataFrame, patterns: DataFrame): DataFrame = {
     val pat = patterns.select(col("pattern"), col("len"), col("support"),
       concat(lit("%|"),
@@ -3075,7 +3078,11 @@ class JourneyProcessor
   protected def step(b: JourneyBuf, e: EventRow): (JourneyBuf, Option[JourneySnap]) =
     if (b.toks.length >= 8) (b, None)
     else {
-      val next = b.toks :+ ("|" + e.event_type + "|")
+      // encoded-domain token (Breadth178.encodeTok's plain-Scala twin):
+      // journey strings must live in the same alphabet the miner's
+      // LIKE patterns are built from
+      val next = b.toks :+
+        ("|" + graft.queries.Breadth178.encodeTokScala(e.event_type) + "|")
       (JourneyBuf(next),
         Some(JourneySnap(e.user_id, next.length, next.mkString)))
     }

@@ -58,6 +58,20 @@ class ProjGraphSpec extends SparkSpec {
     }
   }
 
+  test("facade delegations: Graft.globalRank / mutualEdges / " +
+    "mutualEdgesExact match their module twins") {
+    val emb = Tables.embeddings(spark, sf0001)
+    assert(edgeSet(Graft.mutualEdges(emb)) ==
+      edgeSet(ProjGraph.approxMutualEdges(emb, 4)))
+    assert(edgeSet(Graft.mutualEdgesExact(emb)) ==
+      edgeSet(Breadth141.globalMutualEdgesExact(emb)))
+    val df = (1L to 100L).map(i => (i, i % 13)).toDF("id", "v")
+    assert(edgeSet(Graft.globalRank(df, "r", col("v"), col("id"))
+        .select(col("id"), col("r"))) ==
+      edgeSet(GlobalRank.withGlobalRank(df, "r", col("v"), col("id"))
+        .select(col("id"), col("r"))))
+  }
+
   test("measured recall vs the exact IVF reference at sf0.01: avg " +
     "directed top-4 recall >= 0.8 on the random-noise corpus") {
     val emb = Tables.embeddings(spark, sf001)

@@ -294,6 +294,62 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamingJourney survives a kill-and-restore from checkpoint " +
+    "mid-journey: the restarted query's final snapshots equal the batch " +
+    "seqPatterns prefix over the SAME events (exactly-once state)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventRow
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = Files.createTempDirectory("graft_journey_ckpt").toString
+      def er(id: Long, minute: Int, user: Long, typ: String) =
+        EventRow(id, java.time.LocalDateTime.parse(f"2024-01-01T10:$minute%02d:00"),
+          user, typ, 1.0, "{}")
+      val journeys = Map(
+        1L -> Seq("a", "b", "a", "c"), 2L -> Seq("c", "b"),
+        3L -> Seq.fill(10)("b")) // frozen at 8 — growth spans the restart
+      val rows = journeys.toSeq.flatMap { case (u, ts) =>
+        ts.zipWithIndex.map { case (t, i) => er(u * 100 + i, i, u, t) }
+      }
+      // the kill lands MID-JOURNEY: every key has state before it and
+      // growth after it
+      val before = rows.filter(_.event_id % 100 < 2)
+      val after = rows.filter(_.event_id % 100 >= 2)
+      val folded = scala.collection.mutable.Map.empty[Long, (Int, String)]
+      val mem = MemoryStream[EventRow]
+      def run(): org.apache.spark.sql.streaming.StreamingQuery =
+        Streams.streamingJourney(mem.toDS())
+          .writeStream.option("checkpointLocation", ckpt)
+          .outputMode("update")
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.JourneySnap], _: Long) =>
+            b.collect().foreach(j =>
+              folded(j.user_id) = (j.n_events, j.seq)): Unit
+          }.start()
+      val q1 = run()
+      mem.addData(before: _*); q1.processAllAvailable()
+      q1.stop() // the kill
+      // restart from the SAME checkpoint: frozen prefixes must resume
+      // from 2 events per key, not restart from empty (a state loss
+      // would re-admit the first two events' types at positions 1-2)
+      val q2 = run()
+      mem.addData(after: _*); q2.processAllAvailable()
+      q2.stop()
+      val want = journeys.view.mapValues { ts =>
+        val p = ts.take(8); (p.length, p.map("|" + _ + "|").mkString)
+      }.toMap
+      assert(folded.toMap == want,
+        s"post-restart journeys diverged from the batch prefix: " +
+          s"$folded vs $want")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streamingJourney (transformWithState) freezes the first-8 prefix " +
     "per key and its final snapshot equals the batch seqPatterns prefix; " +
     "journeyMatches screens snapshots against the mined pattern table " +
