@@ -73,21 +73,29 @@ object Breadth117 {
       .crossJoin(broadcast(srcs.agg(count(lit(1)).as("__ns"))))
       .select(col("src").as("node"),
         greatest(expr(s"$scale div __ns"), lit(1L)).as("h"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var a: DataFrame = null
+    // LAZY checkpoints (the hopHistogram discipline): the iteration
+    // count is a bound (4), so lineage cannot blow up, and each eager
+    // checkpoint was one driver round-trip + job per half-iteration —
+    // 9 serialized materializations for 8 joins of work. Lazily-marked
+    // generations still root at fresh LogicalRDDs (shallow plans, no
+    // alias capture), but all four iterations materialize inside the
+    // one final action, each generation's blocks cached on first
+    // compute and shared by the next iteration + the top-10 reads.
     (1 to iters).foreach { _ =>
       val ar = edges.join(h, edges("src") === h("node"))
         .groupBy(col("dst")).agg(sum(col("h")).as("ra"))
       val at = ar.agg(sum(col("ra")).as("ta"))
       a = ar.crossJoin(broadcast(at))
         .select(col("dst"), expr(s"(ra * $scale) div ta").as("a"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val hr = edges.join(a, Seq("dst"))
         .groupBy(col("src")).agg(sum(col("a")).as("rh"))
       val ht = hr.agg(sum(col("rh")).as("th"))
       h = hr.crossJoin(broadcast(ht))
         .select(col("src").as("node"), expr(s"(rh * $scale) div th").as("h"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     val auths = a.orderBy(col("a").desc, col("dst").asc).limit(HitsTopN)
       .select(lit("authority").as("side"), col("dst").as("node"),

@@ -58,6 +58,26 @@ class ProjGraphSpec extends SparkSpec {
     }
   }
 
+  test("plan pins: the projection-graph tail keeps equi-join shapes — " +
+    "no cartesian product, no nested-loop join, no single-partition " +
+    "data exchange") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val p = ProjGraph.approxMutualEdges(emb, 4)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct"), p.take(500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(500))
+    // the graph tail (post plan-boundary) must also never collapse the
+    // edge data to one partition — the only single-partition pass in
+    // the whole build is GlobalRank's one-row-per-partition offsets
+    // cumsum, which sits behind the rank's checkpoint boundary
+    assert(!p.contains("Exchange SinglePartition"), p.take(800))
+    val ranked = GlobalRank.withGlobalRank(
+      (1L to 64L).map(i => (i, i % 7)).toDF("id", "v"), "r",
+      col("v"), col("id"))
+    val rp = ranked.queryExecution.executedPlan.toString()
+    assert(!rp.contains("CartesianProduct"), rp.take(500))
+  }
+
   test("facade delegations: Graft.globalRank / mutualEdges / " +
     "mutualEdgesExact match their module twins") {
     val emb = Tables.embeddings(spark, sf0001)
