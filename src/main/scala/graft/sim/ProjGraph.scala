@@ -76,14 +76,20 @@ object ProjGraph {
           floor(x.cast("double") * lit(QScale) + lit(0.5)).cast("long")),
       lit(0L), (acc, t) => acc + t)
 
-  /** (id, p, score) — one row per vector per projection, map-only. */
+  /** (id, p, score[, vector]) — one row per vector per projection,
+    * map-only. */
   private[graft] def projScores(emb: DataFrame, idCol: String,
-                                vecCol: String): DataFrame =
-    emb.select(col(idCol),
+                                vecCol: String,
+                                keepVec: Boolean = false): DataFrame = {
+    val base = emb.select(col(idCol),
         explode(array((0 until NumProj).map(p =>
           struct(lit(p).as("p"), scoreExpr(col(vecCol), p).as("score"))): _*))
-          .as("__ps"))
-      .select(col(idCol), col("__ps.p").as("p"), col("__ps.score").as("score"))
+          .as("__ps"),
+        col(vecCol))
+      .select(col(idCol), col("__ps.p").as("p"), col("__ps.score").as("score"),
+        col(vecCol))
+    if (keepVec) base else base.drop(vecCol)
+  }
 
   /** Canonical (id_a < id_b) distinct candidate pairs from the P
     * projection-sort windows. */
@@ -106,6 +112,141 @@ object ProjGraph {
       .distinct()
   }
 
+  /** Canonical (id_a, id_b, cos) rows (cross-projection duplicates
+    * allowed) for every projection-window pair,
+    * scored PARTITION-LOCALLY — the 100-TB-critical shape. The naive
+    * formulation (id-only candidate join, then two vector joins onto
+    * the pair stream) drags a dim-wide vector through a sort-merge
+    * shuffle of n·P·W pair rows — measured at 100× data as a
+    * multi-GB spilling shuffle that dominated the whole build. Here
+    * vectors cross exactly TWO narrow shuffles (the n·P-row range
+    * partition and the pid-hash window exchange); the W-successor
+    * frames, the pair explosion, and the exact cosines all evaluate
+    * INSIDE one whole-stage pipeline, and only 24-byte skinny rows
+    * reach the dedup shuffle.
+    *
+    * Boundary pairs: each partition's first W rows are replicated into
+    * the PREVIOUS partition (flagged non-anchor), so a row near a
+    * partition tail still sees its true W global successors; pairs are
+    * emitted only from original anchors, and the canonical distinct
+    * removes the cross-projection duplicates. The pair SET is exactly
+    * the rank-join definition's (same-p pairs within combined-rank
+    * distance ≤ W), which is what the SQL twin computes — the range
+    * boundaries never affect the result.
+    *
+    * Tiny-input guard: if any non-final partition holds fewer than W
+    * rows (possible only for corpora small enough that the join path
+    * is cheap anyway), a replica hop cannot cover the window and the
+    * build falls back to the rank-join formulation — same output, by
+    * the same definition. */
+  private[graft] def windowScoredPairs(emb: DataFrame, idCol: String,
+                                       vecCol: String): DataFrame = {
+    val nRows = emb.count() * NumProj
+    // ~4096 rows per range partition: every pid group's window buffer
+    // stays ~1 MB of vector rows (a group must fit memory comfortably —
+    // the pid-hash exchange packs MANY pids per reduce task, so small
+    // groups, not few, is what bounds task memory), while still ≥ 8·W
+    // rows so the boundary-replica hop always covers the window. Capped
+    // at 65536 partitions (range-sampler driver work), far past any
+    // single-box corpus.
+    val targetParts = math.max(1L, math.min(nRows / 4096L, 65536L)).toInt
+    val parted = projScores(emb, idCol, vecCol, keepVec = true)
+      .repartitionByRange(targetParts, col("p"), col("score"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true)
+    val nParts = parted.rdd.getNumPartitions
+    val counts = parted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__c")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val underfull = (0 until nParts - 1)
+      .exists(pid => counts.getOrElse(pid, 0L) < WindowW.toLong)
+    val elemIsFloat = emb.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    if (underfull || !elemIsFloat) {
+      scorePairs(windowCandidates(emb, idCol, vecCol), emb, idCol, vecCol)
+    } else {
+      val sp = emb.sparkSession
+      import sp.implicits._
+      val ord = Seq(col("p"), col("score"), col(idCol))
+      val wHead = Window.partitionBy(col("__pid")).orderBy(ord: _*)
+      val heads = parted
+        .withColumn("__rn", row_number().over(wHead))
+        .filter(col("__rn") <= WindowW && col("__pid") > 0)
+        .withColumn("__pid", col("__pid") - lit(1))
+        .drop("__rn")
+        .withColumn("__orig", lit(false))
+      val all = parted.withColumn("__orig", lit(true)).unionByName(heads)
+        .select(col("p"), col("score"), col(idCol).as("id"),
+          col(vecCol).as("vec"), col("__pid").as("pid"), col("__orig").as("orig"))
+        .as[PRow]
+      // Ring-buffer sliding scan (mapPartitions — the one genuinely
+      // per-partition-imperative shape in the module): a window
+      // aggregate (collect_list/lead over vector structs) re-copies W
+      // vector rows per anchor — measured at 100× data as ~60 GB of
+      // UnsafeRow churn for ~12 GFLOP of actual math. Here each row is
+      // decoded once, pairs score against the ≤W ring entries in place,
+      // and only skinny (id_a, id_b, cos) rows leave the stage. The
+      // ring resets at every pid boundary; replica rows (orig=false)
+      // never anchor a pair, so cross-boundary pairs are emitted
+      // exactly once, by the partition that owns the anchor.
+      all.repartition(col("pid"))
+        .sortWithinPartitions(col("pid"), col("p"), col("score"), col("id"))
+        .mapPartitions { it =>
+          val ring = new scala.collection.mutable.ArrayDeque[RingEntry]()
+          var curPid = Int.MinValue
+          it.flatMap { r =>
+            if (r.pid != curPid) { ring.clear(); curPid = r.pid }
+            val rv = r.vec.toArray
+            val out = ring.iterator.filter(e => e.orig && e.p == r.p)
+              .map { e =>
+                PairRow(math.min(e.id, r.id), math.max(e.id, r.id),
+                  roundedCosine(e.vec, rv))
+              }.toList
+            ring.append(RingEntry(r.p, r.id, rv, r.orig))
+            if (ring.size > WindowW) ring.removeHead(): Unit
+            out
+          }
+        }
+        .toDF("id_a", "id_b", "cos")
+      // NO global dedup here: cross-projection duplicates are rare on
+      // the candidate stream but the n·P·W-key hash-distinct is not —
+      // the top-k consumer ranks duplicates away with dense_rank
+      // (topKDirectedScored) and the expansion's anti-join is
+      // duplicate-tolerant.
+    }
+  }
+
+  /** Encoder row types for the ring scan (PUBLIC: the generated
+    * deserializer cannot access private members). */
+  case class PRow(p: Int, score: Long, id: Long, vec: Seq[Float],
+                  pid: Int, orig: Boolean)
+  private[sim] case class RingEntry(p: Int, id: Long, vec: Array[Float],
+                                    orig: Boolean)
+  case class PairRow(id_a: Long, id_b: Long, cos: Option[Double])
+
+  /** Bit-exact Scala twin of `round(Similarity.cosine(a, b), 6)`: the
+    * same single left-to-right fold as the native codegen expression
+    * (dot/na/nb accumulated together, result dot/(√na·√nb)), then
+    * Spark's HALF_UP decimal rounding (the Streams.round4 pattern).
+    * Zero norm → None, matching the expression's null. */
+  private[graft] def roundedCosine(a: Array[Float],
+                                   b: Array[Float]): Option[Double] = {
+    if (a.length != b.length) return None
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val xi = a(i).toDouble; val yi = b(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) None
+    else Some(java.math.BigDecimal.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+  }
+
   /** Exact 6-dp cosine for canonical id pairs (vectors join on once). */
   private def scorePairs(pairs: DataFrame, emb: DataFrame, idCol: String,
                          vecCol: String): DataFrame = {
@@ -118,7 +259,14 @@ object ProjGraph {
   }
 
   /** Directed per-src top-k rows (src, dst, cos) from canonically-
-    * scored pairs. */
+    * scored pairs that may carry CROSS-PROJECTION DUPLICATES: a
+    * dense_rank over (cos DESC, dst ASC) gives duplicates of a pair the
+    * same rank (dst is unique per distinct pair, so the full order key
+    * collides exactly on duplicates), making it equal to row_number
+    * over the deduped stream — WITHOUT the n·P·W-key hash-distinct,
+    * which at 100× data was a spilling high-cardinality aggregate (no
+    * map-side collapse: duplicates only meet across projections). The
+    * tiny post-filter dedup runs on n·k rows. */
   private def topKDirectedScored(scored: DataFrame, k: Int): DataFrame = {
     val dirs = scored.select(col("id_a").as("src"), col("id_b").as("dst"),
         col("cos"))
@@ -126,9 +274,10 @@ object ProjGraph {
         col("id_a").as("dst"), col("cos")))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cos").desc, col("dst").asc)
-    dirs.withColumn("__rn", row_number().over(w))
+    dirs.withColumn("__rn", dense_rank().over(w))
       .filter(col("__rn") <= k)
       .select(col("src"), col("dst"), col("cos"))
+      .dropDuplicates("src", "dst")
   }
 
   /** Approximate DIRECTED top-k: projection-window candidates, one
@@ -141,8 +290,7 @@ object ProjGraph {
     // (the exactKnnDirected boundary discipline). The seed-pair frame
     // itself (n·P·W rows) is read twice (top-k + the expansion's
     // already-scored anti-join) and checkpointed for the same reason.
-    val seedScored = scorePairs(
-      windowCandidates(emb, idCol, vecCol), emb, idCol, vecCol)
+    val seedScored = windowScoredPairs(emb, idCol, vecCol)
       .localCheckpoint(eager = true)
     val seedTop = topKDirectedScored(seedScored, k)
       .localCheckpoint(eager = true)
