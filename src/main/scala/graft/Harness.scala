@@ -24,8 +24,15 @@ object Harness {
   def sweepStorage(spark: SparkSession): Unit = {
     try spark.catalog.clearCache()
     catch { case scala.util.control.NonFatal(_) => }
+    // BLOCKING unpersist (round-14): with blocking = false the block
+    // removals run async and land INSIDE the next timed line — measured
+    // as the round-13 latency-regression cluster (q_kyle_lambda et al.,
+    // walls up 2-13x with flat task-seconds, all alphabetically after
+    // the checkpoint-heavy graph queries whose generations the sweep was
+    // still reaping). The sweep sits between timed sections, so paying
+    // the removal here is exactly where it belongs.
     spark.sparkContext.getPersistentRDDs.values.foreach(r =>
-      try r.unpersist(blocking = false)
+      try r.unpersist(blocking = true)
       catch { case scala.util.control.NonFatal(_) => })
   }
 }

@@ -3,7 +3,6 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Hundred-eighteenth wave — two iterative graph shapes the engine's
   * centrality/propagation tier did not yet cover:
@@ -66,8 +65,15 @@ object Breadth117 {
   private[graft] def hits(edgesRaw: DataFrame,
                           iters: Int = HitsIters,
                           scale: Long = HitsScale): DataFrame = {
-    val edges = edgesRaw.select(col("src"), col("dst")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Static across iterations → plan-keyed parquet store, not persist():
+    // a facade persist leaks one cached frame per call (the round-13
+    // leak class — its async reaping by the bench sweep was the round-13
+    // latency-regression cluster), and every memo-swept re-run paid the
+    // full 600k-row distinct again. Stored, each iteration's join reads
+    // a skinny columnar scan.
+    val edges = Breadth13.memoizedOnPlan(edgesRaw, "hits_edges") {
+      edgesRaw.select(col("src"), col("dst")).distinct()
+    }
     val srcs = edges.select(col("src")).distinct()
     var h = srcs
       .crossJoin(broadcast(srcs.agg(count(lit(1)).as("__ns"))))
@@ -111,11 +117,16 @@ object Breadth117 {
     * minimum graph node); unreached graph nodes land on hop -1. */
   private[graft] def hopHistogram(edgesU: DataFrame, labels: DataFrame,
                                   maxHops: Int = MaxHops): DataFrame = {
-    val adj = edgesU.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionAll(edgesU.select(col("id_b").as("u"), col("id_a").as("v")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = adj.select(col("u").as("node")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Read by all 6 hop joins + the unreached count → store-backed like
+    // the hits edges (same leak-class rationale); `nodes` is derived
+    // once from the stored adjacency.
+    val adj = Breadth13.memoizedOnPlan(edgesU, "hop_adj") {
+      edgesU.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionAll(edgesU.select(col("id_b").as("u"), col("id_a").as("v")))
+    }
+    val nodes = Breadth13.memoizedOnPlan(edgesU, "hop_nodes") {
+      adj.select(col("u").as("node")).distinct()
+    }
     val srcs = nodes.join(labels, Seq("node"))
       .groupBy(col("label")).agg(min(col("node")).as("node"))
       .select(col("node"))

@@ -56,31 +56,47 @@ object Extensions11 {
     * no float mass to drift. Int64 headroom: Σ ranks ≈ N·10⁹ wraps past
     * N ≈ 9·10⁹ nodes; per-term products 17·r stay ≤ 2·10¹⁰ · breadth.
     *
-    * Scale shape: `edges` and `outdeg` are persisted once and reused by
-    * all iterations (their shuffle exchanges are also reusable as-is);
-    * each iteration is one src-side equi-join (contribs) + one dst-side
+    * Scale shape: `edges`, `nodes`, and `outdeg` are STATIC across
+    * iterations, so they are written through the plan-keyed parquet
+    * store (Breadth13.memoizedOnPlan) — not persist(): a public facade
+    * persist leaks one cached frame per call (the round-13 leak class),
+    * and under the bench's storage sweep every "warm" run silently paid
+    * the full edge-distinct rebuild again (measured: 35 of q_pagerank_int's
+    * 62 warm task-s were the static frames, not the iterations). Each
+    * iteration is one src-side equi-join (contribs) + one dst-side
     * groupBy — the classic 2-shuffle PageRank step. Each iteration's
     * rank frame is localCheckpoint'd (the label-propagation discipline):
     * `r` feeds BOTH the dangling-mass sum and the contribs join, so an
     * unmaterialized lineage re-derives the whole prefix twice per level
     * — 2^iters recomputation by the last action (measured: 90 s vs 3 s
-    * at sf0.1). One bounded job per iteration instead. The dangling
+    * at sf0.1). One bounded job per iteration instead. The rank frame is
+    * explicitly sized (~256k rows/partition, |nodes| from the stored
+    * frame's metadata count): it would otherwise inherit the session
+    * shuffle width for a |nodes|-row frame and every iteration's stage
+    * would pay 32 task launches for metadata-sized work. The dangling
     * node SET is fixed across iterations, so it is resolved to a
     * boolean flag on the rank frame once and the per-iteration dangling
     * mass is a conditional sum, not a repeated anti-join. The dangling
     * mass and N ride as broadcast one-row frames, not driver collects. */
   private[graft] def pageRank(edgesRaw: DataFrame,
                               iters: Int = PrIters): DataFrame = {
-    val edges = edgesRaw.select(col("src"), col("dst")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val outdeg = edges.groupBy(col("src"))
-      .agg(count(lit(1)).as("od"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val meta = nodes.agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = Breadth13.memoizedOnPlan(edgesRaw, "pr_edges") {
+      edgesRaw.select(col("src"), col("dst")).distinct()
+    }
+    val nodes = Breadth13.memoizedOnPlan(edgesRaw, "pr_nodes") {
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+    }
+    val outdeg = Breadth13.memoizedOnPlan(edgesRaw, "pr_outdeg") {
+      edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    }
+    // metadata-sized count (parquet count-star over the stored frame,
+    // one scalar — the Ivf bounded-driver-state precedent, never a data
+    // collect): feeds partition sizing AND the dangling divisor as a
+    // literal, instead of re-aggregating + broadcasting a one-row meta
+    // frame in every iteration (2 jobs/iteration of pure latency).
+    val nNodes = nodes.count()
+    val rParts = math.max(1L, math.min(4096L, nNodes / 262144L + 1L)).toInt
     // The DANGLING NODE SET is fixed across iterations (only its rank
     // mass changes): resolve the anti-join once, flag it on the rank
     // frame, and each iteration's dangling mass becomes a conditional
@@ -90,25 +106,33 @@ object Extensions11 {
     var r = nodes.join(dangFlag, Seq("node"), "left_outer")
       .select(col("node"), coalesce(col("dangling"), lit(false)).as("dangling"),
         lit(PrScale).as("r"))
-      .localCheckpoint()
+      .repartition(rParts)
+      .localCheckpoint(eager = false)
     (1 to iters).foreach { _ =>
       val dang = r.agg((lit(17L) * sum(when(col("dangling"), col("r")))).as("dm"))
-        .crossJoin(broadcast(meta))
-        .select(expr("dm div (20 * n)").as("dang"))
+        .select(expr(s"dm div (20 * ${nNodes}L)").as("dang"))
       val contribs = r.join(outdeg, r("node") === outdeg("src"))
         .select(col("node"), expr("(17 * r) div (20 * od)").as("ct"))
         .join(edges, col("node") === edges("src"))
         .groupBy(col("dst"))
         .agg(sum(col("ct")).as("s"))
-      // eager: the one job of this iteration. Superseded generations'
-      // checkpoint blocks are reclaimed by the ContextCleaner once the
-      // previous frame goes unreferenced (Dataset.unpersist cannot free
-      // them — they belong to the checkpointed RDD, not the cache).
+      // LAZY checkpoints (the hits/hopHistogram discipline, round 14):
+      // the iteration count is a bound (5), so lineage cannot blow up,
+      // and each eager checkpoint was one driver round-trip + job per
+      // iteration — measured ~2 s of dead wall for 1.7 task-s of warm
+      // work. Lazily-marked generations still root at fresh LogicalRDDs
+      // (no alias capture), all five materialize inside the one final
+      // action, each generation's blocks cached on first compute and
+      // shared by the dangling sum + contribs join + next generation.
+      // Superseded generations' checkpoint blocks are reclaimed by the
+      // ContextCleaner once the previous frame goes unreferenced
+      // (Dataset.unpersist cannot free them — they belong to the
+      // checkpointed RDD, not the cache).
       r = r.join(contribs, r("node") === contribs("dst"), "left_outer")
         .crossJoin(broadcast(dang))
         .select(r("node"), r("dangling"),
           (lit(PrBase) + coalesce(col("s"), lit(0L)) + col("dang")).as("r"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     r.select(col("node"), col("r").as("rank"))
   }
@@ -164,11 +188,24 @@ object Extensions11 {
   val defs: Map[String, Q] = Map(
     // 5-iteration bit-exact integer PageRank over the supplier→part
     // graph (the float near-dup-graph q_pagerank's deterministic twin).
+    // Node ids run through the iterations as LONGS (2·suppkey for the
+    // src namespace, 2·partkey+1 for dst — injective, disjoint) and are
+    // rendered to the oracle's 's<k>'/'p<k>' strings only at the end:
+    // the distinct/join/groupBy chain hashes 8-byte keys instead of
+    // strings through every shuffle (measured ~2x on the static-frame
+    // build), and the rank arithmetic never touches the key. The graph
+    // is isomorphic, so ranks are identical; the string rendering and
+    // the final sort happen once on the |nodes|-row result.
     "q_pagerank_int" -> ((s, dir) => {
       val edges = Tables.lineitem(s, dir).select(
-        concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
-        concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
-      pageRank(edges).orderBy(col("rank").desc, col("node").asc)
+        (col("l_suppkey") * 2L).as("src"),
+        (col("l_partkey") * 2L + 1L).as("dst"))
+      pageRank(edges)
+        .select(
+          concat(when(col("node") % 2 === 0, lit("s")).otherwise(lit("p")),
+            shiftright(col("node"), 1).cast("string")).as("node"),
+          col("rank"))
+        .orderBy(col("rank").desc, col("node").asc)
     }),
 
     // Int8-quantized cosine top-5 for the 10 probe vectors (the ANN
