@@ -2505,10 +2505,17 @@ object Graft {
                  sortCols: org.apache.spark.sql.Column*): DataFrame =
     ops.GlobalRank.withGlobalRank(df, out, sortCols: _*)
 
-  /** The global (label-blind) approximate mutual-kNN edge set — the
-    * sub-quadratic projection-window build every global-graph consumer
-    * reads (sim.ProjGraph; the exact IVF build remains as
-    * [[mutualEdgesExact]] and as q_mutual_recall's reference). */
+  /** The global (label-blind) mutual-kNN edge set — **APPROXIMATE by
+    * default**: the sub-quadratic projection-window build (sim.ProjGraph,
+    * deterministic, linear in n) whose recall against brute-force ground
+    * truth is MEASURED by q_mutual_recall, not assumed (directed top-4:
+    * 1.0 at 500 random-noise vectors, ~0.6 at 2000 — far higher on
+    * clustered corpora, which is what the clustered recall audit pins).
+    * Every metric derived from this graph (modularity, cohesion,
+    * closeness, reach, clustering coefficients) inherits that
+    * approximation. Call [[mutualEdgesExact]] (Θ(n^1.5) IVF-pruned,
+    * recall 1.0 by construction) when exact edges matter more than the
+    * linear scale envelope. */
   def mutualEdges(embeddings: DataFrame, k: Int = 4): DataFrame =
     sim.ProjGraph.approxMutualEdges(embeddings, k)
 
@@ -2518,14 +2525,20 @@ object Graft {
     queries.Breadth141.globalMutualEdgesExact(embeddings, k)
 
   /** Newman modularity of the label partition over the global
-    * (label-blind) mutual-kNN graph — exact integer-rational form. */
+    * (label-blind) mutual-kNN graph — exact integer-rational arithmetic
+    * over the **APPROXIMATE default graph** (see [[mutualEdges]]): the
+    * Q value is exact FOR the projection-window edge set, which is an
+    * audited approximation of the true mutual-kNN graph. Build edges
+    * with [[mutualEdgesExact]] and call Breadth141.modularity directly
+    * for the exact-graph figure. */
   def modularity(embeddings: DataFrame): DataFrame = {
     val edges = queries.Breadth141.globalMutualEdges(embeddings)
     queries.Breadth141.modularity(embeddings, edges)
   }
 
   /** Per-label cohesion over the global mutual-kNN graph: internal
-    * edges, degree mass, and modularity contribution. */
+    * edges, degree mass, and modularity contribution. Runs on the
+    * **APPROXIMATE default graph** (see [[mutualEdges]]). */
   def labelCohesion(embeddings: DataFrame): DataFrame = {
     val edges = queries.Breadth141.globalMutualEdges(embeddings)
     queries.Breadth141.labelCohesion(embeddings, edges)

@@ -174,7 +174,11 @@ object Breadth141 {
         .orderBy(col("probe_id").asc)
     }))
 
-  private[graft] val RecallProbes = 10
+  /** Probe-set size — ALIASES Extensions.AnnProbes (the one constant
+    * also interpolated into bruteRankedSql's `vec_id < N` filter), so
+    * the Spark probe filter and the oracle literal cannot drift at a
+    * distance (ADVICE, round 14). */
+  private[graft] val RecallProbes = Extensions.AnnProbes
 
   /** The projection-window approximate mutual-kNN edge CTE chain (no
     * leading WITH, ends at `mut`) — the oracle twin of

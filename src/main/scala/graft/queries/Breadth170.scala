@@ -52,11 +52,16 @@ object Breadth170 {
     * explode. */
   private[graft] def freqGrid(docs: DataFrame, m: Int): DataFrame = {
     // store-backed, not persist: four derived reads below, and the
-    // public facade would otherwise leak one cached frame per call
-    val cells = Extensions.materializeToStore(docs.sparkSession,
+    // public facade would otherwise leak one cached frame per call.
+    // Through the PLAN-KEYED memo, not a bare materializeToStore
+    // (ADVICE, round 14): the bare write created a fresh un-memoized
+    // parquet dir on EVERY call — unbounded temp-disk growth plus a
+    // blocking corpus-wide tokenize per call in a long-lived session.
+    val cells = Breadth13.memoizedOnPlan(docs, "freq_cells") {
       docs.select(col("source"),
         explode(Text.tokens(col("text"))).as("tok"))
-      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("__n")))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("__n"))
+    }
     val top = cells.groupBy(col("tok")).agg(sum(col("__n")).as("__tc"))
       .orderBy(col("__tc").desc, col("tok").asc).limit(m)
       .select(col("tok").as("__ttok"))

@@ -203,8 +203,11 @@ object Breadth178 {
     // through the parquet memo store (NOT persist: the public
     // Graft.seqPatterns facade would leak one cached frame per call in
     // a long-lived session, and a store-backed frame survives the
-    // harness storage sweep by construction)
-    val seqs = Extensions.materializeToStore(events.sparkSession, seqsPlan)
+    // harness storage sweep by construction). PLAN-KEYED memo, not a
+    // bare materializeToStore (ADVICE, round 14): the bare write
+    // created a fresh un-memoized parquet dir per call — unbounded
+    // temp-disk growth plus a blocking write per call.
+    val seqs = Breadth13.memoizedOnPlan(events, "seq_prefix8") { seqsPlan }
     val nUsers = seqs.select(count(lit(1)).as("__nu"))
     def frequent(cands: DataFrame): DataFrame =
       seqs.crossJoin(broadcast(cands))

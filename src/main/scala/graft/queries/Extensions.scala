@@ -251,7 +251,7 @@ object Extensions {
         ev2, "user_id", "ts", "k"))),
       "chain_brute_topk" -> (() => runAndDrop({
         val e = emb2
-        Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, 5)
+        Similarity.bruteForceTopK(e.filter(col("vec_id") < AnnProbes), e, 5)
       })),
       "chain_knn_edges" -> (() => runAndDrop(Breadth43.knnEdges(emb2))),
       "chain_quant_topk" -> (() => runAndDrop(Breadth46.quantTop5Plan(emb2))),
@@ -324,15 +324,22 @@ object Extensions {
       Breadth43.undirect(knnDirectedEdges(s, dir))
     }
 
-  /** Brute-force cosine top-5 ground truth for the 10 probe vectors,
-    * memoized — q_embed_topk emits it and BOTH ANN recall reports
-    * (q_embed_ann_lsh, q_embed_ann_ivf) score against it; without the
-    * memo each pays its own |corpus|-sized broadcast-NL scan. */
+  /** Probe-set size for EVERY brute-force/recall query (the `vec_id <
+    * AnnProbes` filter): defined ONCE so the Spark probe filters and the
+    * interpolated `bruteRankedSql` literal cannot drift at a distance
+    * (ADVICE, round 14 — Breadth141.RecallProbes aliases this). */
+  private[graft] val AnnProbes = 10
+
+  /** Brute-force cosine top-5 ground truth for the [[AnnProbes]] probe
+    * vectors, memoized — q_embed_topk emits it and BOTH ANN recall
+    * reports (q_embed_ann_lsh, q_embed_ann_ivf) score against it;
+    * without the memo each pays its own |corpus|-sized broadcast-NL
+    * scan. */
   private[queries] def bruteTopK(s: org.apache.spark.sql.SparkSession,
                                  dir: String): org.apache.spark.sql.DataFrame =
     memoized(s, s"brutetopk|$dir") {
       val emb = Tables.embeddings(s, dir)
-      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, 5)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < AnnProbes), emb, 5)
     }
 
   /** Embedding near-dup pairs (LSH-prefiltered), memoized like
@@ -548,7 +555,7 @@ object Extensions {
     // at 3/5.
     "q_embed_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val probes = emb.filter(col("vec_id") < 10)
+      val probes = emb.filter(col("vec_id") < AnnProbes)
       val ann = Similarity.lshTopK(probes, emb, k = 5,
         numPlanes = 4, numTables = 16)
       Similarity.recallReport(ann, bruteTopK(s, dir), minHits = 3)
@@ -560,7 +567,7 @@ object Extensions {
     // cells holds per-probe recall at >= 4/5 on the gate SFs.
     "q_embed_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val probes = emb.filter(col("vec_id") < 10)
+      val probes = emb.filter(col("vec_id") < AnnProbes)
       val centroids = graft.sim.Ivf.trainCentroids(emb, k = 16, iters = 2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val index = graft.sim.Ivf.buildIndex(emb, centroids)
@@ -684,9 +691,9 @@ object Extensions {
     * `ranked` CTE) — shared by the q_embed_topk oracle and the two ANN
     * recall oracles so the ground-truth definition cannot drift. */
   private[queries] val bruteRankedSql: String =
-    """WITH probes AS (SELECT vec_id AS probe_id,
+    s"""WITH probes AS (SELECT vec_id AS probe_id,
       |    CAST(embedding AS DOUBLE[]) AS pv
-      |  FROM embeddings WHERE vec_id < 10),
+      |  FROM embeddings WHERE vec_id < $AnnProbes),
       |corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
       |scored AS (
       |  SELECT probe_id, vec_id AS neighbor_id,

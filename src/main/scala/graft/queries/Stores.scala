@@ -113,9 +113,9 @@ object Stores {
       val src = new java.io.File(dir, s"$srcTable.parquet")
       val fp = f"${fingerprint(src)}%016x"
       val tbl = s"g_${srcTable}_b$fp"
+      val root = storeRoot(src, srcTable)
       if (!s.catalog.tableExists(tbl)) {
         val df = Tables.load(s, dir, srcTable)
-        val root = storeRoot(src, srcTable)
         val out = new java.io.File(root, s"${srcTable}_bucketed")
         val ok = new java.io.File(root, s"_OK_${srcTable}_bucketed")
         if (ok.exists()) {
@@ -130,8 +130,13 @@ object Stores {
           ok.createNewFile(): Unit
           reapStaleRoots(srcTable)
         }
-        root.setLastModified(System.currentTimeMillis()): Unit
       }
+      // Touch on EVERY access, not only on first registration (ADVICE,
+      // round 14): reapStaleRoots ranks roots by mtime, so a session that
+      // kept reading an already-registered table never refreshed its root
+      // and the IN-USE root became the oldest by construction — a 5th
+      // fingerprint could reap it out from under the registered table.
+      root.setLastModified(System.currentTimeMillis()): Unit
       tbl
     }
 
