@@ -156,6 +156,33 @@ object Breadth141 {
     // gate verifies the measured recall, not a tuned floor (measured:
     // probes 40/40 hits at sf0.01, 25/40 at sf0.1 — the corpus is
     // random noise, the worst ANN regime; see ProjGraph).
+    // Clustered-corpus recall audit (round-14 verdict): the synthetic
+    // embeddings are RANDOM noise (within-label cosine == cross-label),
+    // the hardest possible ANN regime and unlike any real corpus. This
+    // query derives a CLUSTERED corpus deterministically (exact integer
+    // arithmetic, so the oracle mirrors it): quantize to integers, pull
+    // every vector toward its label centroid (y = q + 64·c — centroid
+    // power 16x the residual, within-label cosine ≈ 0.94), then run the
+    // SAME projection-window construction with the n-ADAPTIVE window
+    // and score directed top-k recall against brute force per probe.
+    // Differentially checked like q_mutual_recall: the oracle
+    // reproduces corpus, chain, window rule, and ground truth, so the
+    // gate verifies the measured recall value itself at every SF.
+    "q_mutual_recall_clustered" -> ((s, dir) => {
+      val ann = clusteredDirectedTopK(s, dir)
+        .filter(col("src") < RecallProbes)
+        .select(col("src").as("probe_id"), col("dst").as("neighbor_id"),
+          lit(1L).as("__hit"))
+      val brute = clusteredBruteTopK(s, dir)
+      brute.join(ann, Seq("probe_id", "neighbor_id"), "left_outer")
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_true"),
+          count(col("__hit")).as("n_hit"),
+          max(when(col("rank") === 1, col("neighbor_id")))
+            .as("best_neighbor_id"),
+          max(when(col("rank") === 1, col("cos"))).as("best_cos"))
+        .orderBy(col("probe_id").asc)
+    }),
     "q_mutual_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val ann = Extensions.globalApproxDirected(s, dir)
@@ -174,30 +201,92 @@ object Breadth141 {
         .orderBy(col("probe_id").asc)
     }))
 
+  /** Centroid pull for the clustered synthetic corpus: y = q + 64·c
+    * gives the shared centroid 16x the residual's power (64·|c| with
+    * |c| ≈ |x|/√n_label ≈ |x|/14 at 200 rows/label → pull ≈ 4·|dev|),
+    * so within-label cosine lands ≈ 0.94 vs ≈ 0 cross-label — a
+    * realistic tight-cluster regime. */
+  private[graft] val ClusterPull = 64L
+
+  /** Deterministic clustered corpus derived from the embeddings table
+    * — (vec_id, label, cvec DOUBLE[]). EXACT integer construction so
+    * the oracle reproduces it bit-for-bit: q_i = floor(x_i·2²⁴ + 0.5)
+    * (exact long), per-(label, dim) centroid c = sum(q) div n_label
+    * (order-free integer sum, truncating division — identical in both
+    * engines), y_i = q_i + 64·c_i emitted as an exact double (≤ 2³⁰).
+    * Cosine is scale-invariant, so the un-normalized integer blend is a
+    * legitimate embedding. Store-backed through the plan memo — three
+    * consumers (ANN build, brute ground truth, probe filter) read the
+    * parquet, not three rebuilds. */
+  private[graft] def clusteredCorpus(emb: DataFrame): DataFrame =
+    Breadth13.memoizedOnPlan(emb, "clustered_corpus") {
+      val q = emb.select(col("vec_id"), col("label"),
+        transform(col("embedding").cast("array<double>"), x =>
+          floor(x * lit(graft.sim.ProjGraph.QScale) + lit(0.5)).cast("long"))
+          .as("q"))
+      val terms = q.select(col("vec_id"), col("label"),
+        posexplode(col("q")).as(Seq("i", "qi")))
+      val cent = terms.groupBy(col("label"), col("i"))
+        .agg(sum(col("qi")).as("sq"), count(lit(1)).as("nl"))
+        .select(col("label"), col("i"), expr("sq div nl").as("c"))
+      terms.join(cent, Seq("label", "i"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sort_array(collect_list(struct(col("i"),
+            (col("qi") + lit(ClusterPull) * col("c")).cast("double").as("y"))))
+          .getField("y").as("cvec"))
+    }
+
+  /** The adaptive-window approximate directed top-k over the clustered
+    * corpus, memoized per (session, sf dir) — the warm bench cost of
+    * the recall audit is then its marginal join+aggregate, not a full
+    * ANN rebuild per run (the bruteTopK discipline). */
+  private[queries] def clusteredDirectedTopK(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Extensions.memoized(s, s"clusterann|$dir") {
+      val cemb = clusteredCorpus(Tables.embeddings(s, dir))
+      val w = graft.sim.ProjGraph.adaptiveWindow(cemb.count())
+      graft.sim.ProjGraph.approxDirectedTopK(cemb, GlobalKnnK,
+        "vec_id", "cvec", window = w)
+    }
+
+  /** Brute-force ground truth over the clustered corpus, memoized. */
+  private[queries] def clusteredBruteTopK(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Extensions.memoized(s, s"clusterbrute|$dir") {
+      val cemb = clusteredCorpus(Tables.embeddings(s, dir))
+      graft.sim.Similarity.bruteForceTopK(
+        cemb.filter(col("vec_id") < RecallProbes), cemb, GlobalKnnK,
+        vecCol = "cvec")
+    }
+
   /** Probe-set size — ALIASES Extensions.AnnProbes (the one constant
     * also interpolated into bruteRankedSql's `vec_id < N` filter), so
     * the Spark probe filter and the oracle literal cannot drift at a
     * distance (ADVICE, round 14). */
   private[graft] val RecallProbes = Extensions.AnnProbes
 
-  /** The projection-window approximate mutual-kNN edge CTE chain (no
-    * leading WITH, ends at `mut`) — the oracle twin of
-    * graft.sim.ProjGraph.approxMutualEdges, mirrored STEP FOR STEP
-    * (quantization scale, weight mixer, window width, expansion round,
-    * 6-dp cosine re-rank, tie rules), so the differential gate checks
-    * the whole construction rather than trusting its recall. Shared by
-    * every global-graph consumer oracle (Breadth169/174 compose their
-    * tails onto `mut`). All weight-mixer intermediates stay below 2⁶²,
-    * inside DuckDB's overflow-checked BIGINT. Multi-use CTEs are
-    * MATERIALIZED — without it DuckDB re-inlines the whole chain at
-    * every reference (q_reach_curve's oracle measured 76 s -> 0.2 s);
-    * safe here because no recursive term contains a correlated subquery
-    * over a materialized CTE (the documented DuckDB trap). */
-  private[queries] val projMutualCtes: String =
+  /** The projection-window approximate DIRECTED top-k CTE chain (no
+    * leading WITH; eq → topk) over an arbitrary source CTE providing
+    * (vec_id, v DOUBLE[]), with the rank window as a SQL expression —
+    * the oracle twin of graft.sim.ProjGraph.approxDirectedTopK,
+    * mirrored STEP FOR STEP (quantization scale, weight mixer, window
+    * width, expansion round, 6-dp cosine re-rank, tie rules), so the
+    * differential gate checks the whole construction rather than
+    * trusting its recall. The parameterization lets the clustered
+    * recall audit run the SAME mirrored construction over a derived
+    * corpus with the n-adaptive window
+    * (graft.sim.ProjGraph.adaptiveWindow). All weight-mixer
+    * intermediates stay below 2⁶², inside DuckDB's overflow-checked
+    * BIGINT. Multi-use CTEs are MATERIALIZED — without it DuckDB
+    * re-inlines the whole chain at every reference (q_reach_curve's
+    * oracle measured 76 s -> 0.2 s); safe here because no recursive
+    * term contains a correlated subquery over a materialized CTE (the
+    * documented DuckDB trap). */
+  private[queries] def projTopkCtes(src: String, windowSql: String): String =
     s"""eq AS (
-       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+       |  SELECT vec_id, list_transform(v,
        |    x -> CAST(floor(x * 16777216.0 + 0.5) AS BIGINT)) AS q
-       |  FROM embeddings),
+       |  FROM $src),
        |pterm AS (
        |  SELECT vec_id, p, qi, i
        |  FROM (SELECT vec_id, unnest(q) AS qi,
@@ -225,9 +314,8 @@ object Breadth141 {
        |  SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
        |    greatest(a.vec_id, b.vec_id) AS id_b
        |  FROM prnk a JOIN prnk b
-       |    ON a.p = b.p AND b.rn > a.rn AND b.rn <= a.rn + ${graft.sim.ProjGraph.WindowW}),
-       |evp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |        FROM embeddings),
+       |    ON a.p = b.p AND b.rn > a.rn AND b.rn <= a.rn + $windowSql),
+       |evp AS (SELECT vec_id, v FROM $src),
        |seedsc AS MATERIALIZED (
        |  SELECT c.id_a, c.id_b,
        |    round(list_dot_product(va.v, vb.v)
@@ -268,7 +356,16 @@ object Breadth141 {
        |      ORDER BY cos DESC, dst) AS rn
        |    FROM (SELECT id_a AS src, id_b AS dst, cos FROM allsc
        |          UNION ALL SELECT id_b, id_a, cos FROM allsc))
-       |  WHERE rn <= $GlobalKnnK),
+       |  WHERE rn <= $GlobalKnnK)""".stripMargin
+
+  /** The DEFAULT fixed-window chain over the embeddings table, extended
+    * to the mutual filter (eq → mut) — what every global-graph consumer
+    * oracle composes onto (see class doc: MATERIALIZED multi-use CTEs,
+    * the DuckDB re-inlining trap). */
+  private[queries] val projMutualCtes: String =
+    s"""esrc AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |         FROM embeddings),
+       |${projTopkCtes("esrc", graft.sim.ProjGraph.WindowW.toString)},
        |mut AS MATERIALIZED (
        |  SELECT t.src AS id_a, t.dst AS id_b
        |  FROM topk t JOIN topk r ON t.src = r.dst AND t.dst = r.src
@@ -324,6 +421,53 @@ object Breadth141 {
          |LEFT JOIN dt ON nn.label = dt.label
          |CROSS JOIN mm
          |ORDER BY nn.label""".stripMargin,
+
+    "q_mutual_recall_clustered" ->
+      s"""WITH cq AS (
+         |  SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> CAST(floor(x * 16777216.0 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |ctm AS (
+         |  SELECT label, i, CAST(sum(qi) AS BIGINT) AS sq,
+         |    CAST(count(*) AS BIGINT) AS nl
+         |  FROM (SELECT label, unnest(q) AS qi,
+         |          unnest(range(1, len(q) + 1)) AS i FROM cq)
+         |  GROUP BY label, i),
+         |carr AS MATERIALIZED (
+         |  SELECT label, list(sq // nl ORDER BY i) AS c
+         |  FROM ctm GROUP BY label),
+         |csrc AS MATERIALIZED (
+         |  SELECT cq.vec_id,
+         |    list_transform(range(1, len(cq.q) + 1),
+         |      i -> CAST(cq.q[i] + $ClusterPull * carr.c[i] AS DOUBLE)) AS v
+         |  FROM cq JOIN carr ON cq.label = carr.label),
+         |wpar AS (
+         |  SELECT CAST(${graft.sim.ProjGraph.WindowW} * pow(2, greatest(0,
+         |    CAST(ceil(log2(CAST(count(*) AS DOUBLE) / 512.0) / 2) AS INTEGER)))
+         |    AS BIGINT) AS w
+         |  FROM csrc),
+         |${projTopkCtes("csrc", "(SELECT w FROM wpar)")},
+         |probes AS (SELECT vec_id AS probe_id, v AS pv FROM csrc
+         |  WHERE vec_id < $RecallProbes),
+         |scoredb AS (
+         |  SELECT probe_id, csrc.vec_id AS neighbor_id,
+         |    round(list_dot_product(pv, v)
+         |      / (sqrt(list_dot_product(pv, pv))
+         |        * sqrt(list_dot_product(v, v))), 6) AS cos
+         |  FROM probes CROSS JOIN csrc WHERE csrc.vec_id <> probe_id),
+         |rankedb AS (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scoredb),
+         |tr AS (SELECT * FROM rankedb WHERE rank <= $GlobalKnnK)
+         |SELECT tr.probe_id, CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(count(t.dst) AS BIGINT) AS n_hit,
+         |  max(CASE WHEN tr.rank = 1 THEN tr.neighbor_id END)
+         |    AS best_neighbor_id,
+         |  max(CASE WHEN tr.rank = 1 THEN tr.cos END) AS best_cos
+         |FROM tr LEFT JOIN topk t
+         |  ON t.src = tr.probe_id AND t.dst = tr.neighbor_id
+         |GROUP BY tr.probe_id ORDER BY tr.probe_id""".stripMargin,
 
     "q_mutual_recall" ->
       s"""WITH $projMutualCtes,

@@ -57,6 +57,25 @@ object ProjGraph {
   private[graft] val WindowW = 32
   private[graft] val QScale = 16777216.0 // 2^24
 
+  /** n-adaptive window width — the documented RECALL KNOB (round-14
+    * verdict): W doubles for every 4x of corpus past 512 rows (W ∝ √n),
+    * so the window keeps pace with per-cluster rank-run growth on
+    * clustered corpora. ENGAGING IT IS A COST CHOICE, not the default:
+    * candidate work is Θ(n·P·W), so adaptive W makes the build Θ(n^1.5)
+    * — the exact trade the fixed-W default exists to avoid. The default
+    * build stays at WindowW (linear, the 100 TB path); the clustered
+    * recall audit (q_mutual_recall_clustered) runs the adaptive rule so
+    * the recall the knob buys is MEASURED, differentially, at every SF.
+    * Closed form (oracle twin, exact at the 512·4^k boundaries because
+    * log2 of an exact power of two is exact in doubles):
+    * W(n) = WindowW · 2^max(0, ceil(log2(n/512)/2)). */
+  private[graft] def adaptiveWindow(n: Long): Int = {
+    var w = WindowW
+    var cap = 512L
+    while (cap < n) { cap *= 4; w *= 2 }
+    w
+  }
+
   /** ±1 weight for (projection p, 1-based dim i): two LCG rounds with a
     * 16-bit xorshift between them, bit 0 as the sign. Operands stay
     * below 2³¹ so every product is < 2⁶² (DuckDB BIGINT-safe). */
@@ -94,7 +113,8 @@ object ProjGraph {
   /** Canonical (id_a < id_b) distinct candidate pairs from the P
     * projection-sort windows. */
   private[graft] def windowCandidates(emb: DataFrame, idCol: String,
-                                      vecCol: String): DataFrame = {
+                                      vecCol: String,
+                                      window: Int = WindowW): DataFrame = {
     val ranked = GlobalRank.withGlobalRank(
       projScores(emb, idCol, vecCol), "__grk",
       col("p"), col("score"), col(idCol))
@@ -103,7 +123,7 @@ object ProjGraph {
     // join is a plain equi-join on (p, rank+j) — ids only, W-fold
     // explode on one side, never a range join.
     val aSide = ranked.select(col("p"), col("__grk"), col(idCol).as("__sa"))
-      .withColumn("__j", explode(array((1 to WindowW).map(lit): _*)))
+      .withColumn("__j", explode(array((1 to window).map(lit): _*)))
       .select(col("p"), (col("__grk") + col("__j")).as("__grk"), col("__sa"))
     val bSide = ranked.select(col("p"), col("__grk"), col(idCol).as("__sb"))
     aSide.join(bSide, Seq("p", "__grk"))
@@ -140,7 +160,8 @@ object ProjGraph {
     * build falls back to the rank-join formulation — same output, by
     * the same definition. */
   private[graft] def windowScoredPairs(emb: DataFrame, idCol: String,
-                                       vecCol: String): DataFrame = {
+                                       vecCol: String,
+                                       window: Int = WindowW): DataFrame = {
     val nRows = emb.count() * NumProj
     // ~4096 rows per range partition: every pid group's window buffer
     // stays ~1 MB of vector rows (a group must fit memory comfortably —
@@ -150,23 +171,37 @@ object ProjGraph {
     // at 65536 partitions (range-sampler driver work), far past any
     // single-box corpus.
     val targetParts = math.max(1L, math.min(nRows / 4096L, 65536L)).toInt
-    val parted = projScores(emb, idCol, vecCol, keepVec = true)
-      .repartitionByRange(targetParts, col("p"), col("score"), col(idCol))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(eager = true)
-    val nParts = parted.rdd.getNumPartitions
+    // Materialization boundary through the plan-keyed PARQUET store, not
+    // localCheckpoint (round-14 verdict): the n·P-row vector-bearing
+    // frame is 16x the corpus — localCheckpoint parks it in NON-RELIABLE
+    // executor-local storage (one lost executor = rebuild-from-scratch
+    // at 100 TB), while the store is the same reliable-parquet boundary
+    // every chain intermediate already uses (on a cluster: HDFS/S3).
+    // `__pid` is computed BEFORE the write and persists as a column, so
+    // the range-partition assignment survives the round-trip; everything
+    // downstream shuffles by the stored pid, never by file layout.
+    val parted = graft.queries.Breadth13.memoizedOnPlan(
+        emb, s"projwin|$idCol|$vecCol") {
+      projScores(emb, idCol, vecCol, keepVec = true)
+        .repartitionByRange(targetParts, col("p"), col("score"), col(idCol))
+        .withColumn("__pid", spark_partition_id())
+    }
     val counts = parted.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__c")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // pid domain from the DATA (file partitioning changed on reread):
+    // range partitions are contiguous 0..max; an empty middle partition
+    // is absent from `counts` and correctly reads as underfull below.
+    val nParts = counts.keys.foldLeft(-1)(math.max) + 1
     val underfull = (0 until nParts - 1)
-      .exists(pid => counts.getOrElse(pid, 0L) < WindowW.toLong)
+      .exists(pid => counts.getOrElse(pid, 0L) < window.toLong)
     val elemIsFloat = emb.schema(vecCol).dataType match {
       case org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.FloatType, _) => true
       case _ => false
     }
     if (underfull || !elemIsFloat) {
-      scorePairs(windowCandidates(emb, idCol, vecCol), emb, idCol, vecCol)
+      scorePairs(windowCandidates(emb, idCol, vecCol, window), emb, idCol, vecCol)
     } else {
       val sp = emb.sparkSession
       import sp.implicits._
@@ -174,7 +209,7 @@ object ProjGraph {
       val wHead = Window.partitionBy(col("__pid")).orderBy(ord: _*)
       val heads = parted
         .withColumn("__rn", row_number().over(wHead))
-        .filter(col("__rn") <= WindowW && col("__pid") > 0)
+        .filter(col("__rn") <= window && col("__pid") > 0)
         .withColumn("__pid", col("__pid") - lit(1))
         .drop("__rn")
         .withColumn("__orig", lit(false))
@@ -206,7 +241,7 @@ object ProjGraph {
                   roundedCosine(e.vec, rv))
               }.toList
             ring.append(RingEntry(r.p, r.id, rv, r.orig))
-            if (ring.size > WindowW) ring.removeHead(): Unit
+            if (ring.size > window) ring.removeHead(): Unit
             out
           }
         }
@@ -284,13 +319,14 @@ object ProjGraph {
     * neighbour-of-neighbour expansion, exact cosine re-rank. */
   def approxDirectedTopK(emb: DataFrame, k: Int,
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
+                         vecCol: String = "embedding",
+                         window: Int = WindowW): DataFrame = {
     // the provisional top-k is derived from the scored seed pairs and
     // reused by the expansion AND the final rank — checkpoint it once
     // (the exactKnnDirected boundary discipline). The seed-pair frame
     // itself (n·P·W rows) is read twice (top-k + the expansion's
     // already-scored anti-join) and checkpointed for the same reason.
-    val seedScored = windowScoredPairs(emb, idCol, vecCol)
+    val seedScored = windowScoredPairs(emb, idCol, vecCol, window)
       .localCheckpoint(eager = true)
     val seedTop = topKDirectedScored(seedScored, k)
       .localCheckpoint(eager = true)

@@ -100,4 +100,62 @@ class ProjGraphSpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall regressed: $recall (measured 0.956)")
   }
+
+  test("adaptiveWindow: W doubles per 4x of corpus past 512 rows (the " +
+    "recall knob's closed form), and boundaries are exact") {
+    assert(ProjGraph.adaptiveWindow(1L) == ProjGraph.WindowW)
+    assert(ProjGraph.adaptiveWindow(500L) == ProjGraph.WindowW)
+    assert(ProjGraph.adaptiveWindow(512L) == ProjGraph.WindowW)
+    assert(ProjGraph.adaptiveWindow(513L) == ProjGraph.WindowW * 2)
+    assert(ProjGraph.adaptiveWindow(2000L) == ProjGraph.WindowW * 2)
+    assert(ProjGraph.adaptiveWindow(2048L) == ProjGraph.WindowW * 2)
+    assert(ProjGraph.adaptiveWindow(2049L) == ProjGraph.WindowW * 4)
+    assert(ProjGraph.adaptiveWindow(8192L) == ProjGraph.WindowW * 4)
+    assert(ProjGraph.adaptiveWindow(20000L) == ProjGraph.WindowW * 8)
+    // the SQL twin's closed form — the expression the clustered-recall
+    // oracle computes — must agree with the loop at every rule point
+    def closedForm(n: Long): Int = {
+      val t = math.max(0.0,
+        math.ceil(math.log(n.toDouble / 512.0) / math.log(2.0) / 2.0))
+      ProjGraph.WindowW * math.pow(2.0, t).toInt
+    }
+    Seq(1L, 100L, 500L, 512L, 513L, 1000L, 2000L, 2048L, 2049L, 5000L,
+      8192L, 8193L, 20000L, 100000L).foreach { n =>
+      assert(ProjGraph.adaptiveWindow(n) == closedForm(n),
+        s"rule/closed-form divergence at n=$n")
+    }
+  }
+
+  test("approxDirectedTopK honors a wider window: with W >= n the " +
+    "candidate set is all pairs, so the result equals the exact build " +
+    "even where the default window would miss neighbours") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") < 200)
+    val wide = edgeSet(ProjGraph.approxDirectedTopK(emb, 4, window = 256))
+    val exact = edgeSet(Breadth141.globalKnnDirected(emb, 4))
+    assert(wide == exact)
+  }
+
+  test("clustered corpus: deterministic, exact-integer doubles, and " +
+    "within-label cosine dominates cross-label (the regime the " +
+    "clustered recall audit measures)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val c1 = Breadth141.clusteredCorpus(emb)
+    val rows = c1.collect()
+    assert(rows.length == emb.count())
+    // every component is an exact integer stored as double
+    rows.take(20).foreach { r =>
+      r.getSeq[Double](r.fieldIndex("cvec")).foreach(v =>
+        assert(v == math.rint(v), s"non-integer component $v"))
+    }
+    // within-label mean cosine far above cross-label
+    val pairs = c1.as("a").join(c1.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select((col("a.label") === col("b.label")).as("same"),
+        graft.sim.Similarity.cosine(col("a.cvec"), col("b.cvec")).as("cos"))
+      .groupBy(col("same")).agg(avg(col("cos")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(pairs(true) > 0.8, s"within-label cosine ${pairs(true)}")
+    assert(math.abs(pairs(false)) < 0.3, s"cross-label cosine ${pairs(false)}")
+  }
 }
