@@ -20,8 +20,31 @@ import org.apache.spark.sql.functions._
   * library storage-agnostic.
   */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Inferred-schema memo per (dir, table): `spark.read.parquet` pays
+    * ~85 ms of footer-reading schema inference on EVERY call (measured,
+    * local[32]) — at 4 runs x ~590 bench lines that inference alone was
+    * the largest single component of the per-line floor. An explicit
+    * schema cuts the load to ~12 ms and returns a FRESH relation with
+    * fresh attribute ids each call, so (unlike memoizing the DataFrame
+    * itself) repeated loads can never trip self-join ambiguity.
+    * Schemas are plain structs, session-free. Staleness contract as
+    * Extensions.memoStore: regenerating the files under `dir` with a
+    * DIFFERENT schema mid-JVM would serve the old schema — the driver
+    * runs one harness JVM per data generation (documented). */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.types.StructType]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val k = (dir, name)
+    val cached = schemaCache.get(k)
+    if (cached != null) spark.read.schema(cached).parquet(s"$dir/$name.parquet")
+    else {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      schemaCache.putIfAbsent(k, df.schema)
+      df
+    }
+  }
 
   /** events.ts has shipped as BOTH µs-precision naive parquet (reads
     * directly as TIMESTAMP_NTZ) and TIMESTAMP(NANOS) parquet (only
