@@ -25,8 +25,13 @@ import org.apache.spark.sql.functions._
   *    (identical copies would put every vector in a 10-way cosine-1.0
   *    clique);
   *  - orders/lineitem/customer: order and customer key spaces offset
-  *    per copy (10× facts), part/supplier/nation/region stay single —
-  *    dims stay dim-sized, exactly how a warehouse scales.
+  *    per copy (10× facts);
+  *  - part/supplier scale WITH the facts (offset key spaces per copy,
+  *    FKs rewritten consistently) — TPC-H itself scales S and P with
+  *    SF, and a fixed dim key space made every supply-graph operator's
+  *    scale step vacuous (10× lineitem collapsed to the SAME distinct
+  *    supplier→part edge set, caught in round 14); nation/region stay
+  *    single, exactly like TPC-H.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
@@ -114,16 +119,36 @@ object ScaleGen {
     }.toSeq: _*), "orders")
 
     val li = spark.read.parquet(s"$src/lineitem.parquet")
-    write(li.crossJoin(cp).select(
-      (col("l_orderkey") + col("__copy") * lit(1000000000L)).as("l_orderkey") +:
-        li.columns.filter(_ != "l_orderkey").map(col).toSeq: _*), "lineitem")
+    write(li.crossJoin(cp).select(li.columns.map {
+      case "l_orderkey" =>
+        (col("l_orderkey") + col("__copy") * lit(1000000000L)).as("l_orderkey")
+      case "l_suppkey" =>
+        (col("l_suppkey") + col("__copy") * lit(10000000L)).as("l_suppkey")
+      case "l_partkey" =>
+        (col("l_partkey") + col("__copy") * lit(100000000L)).as("l_partkey")
+      case c => col(c)
+    }.toSeq: _*), "lineitem")
 
     val cu = spark.read.parquet(s"$src/customer.parquet")
     write(cu.crossJoin(cp).select(
       (col("c_custkey") + col("__copy") * lit(100000000L)).as("c_custkey") +:
         cu.columns.filter(_ != "c_custkey").map(col).toSeq: _*), "customer")
 
-    Seq("part", "supplier", "nation", "region").foreach { t =>
+    val pt = spark.read.parquet(s"$src/part.parquet")
+    write(pt.crossJoin(cp).select(pt.columns.map {
+      case "p_partkey" =>
+        (col("p_partkey") + col("__copy") * lit(100000000L)).as("p_partkey")
+      case c => col(c)
+    }.toSeq: _*), "part")
+
+    val sp = spark.read.parquet(s"$src/supplier.parquet")
+    write(sp.crossJoin(cp).select(sp.columns.map {
+      case "s_suppkey" =>
+        (col("s_suppkey") + col("__copy") * lit(10000000L)).as("s_suppkey")
+      case c => col(c)
+    }.toSeq: _*), "supplier")
+
+    Seq("nation", "region").foreach { t =>
       write(spark.read.parquet(s"$src/$t.parquet"), t)
     }
     spark.stop()

@@ -65,14 +65,29 @@ object Breadth117 {
   private[graft] def hits(edgesRaw: DataFrame,
                           iters: Int = HitsIters,
                           scale: Long = HitsScale): DataFrame = {
-    // Static across iterations → plan-keyed parquet store, not persist():
-    // a facade persist leaks one cached frame per call (the round-13
-    // leak class — its async reaping by the bench sweep was the round-13
-    // latency-regression cluster), and every memo-swept re-run paid the
-    // full 600k-row distinct again. Stored, each iteration's join reads
-    // a skinny columnar scan.
-    val edges = Breadth13.memoizedOnPlan(edgesRaw, "hits_edges") {
-      edgesRaw.select(col("src"), col("dst")).distinct()
+    // Static across iterations → plan-keyed BUCKETED stores, not
+    // persist(): a facade persist leaks one cached frame per call (the
+    // round-13 leak class), and every memo-swept re-run paid the full
+    // 600k-row distinct again. The authority pass joins on src, the hub
+    // pass on dst, so the edge set is stored TWICE, bucketed+sorted per
+    // key (the classic adjacency duplication) — un-bucketed, the 10x
+    // scale step re-shuffled all edge bytes in all 8 iteration joins
+    // (102x shuffle at 10x data); bucketed, edge bytes cross the wire
+    // once per orientation at build, and iterations shuffle only the
+    // node-sized score frames.
+    val edges = Breadth13.memoizedOnPlanStored(edgesRaw, "hits_edges_bsrc") {
+      // plain store first (also the exact row count for bucket sizing),
+      // then the one bucketed rewrite — both one-time, memoized
+      val dist = Extensions.materializeToStore(edgesRaw.sparkSession,
+        edgesRaw.select(col("src"), col("dst")).distinct())
+      Extensions.bucketedToStore(dist, "src",
+        Extensions.bucketsForRows(dist.count()))
+    }
+    val edgesByDst = Breadth13.memoizedOnPlanStored(edgesRaw, "hits_edges_bdst") {
+      // second orientation reads the FIRST store, not the raw input —
+      // the distinct is paid once
+      Extensions.bucketedToStore(edges, "dst",
+        Extensions.bucketsForRows(edges.count()))
     }
     val srcs = edges.select(col("src")).distinct()
     var h = srcs
@@ -96,7 +111,7 @@ object Breadth117 {
       a = ar.crossJoin(broadcast(at))
         .select(col("dst"), expr(s"(ra * $scale) div ta").as("a"))
         .localCheckpoint(eager = false)
-      val hr = edges.join(a, Seq("dst"))
+      val hr = edgesByDst.join(a, Seq("dst"))
         .groupBy(col("src")).agg(sum(col("a")).as("rh"))
       val ht = hr.agg(sum(col("rh")).as("th"))
       h = hr.crossJoin(broadcast(ht))
@@ -118,11 +133,16 @@ object Breadth117 {
   private[graft] def hopHistogram(edgesU: DataFrame, labels: DataFrame,
                                   maxHops: Int = MaxHops): DataFrame = {
     // Read by all 6 hop joins + the unreached count → store-backed like
-    // the hits edges (same leak-class rationale); `nodes` is derived
-    // once from the stored adjacency.
-    val adj = Breadth13.memoizedOnPlan(edgesU, "hop_adj") {
-      edgesU.select(col("id_a").as("u"), col("id_b").as("v"))
-        .unionAll(edgesU.select(col("id_b").as("u"), col("id_a").as("v")))
+    // the hits edges (same leak-class rationale), BUCKETED on the join
+    // key u so each hop's frontier join reads co-located buckets and
+    // only the frontier (node-sized) shuffles; `nodes` is derived once
+    // from the stored adjacency.
+    val adj = Breadth13.memoizedOnPlanStored(edgesU, "hop_adj_bu") {
+      val raw = Extensions.materializeToStore(edgesU.sparkSession,
+        edgesU.select(col("id_a").as("u"), col("id_b").as("v"))
+          .unionAll(edgesU.select(col("id_b").as("u"), col("id_a").as("v"))))
+      Extensions.bucketedToStore(raw, "u",
+        Extensions.bucketsForRows(raw.count()))
     }
     val nodes = Breadth13.memoizedOnPlan(edgesU, "hop_nodes") {
       adj.select(col("u").as("node")).distinct()

@@ -50,7 +50,20 @@ object Breadth13 {
       org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       String, DataFrame)]
   private[graft] def memoizedOnPlan(df: DataFrame, argsKey: String)
-                                     (build: => DataFrame): DataFrame = {
+                                     (build: => DataFrame): DataFrame =
+    memoizedOnPlanWith(df, argsKey)(b =>
+      Extensions.materializeToStore(df.sparkSession, b))(build)
+
+  /** Like [[memoizedOnPlan]] but the BUILD ITSELF is the store
+    * boundary (e.g. Extensions.bucketedToStore registers a bucketed
+    * table and returns its reader) — no second plain-parquet write. */
+  private[graft] def memoizedOnPlanStored(df: DataFrame, argsKey: String)
+                                           (build: => DataFrame): DataFrame =
+    memoizedOnPlanWith(df, argsKey)(identity)(build)
+
+  private def memoizedOnPlanWith(df: DataFrame, argsKey: String)
+                                (store: DataFrame => DataFrame)
+                                (build: => DataFrame): DataFrame = {
     if (df.isStreaming) return build
     val s = df.sparkSession
     val plan = df.queryExecution.analyzed
@@ -62,7 +75,7 @@ object Breadth13 {
       // materialization RUNS the grid job — never under the lock (other
       // callers' lookups would serialize behind it); a same-key race
       // double-writes and the second insert defers to the first
-      val mat = Extensions.materializeToStore(s, build)
+      val mat = store(build)
       planMemo.synchronized {
         lookup() match {
           case Some(df0) => df0

@@ -79,6 +79,47 @@ object Extensions {
     (s.read.parquet(path.toString), path)
   }
 
+  /** Materialize `df` as a BUCKETED store table (bucketed+sorted by
+    * `bucketCol` into `buckets` files, registered in the session
+    * catalog — bucket layout lives in table metadata, so consumers'
+    * joins/groupBys on the bucket column read co-located, pre-sorted
+    * buckets with NO exchange). This is the iterative-graph analog of
+    * Stores.bucketedTable: an edge set read by every iteration pays its
+    * shuffle ONCE at build time, and each iteration then shuffles only
+    * the node-sized rank frame into the bucket layout (measured round
+    * 14: the un-bucketed store re-shuffled the full 5.9M-edge set per
+    * iteration at sf1 — 65-102x shuffle at 10x data; bucketed, edge
+    * bytes cross the wire once). Table names are globally unique per
+    * write; the files live in the memo scratch root (JVM-exit cleaned),
+    * and the in-memory catalog entry dies with its session. */
+  /** Bucket-count rule for [[bucketedToStore]]: ~1M rows per bucket,
+    * capped at 4096 (the cluster knob — at 100 TB raise the cap with
+    * the executor count). A 600k-row edge set gets ONE bucket (a fixed
+    * session-width bucket count measured 5-8x task overhead on tiny
+    * buckets — 32 tasks per iteration join for metadata-sized work),
+    * a 5.9M-row set six. */
+  private[graft] def bucketsForRows(n: Long): Int =
+    math.max(1L, math.min(4096L, n / 1048576L + 1L)).toInt
+
+  private[graft] def bucketedToStore(df: org.apache.spark.sql.DataFrame,
+                                     bucketCol: String,
+                                     buckets: Int): org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    val id = memoSeq.incrementAndGet()
+    val tbl = s"g_memo_b$id"
+    val path = memoRoot.resolve(s"b$id")
+    // repartition ON the bucket column first: without it every input
+    // task opens a writer per bucket (tasks x buckets small files —
+    // measured ~1000 files for a 600k-row edge set, 50 task-s of
+    // commit/open stalls on write and a comparable stall per read).
+    // Clustered first, each task writes exactly its one bucket file,
+    // and THIS shuffle is the pay-once co-location the store exists for.
+    df.repartition(buckets, col(bucketCol))
+      .write.bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .option("path", path.toString).mode("overwrite").saveAsTable(tbl)
+    s.table(tbl)
+  }
+
   /** Drop memo entries whose session has stopped: in a JVM that churns
     * sessions the map would otherwise pin every dead SparkSession (and
     * its frames) forever. Entries are memos — evicting is always

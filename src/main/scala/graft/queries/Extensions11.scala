@@ -80,8 +80,19 @@ object Extensions11 {
     * mass and N ride as broadcast one-row frames, not driver collects. */
   private[graft] def pageRank(edgesRaw: DataFrame,
                               iters: Int = PrIters): DataFrame = {
-    val edges = Breadth13.memoizedOnPlan(edgesRaw, "pr_edges") {
-      edgesRaw.select(col("src"), col("dst")).distinct()
+    // BUCKETED by src (round 14): every iteration joins the edge set on
+    // src; un-bucketed, the 10x scale step re-shuffled all edge bytes
+    // per iteration (5.9M edges x 5 iterations — 65x shuffle at 10x
+    // data). Bucketed+sorted, the iteration joins and the outdeg
+    // groupBy read co-located buckets with no exchange — only the
+    // node-sized contribution stream ever crosses the wire.
+    val edges = Breadth13.memoizedOnPlanStored(edgesRaw, "pr_edges_bsrc") {
+      // plain store first (also the exact row count for bucket sizing),
+      // then the one bucketed rewrite — both one-time, memoized
+      val dist = Extensions.materializeToStore(edgesRaw.sparkSession,
+        edgesRaw.select(col("src"), col("dst")).distinct())
+      Extensions.bucketedToStore(dist, "src",
+        Extensions.bucketsForRows(dist.count()))
     }
     val nodes = Breadth13.memoizedOnPlan(edgesRaw, "pr_nodes") {
       edges.select(col("src").as("node"))
