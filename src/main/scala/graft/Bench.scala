@@ -10,6 +10,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Size-first AQE coalescing (guide §2.2 / Spark's documented
+      // production recommendation): with parallelismFirst=true (the
+      // default) AQE splits tiny post-shuffle outputs across
+      // min-partition-sized tasks to chase parallelism — on this
+      // surface that is dozens of micro-tasks per stage of pure launch
+      // overhead. false targets advisoryPartitionSizeInBytes instead;
+      // at cluster scale the same setting yields the 100 MB-1 GB
+      // partitions §2.2 calls for. Env-overridable for A/B.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

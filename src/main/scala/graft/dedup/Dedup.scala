@@ -625,14 +625,23 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       blockCol: String, maxHamming: Int,
                       numBlocks: Int = 0): DataFrame = {
-    // one row per doc; read twice by the band self-join — persist so the
-    // in-row hash fold runs once, not per side. Row-wise simhash keeps
-    // the block column on the row: no shuffle, no join-back (the grouped
-    // form previously cost an explode + 64-way bit aggregation + join).
-    val sims = withRowwiseSimhash64(
-        docs.select(col(idCol), col(blockCol), col(textCol)), textCol)
-      .select(col(idCol), col(blockCol), col("simhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one row per doc; read twice by the band self-join. Plan-keyed
+    // STORE, not persist() (round 14): a facade persist leaks one
+    // cached frame per call (the round-13 leak class the graph tier
+    // was purged of), and the memo additionally shares the signature
+    // fold across OPERATING POINTS — q_simhash (d=8) and q_simhash_d3
+    // build the identical sims frame and each paid its own corpus-wide
+    // hash fold (~6 task-s at sf0.1). Row-wise simhash keeps the block
+    // column on the row: no shuffle, no join-back (the grouped form
+    // previously cost an explode + 64-way bit aggregation + join).
+    // Streaming inputs bypass the memo by construction (the streaming
+    // screen uses streamingSimhashNearDups).
+    val sims = graft.queries.Breadth13.memoizedOnPlan(docs,
+        s"simhash_sims|$idCol|$blockCol|$textCol") {
+      withRowwiseSimhash64(
+          docs.select(col(idCol), col(blockCol), col(textCol)), textCol)
+        .select(col(idCol), col(blockCol), col("simhash"))
+    }
     // verify BEFORE dedup: the hamming test runs inside the join stage,
     // so only true near-dups (×band multiplicity) reach the dedup
     // shuffle — never the full candidate volume

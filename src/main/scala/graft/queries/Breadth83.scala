@@ -33,14 +33,27 @@ object Breadth83 {
   private val ShipWin = 6  // [ship, ship+6] inclusive
   private val OrderSpan = 30 // [order, order+30) half-open
 
-  /** Merge [__s,__e] integer intervals per key into islands. */
+  /** Merge [__s,__e] integer intervals per key into islands.
+    *
+    * The interval set is DEDUPED first (round 14 — caught live as a
+    * once-in-many-runs oracle flake): with duplicate (key, s, e) rows
+    * the island-label running sum rides a ROWS frame whose (s, e)
+    * order is not total, and the one duplicate carrying newisl = 1 can
+    * be ordered AFTER its twins — those twins then inherit the
+    * PREVIOUS island's label and extend it, changing covered/idle days
+    * nondeterministically (tie order varies with parallel window
+    * execution, in Spark AND DuckDB alike). Interval union ignores
+    * multiplicity, so the dedup changes no results — it makes the
+    * window order total, which makes both engines deterministic. The
+    * oracle twin (islandsSql) carries the same DISTINCT. */
   private[graft] def mergedIslands(iv: DataFrame,
                                    keyCol: String): DataFrame = {
+    val ivd = iv.select(col(keyCol), col("__s"), col("__e")).distinct()
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__s").asc, col("__e").asc)
     val prevMax = max(col("__e"))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    iv.withColumn("__new",
+    ivd.withColumn("__new",
         when(prevMax.isNull || col("__s") > prevMax, 1L).otherwise(0L))
       .withColumn("__isl", sum(col("__new"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -118,7 +131,7 @@ object Breadth83 {
 
   private val islandsSql =
     s"""iv AS (
-       |  SELECT l_suppkey,
+       |  SELECT DISTINCT l_suppkey,
        |    CAST(date_diff('day', DATE '$Epoch', CAST(l_shipdate AS DATE))
        |      AS BIGINT) AS s
        |  FROM lineitem),

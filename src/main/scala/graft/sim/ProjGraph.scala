@@ -162,15 +162,6 @@ object ProjGraph {
   private[graft] def windowScoredPairs(emb: DataFrame, idCol: String,
                                        vecCol: String,
                                        window: Int = WindowW): DataFrame = {
-    val nRows = emb.count() * NumProj
-    // ~4096 rows per range partition: every pid group's window buffer
-    // stays ~1 MB of vector rows (a group must fit memory comfortably —
-    // the pid-hash exchange packs MANY pids per reduce task, so small
-    // groups, not few, is what bounds task memory), while still ≥ 8·W
-    // rows so the boundary-replica hop always covers the window. Capped
-    // at 65536 partitions (range-sampler driver work), far past any
-    // single-box corpus.
-    val targetParts = math.max(1L, math.min(nRows / 4096L, 65536L)).toInt
     // Materialization boundary through the plan-keyed PARQUET store, not
     // localCheckpoint (round-14 verdict): the n·P-row vector-bearing
     // frame is 16x the corpus — localCheckpoint parks it in NON-RELIABLE
@@ -180,8 +171,19 @@ object ProjGraph {
     // `__pid` is computed BEFORE the write and persists as a column, so
     // the range-partition assignment survives the round-trip; everything
     // downstream shuffles by the stored pid, never by file layout.
+    // The sizing count runs INSIDE the memo block: a memo-hit call
+    // (every consumer after the chain build) pays zero jobs for it.
     val parted = graft.queries.Breadth13.memoizedOnPlan(
         emb, s"projwin|$idCol|$vecCol") {
+      val nRows = emb.count() * NumProj
+      // ~4096 rows per range partition: every pid group's window buffer
+      // stays ~1 MB of vector rows (a group must fit memory comfortably —
+      // the pid-hash exchange packs MANY pids per reduce task, so small
+      // groups, not few, is what bounds task memory), while still ≥ 8·W
+      // rows so the boundary-replica hop always covers the window. Capped
+      // at 65536 partitions (range-sampler driver work), far past any
+      // single-box corpus.
+      val targetParts = math.max(1L, math.min(nRows / 4096L, 65536L)).toInt
       projScores(emb, idCol, vecCol, keepVec = true)
         .repartitionByRange(targetParts, col("p"), col("score"), col(idCol))
         .withColumn("__pid", spark_partition_id())
@@ -326,6 +328,12 @@ object ProjGraph {
     // (the exactKnnDirected boundary discipline). The seed-pair frame
     // itself (n·P·W rows) is read twice (top-k + the expansion's
     // already-scored anti-join) and checkpointed for the same reason.
+    // EAGER deliberately (round-14 A/B): lazily-marked seeds let the
+    // final DAG's three concurrent readers race on uncomputed ring-scan
+    // partitions — measured chain_global_mutual resample task-s
+    // 13.8 → 16.1-16.4 with no wall win (AQE executes the upstream
+    // exchanges at toRdd either way, so laziness only deferred the
+    // final stage while duplicating its compute).
     val seedScored = windowScoredPairs(emb, idCol, vecCol, window)
       .localCheckpoint(eager = true)
     val seedTop = topKDirectedScored(seedScored, k)

@@ -64,4 +64,17 @@ class BucketStoreSpec extends SparkSpec {
     assert(after.subsetOf(before),
       s"facade leaked persisted RDDs: ${after -- before}")
   }
+
+  test("simhashNearDups leaves no new persisted RDDs (round 14 — the " +
+    "same facade-leak pin; its sims frame is store-backed, not persisted)") {
+    def persisted(): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val docs = Tables.documents(spark, sf0001)
+    val before = persisted()
+    dedup.Dedup.simhashNearDups(docs, "doc_id", "text", "source", 3).count()
+    Harness.sweepStorage(spark)
+    val after = persisted()
+    assert(after.subsetOf(before),
+      s"simhashNearDups leaked persisted RDDs: ${after -- before}")
+  }
 }

@@ -158,4 +158,33 @@ class ProjGraphSpec extends SparkSpec {
     assert(pairs(true) > 0.8, s"within-label cosine ${pairs(true)}")
     assert(math.abs(pairs(false)) < 0.3, s"cross-label cosine ${pairs(false)}")
   }
+
+  test("memo-internal sizing (round 14): with the projwin memo warm, a " +
+    "second build runs NO job for the sizing count — and the result is " +
+    "unchanged") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // first build warms the projwin store (and proves the path end-to-end)
+    val first = edgeSet(ProjGraph.approxDirectedTopK(emb, 4))
+    // the sizing count lives INSIDE the memo block, so a memo-hit call
+    // must not re-run emb.count(): no submitted job may have the
+    // count's callsite. (The underfull probe and the checkpoint jobs
+    // legitimately run — this pin is only about the sizing count.)
+    val countJobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(
+          ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+        if (ss.stageInfo.name.startsWith("count at ProjGraph")) {
+          countJobs.incrementAndGet(): Unit
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val again = edgeSet(ProjGraph.approxDirectedTopK(emb, 4))
+      org.apache.spark.graft.SparkInternals.flushListenerBus(spark.sparkContext)
+      assert(countJobs.get() == 0,
+        s"memo-hit build re-ran the sizing count ${countJobs.get()} times")
+      assert(again == first)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }

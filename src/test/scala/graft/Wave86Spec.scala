@@ -40,6 +40,29 @@ class Wave86Spec extends SparkSpec {
     assert(got === Seq((7L, 0L, true, true)))
   }
 
+  test("duplicate intervals are deduped before the island build (round " +
+    "14 tie-safety): heavy duplicates produce identical coverage under " +
+    "every physical input order, equal to the duplicate-free run") {
+    // the flake class this pins: with duplicate (key, s, e) rows, the
+    // island-label running sum rode a non-total (s, e) order and a
+    // duplicate could inherit the previous island's label — coverage
+    // then shifted by a few days, nondeterministically, in whichever
+    // engine's parallel window happened to reorder the ties
+    val days = Seq("1995-01-01", "1995-01-04", "1995-01-21", "1995-02-05")
+    val dups = for { d <- days; _ <- 1 to 7 } yield (1L, d)
+    val clean = Breadth83.shipCoverage(li(days.map(d => (1L, d))))
+      .collect().map(_.toSeq).toSeq
+    Seq(li(dups), li(dups.reverse), li(scala.util.Random.shuffle(dups)),
+      li(dups).repartition(7), li(dups).repartition(3)).foreach { in =>
+      assert(Breadth83.shipCoverage(in).collect().map(_.toSeq).toSeq ==
+        clean, "coverage must be order- and multiplicity-invariant")
+    }
+    val cleanGaps = Breadth83.shipGaps(li(days.map(d => (1L, d))))
+      .collect().map(_.toSeq).toSeq
+    assert(Breadth83.shipGaps(li(dups).repartition(5))
+      .collect().map(_.toSeq).toSeq == cleanGaps)
+  }
+
   test("orderConcurrency: 30-day half-open spans peak where two orders " +
     "overlap, first peak day emitted") {
     val nation = Seq((1, "ALGERIA")).toDF("n_nationkey", "n_name")
