@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   *    walks a |nation|·|days|-bounded table, never raw orders.
   *
   * Scale shape: island builds are per-key ordered windows after a
-  * single fact scan (dup (s,e) rows merge harmlessly); the sweep
+  * single fact scan — duplicate (s, e) rows are DEDUPED first so the
+  * window order is total (round-14 tie-safety; see mergedIslands — a
+  * non-total order let a duplicate inherit the previous island's
+  * label, nondeterministically in both engines); the sweep
   * aggregates facts to day-grain deltas map-side first. Nothing
   * global: every window partitions by supplier / nation. All
   * arithmetic is integer days from a pinned epoch — engine-neutral. */

@@ -217,6 +217,16 @@ object Extensions {
     "chain_minhash_sigs" -> (() => minhashSigs(s, dir)),
     "chain_minhash_pairs" -> (() => verifiedPairs(s, dir)),
     "chain_dup_clusters" -> (() => dupClusters(s, dir)),
+    // SimHash signature fold shared by q_simhash (d=8) and q_simhash_d3
+    // (round-15: the round-14 memo had no chain line, so its one-time
+    // build landed only in the first consumer's DISCARDED cold run —
+    // the round-14 verdict's attribution gap).
+    "chain_simhash_sigs" -> (() => Dedup.simhashSigTable(
+      Tables.documents(s, dir), "doc_id", "text", "source")),
+    // (order, part) basket pair-count table shared by q_market_basket
+    // and q_part_affinity (same round-14 attribution gap).
+    "chain_basket_pairs" -> (() => Breadth59.pairTable(
+      Tables.lineitem(s, dir))),
     "chain_embed_pairs" -> (() => embedNearDupPairs(s, dir)),
     // The (key, day) OHLC-bar and day-volume grids every indicator query
     // derives from the events scan — materialized through the plan-keyed
@@ -284,6 +294,11 @@ object Extensions {
           "doc_id", "text", ShingleLen, NumHashes, Bands, JaccThreshold))),
       "chain_dup_clusters" -> (() => runAndDrop(
         Dedup.clusterMembers(verifiedPairs(s, dir), "doc_id"))),
+      "chain_simhash_sigs" -> (() => runAndDrop(
+        Dedup.simhashSigTablePlan(docs2, "doc_id", "text", "source"))),
+      "chain_basket_pairs" -> (() => runAndDrop(
+        Breadth59.pairTablePlan(
+          uncached(Tables.lineitem(s, dir), "l_orderkey")))),
       "chain_embed_pairs" -> (() => runAndDrop(
         Similarity.cosineNearDupPairs(emb2, "label", CosThreshold))),
       "chain_day_bars" -> (() => runAndDrop(Breadth13.dayBarsCentsPlan(
