@@ -269,7 +269,17 @@ object Extensions {
       : Map[String, () => Unit] = {
     def runAndDrop(build: => org.apache.spark.sql.DataFrame): Unit = {
       val df = build
-      df.count()
+      // noop sink, NOT count() (round 15, guide §1.4): count() lets the
+      // optimizer column-prune a map-only resample down to a parquet
+      // row-count — chain_simhash_sigs' rowwise fold timed 0.06 task-s
+      // for a ~2.3 task-s build (the fold never executed), and
+      // chain_minhash_sigs' hash computation was partially pruned the
+      // same way. The noop write computes EVERY output column and
+      // discards it, so the resample times the actual build. Run 1 is
+      // unaffected (the memoized accessors force full materialization
+      // at the store write); the 578 declared query lines keep count()
+      // for driver comparability.
+      df.write.format("noop").mode("overwrite").save()
       try df.unpersist(blocking = false)
       catch { case scala.util.control.NonFatal(_) => }
     }

@@ -305,10 +305,17 @@ object ProjGraph {
     * map-side collapse: duplicates only meet across projections). The
     * tiny post-filter dedup runs on n·k rows. */
   private def topKDirectedScored(scored: DataFrame, k: Int): DataFrame = {
-    val dirs = scored.select(col("id_a").as("src"), col("id_b").as("dst"),
-        col("cos"))
-      .unionByName(scored.select(col("id_b").as("src"),
-        col("id_a").as("dst"), col("cos")))
+    // ONE pass over the scored pairs (round 15): the two-branch union
+    // read the n·P·W-row seed frame twice — without a checkpoint that
+    // doubles the ring scan, with one it forces a serial
+    // materialization job. The explode emits both directions from a
+    // single read, so the upstream needs neither.
+    val dirs = scored.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst"), col("cos")),
+        struct(col("id_b").as("src"), col("id_a").as("dst"), col("cos"))))
+        .as("__d"))
+      .select(col("__d.src").as("src"), col("__d.dst").as("dst"),
+        col("__d.cos").as("cos"))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cos").desc, col("dst").asc)
     dirs.withColumn("__rn", dense_rank().over(w))
@@ -325,21 +332,29 @@ object ProjGraph {
                          window: Int = WindowW): DataFrame = {
     // the provisional top-k is derived from the scored seed pairs and
     // reused by the expansion AND the final rank — checkpoint it once
-    // (the exactKnnDirected boundary discipline). The seed-pair frame
-    // itself (n·P·W rows) is read twice (top-k + the expansion's
-    // already-scored anti-join) and checkpointed for the same reason.
-    // EAGER deliberately (round-14 A/B): lazily-marked seeds let the
-    // final DAG's three concurrent readers race on uncomputed ring-scan
-    // partitions — measured chain_global_mutual resample task-s
-    // 13.8 → 16.1-16.4 with no wall win (AQE executes the upstream
-    // exchanges at toRdd either way, so laziness only deferred the
-    // final stage while duplicating its compute).
+    // (the exactKnnDirected boundary discipline). EAGER deliberately
+    // (round-14 A/B): lazily-marked seeds let the final DAG's
+    // concurrent readers race on uncomputed ring-scan partitions —
+    // measured chain_global_mutual resample task-s 13.8 → 16.1-16.4
+    // with no wall win. The seed-pair frame itself is NO LONGER
+    // checkpointed (round 15): its only reader is the top-k rank
+    // (topKDirectedScored's explode doubles directions in one pass),
+    // so the ring scan materializes exactly once inside the seedTop
+    // checkpoint job — one serial job and one n·P·W-row write/read
+    // cycle removed.
     val seedScored = windowScoredPairs(emb, idCol, vecCol, window)
-      .localCheckpoint(eager = true)
     val seedTop = topKDirectedScored(seedScored, k)
       .localCheckpoint(eager = true)
     // 2-hop expansion: (a -> b, b -> c) => candidate (a, c); k² per
-    // node, ids only until the re-rank join.
+    // node, ids only until the re-rank join. Round 15: the expansion
+    // pairs are NOT anti-joined against the seed pairs any more — that
+    // anti-join re-shuffled the whole n·P·W-row seed frame by pair key
+    // (the chain's largest exchange, guide §2.3) just to avoid
+    // re-scoring ≤ n·k² pairs whose cosines are deterministic. A
+    // re-scored duplicate carries the identical (cos, dst), so the
+    // final dense_rank + (src, dst) dedup collapses it — the dedup
+    // reuses the window's src-partitioning (no extra exchange) and
+    // runs on n·k rows.
     val hop2 = seedTop.select(col("src"), col("dst").as("__mid"))
       .join(seedTop.select(col("src").as("__mid"), col("dst").as("__far")),
         "__mid")
@@ -347,17 +362,19 @@ object ProjGraph {
       .select(least(col("src"), col("__far")).as("id_a"),
         greatest(col("src"), col("__far")).as("id_b"))
       .distinct()
-      // only score pairs the seed round has not already scored
-      .join(seedScored.select(col("id_a"), col("id_b")),
-        Seq("id_a", "id_b"), "left_anti")
     val hop2Scored = scorePairs(hop2, emb, idCol, vecCol)
     // Final rank inputs are the SEED TOP-K rows plus the expansion's
-    // new pairs, not all n·P·W seed pairs again: a seed candidate of
-    // src ranked below its seed top-k is dominated by k still-present
+    // pairs, not all n·P·W seed pairs again: a seed candidate of src
+    // ranked below its seed top-k is dominated by k still-present
     // better candidates, so it can never enter the final top-k — the
     // output is provably identical to ranking the full union (which is
     // what the SQL twin ranks), at a window input of n·k + |hop2| rows
-    // instead of 2·n·P·W.
+    // instead of 2·n·P·W. The same domination argument covers the
+    // re-scored duplicates the dropped anti-join used to remove: a
+    // duplicate of a seed pair ranks exactly where its original does,
+    // and dense_rank + dedup keeps one copy (the topKDirectedScored
+    // equivalence — dst is unique per distinct pair, so duplicates
+    // collide on the full order key).
     val finalDirs = seedTop
       .unionByName(hop2Scored.select(col("id_a").as("src"),
         col("id_b").as("dst"), col("cos")))
@@ -365,8 +382,9 @@ object ProjGraph {
         col("id_a").as("dst"), col("cos")))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("cos").desc, col("dst").asc)
-    finalDirs.withColumn("__rn", row_number().over(w))
+    finalDirs.withColumn("__rn", dense_rank().over(w))
       .filter(col("__rn") <= k)
+      .dropDuplicates("src", "dst")
       .select(col("src"), col("dst"))
   }
 
